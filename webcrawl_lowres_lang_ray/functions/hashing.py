@@ -1,0 +1,72 @@
+"""Hashing kernels.
+
+* ``md5_url``      — MD5 hex of the UTF-8 URL, the reference's URL-seen key
+                     (fileutils.py:99-101).
+* ``sha1_url``     — canonicalized SHA-1 URL key, the frontier-internal seen
+                     key mandated by the north rule (BASELINE.json).
+* ``sha256_bytes`` — SHA-256 hex of page bytes, the content-dedup key
+                     (lrl-crawler.py:230-233).
+
+Batch variants take numpy object arrays / pyarrow columns and return numpy
+arrays; hashing is C-level per element so a row loop is the natural shape.
+``url_bucket`` maps a digest to a stable partition id for the bucketed
+fetch join / seen-shard routing.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+
+def md5_url(url: str) -> str:
+    return hashlib.md5(url.encode()).hexdigest()
+
+
+def sha1_url(url: str) -> str:
+    return hashlib.sha1(url.encode()).hexdigest()
+
+
+def sha256_bytes(data: bytes) -> str:
+    return hashlib.sha256(data).hexdigest()
+
+
+def md5_batch(strings) -> np.ndarray:
+    md5 = hashlib.md5
+    return np.array(
+        ["" if s is None else md5(s.encode()).hexdigest() for s in strings],
+        dtype=object,
+    )
+
+
+def sha1_batch(strings) -> np.ndarray:
+    sha1 = hashlib.sha1
+    return np.array(
+        ["" if s is None else sha1(s.encode()).hexdigest() for s in strings],
+        dtype=object,
+    )
+
+
+def sha256_batch(byte_col) -> np.ndarray:
+    """SHA-256 over a binary column (pa.Array / iterable of bytes)."""
+    if isinstance(byte_col, pa.ChunkedArray):
+        byte_col = byte_col.combine_chunks()
+    sha = hashlib.sha256
+    out = np.empty(len(byte_col), dtype=object)
+    for i, v in enumerate(byte_col):
+        b = v.as_py() if isinstance(v, pa.Scalar) else v
+        out[i] = "" if b is None else sha(b).hexdigest()
+    return out
+
+
+def digest_to_shard(hex_digest: str, num_shards: int) -> int:
+    """Stable shard id from the first 8 hex chars of a digest."""
+    return int(hex_digest[:8], 16) % num_shards
+
+
+def shard_batch(hex_digests, num_shards: int) -> np.ndarray:
+    return np.array(
+        [int(h[:8], 16) % num_shards for h in hex_digests], dtype=np.int32
+    )

@@ -1,0 +1,77 @@
+"""Character-n-gram language identification (the lingua stand-in).
+
+The reference scores full documents and paragraphs with the lingua detector
+(nlp.py:44, :316, :407).  lingua is unavailable in this environment, so the
+primary detector here is a deterministic Cavnar–Trenkle-style character
+trigram profile: cosine similarity between the text's trigram count vector
+and a language profile built from the lexicon (trigrams of each word,
+weighted by lexicon frequency).  The *semantics around* the detector —
+thresholds, verdict strings LANG / NON-LANG / <UNDEFINED>, supported-language
+dispatch — replicate nlp.py:391-459 exactly; only the confidence function
+differs (documented divergence, forced by the environment).
+
+Confidence is in [0, 1], deterministic, and identical between the oracle and
+the distributed engine (both call this module).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+
+def word_trigrams(word: str):
+    padded = f" {word} "
+    for i in range(len(padded) - 2):
+        yield padded[i : i + 3]
+
+
+def text_trigram_counts(text: str) -> dict[str, int]:
+    counts: dict[str, int] = {}
+    for w in text.lower().split():
+        for g in word_trigrams(w):
+            counts[g] = counts.get(g, 0) + 1
+    return counts
+
+
+class NgramLangModel:
+    """Trigram profile of a language, built from its lexicon.
+
+    Loaded once per scorer actor (the reference preloads lingua models once
+    per process, nlp.py:44 — same pattern, actor ``__init__``).
+    """
+
+    def __init__(self, word_dict: dict[str, int]):
+        profile: dict[str, float] = {}
+        for w, c in word_dict.items():
+            for g in word_trigrams(w.lower()):
+                profile[g] = profile.get(g, 0.0) + float(c)
+        self.grams = sorted(profile.keys())
+        self.index = {g: i for i, g in enumerate(self.grams)}
+        self.vec = np.array([profile[g] for g in self.grams], dtype=np.float64)
+        self.norm = float(np.sqrt(np.dot(self.vec, self.vec)))
+
+    def confidence(self, text: str) -> float:
+        counts = text_trigram_counts(text)
+        if not counts or self.norm == 0.0:
+            return 0.0
+        idx = self.index
+        hit_idx = []
+        hit_val = []
+        pnorm_sq = 0.0
+        for g, c in counts.items():
+            pnorm_sq += c * c
+            i = idx.get(g)
+            if i is not None:
+                hit_idx.append(i)
+                hit_val.append(float(c))
+        if pnorm_sq == 0.0 or not hit_idx:
+            return 0.0
+        dot = float(
+            np.dot(
+                np.asarray(hit_val, dtype=np.float64),
+                self.vec[np.asarray(hit_idx, dtype=np.int64)],
+            )
+        )
+        return dot / (math.sqrt(pnorm_sq) * self.norm)

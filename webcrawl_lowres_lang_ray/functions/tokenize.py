@@ -1,0 +1,92 @@
+"""Tokenizers — exact reference semantics (extract.py:35-78).
+
+* ``unigram_words``      — strip punctuation ``[^\\w\\s]`` -> space, split
+                           (extract.py:35-41)
+* ``bigram_words``       — adjacent pairs.  NOTE the reference has a quirk:
+                           ``words.pop()`` seeds ``word1`` with the LAST word
+                           (extract.py:52), so the first emitted bigram is
+                           ``last_word + " " + first_word`` and the final pair
+                           is never emitted.  Reproduced verbatim (documented
+                           divergence from "clean" bigram semantics).
+* ``filter_words``       — lowercase; drop len<min or containing a digit
+                           (extract.py:65-70)
+* ``token_frequencies``  — Counter.most_common() ordering (extract.py:72-78)
+
+Plus vectorized numpy/pandas variants for use inside map_batches hot paths:
+``tokenize_batch`` operates on a whole string column at once.
+"""
+
+from __future__ import annotations
+
+import collections
+import re
+
+import numpy as np
+
+_PUNCT_RE = re.compile(r"[^\w\s]")
+_HAS_DIGIT_RE = re.compile(r"\d")
+
+
+def unigram_words(text: str) -> list[str]:
+    return _PUNCT_RE.sub(" ", text).split()
+
+
+def bigram_words(text: str) -> list[str]:
+    words = _PUNCT_RE.sub(" ", text).split()
+    if not words:
+        return []
+    bigrams = []
+    word1 = words.pop()  # reference quirk: seeds with the LAST word
+    for word in words:
+        bigrams.append(word1 + " " + word)
+        word1 = word
+    return bigrams
+
+
+def filter_words(words: list[str], min_char_len: int = 3) -> list[str]:
+    return [
+        w.lower()
+        for w in words
+        if len(w) >= min_char_len and not any(c.isdigit() for c in w)
+    ]
+
+
+def token_frequencies(tokens: list[str]) -> list[tuple[str, int]]:
+    return collections.Counter(tokens).most_common()
+
+
+def tokenize_filtered(text: str, min_char_len: int = 3) -> list[str]:
+    """unigram_words + filter_words in one call (the common composition)."""
+    return filter_words(unigram_words(text), min_char_len)
+
+
+# ---------------------------------------------------------------------------
+# Vectorized batch kernels
+# ---------------------------------------------------------------------------
+
+def tokenize_batch(texts: np.ndarray, min_char_len: int = 3) -> list[list[str]]:
+    """Apply tokenize_filtered over a column; returns list-of-token-lists.
+
+    The per-string work is regex + split (C-level); the Python loop is over
+    rows only, each row doing vectorized string ops — acceptable for a text
+    column.  Used by the lexicon G1 pipeline and the quality stage.
+    """
+    sub = _PUNCT_RE.sub
+    has_digit = _HAS_DIGIT_RE.search
+    out = []
+    for t in texts:
+        if t is None:
+            out.append([])
+            continue
+        toks = sub(" ", t).split()
+        out.append(
+            [w.lower() for w in toks if len(w) >= min_char_len and not has_digit(w)]
+        )
+    return out
+
+
+def token_count_batch(texts: np.ndarray) -> np.ndarray:
+    """Whitespace token count per row (vectorized split)."""
+    return np.array(
+        [0 if t is None else len(t.split()) for t in texts], dtype=np.int64
+    )

@@ -1,0 +1,308 @@
+"""Deterministic synthetic Common-Crawl-style corpus (the sandbox "web").
+
+BASELINE.json's input_hint mandates a Parquet page table
+``(url:string, warc_ts:timestamp, html:binary, text:string, lang:string)``.
+No such table ships in /root/testdata, so this module synthesizes one —
+fully deterministic from a seed, no external data — with every code path the
+reference exercises (FIXTURES.md §1):
+
+* Zipf-skewed hosts (a few hot hosts -> frontier skew handling is real work);
+* embedded ``<a href>`` links into other rows' urls so the frontier grows,
+  plus relative links (lrl-crawler.py:157-162 path), excluded-domain links
+  (config.json:29-44 path) and dead links (fetch-failure path,
+  lrl-crawler.py:186-189);
+* byte-identical duplicate bodies across urls (content-dedup path,
+  sql.py:167-172) and empty/whitespace bodies (lrl-crawler.py:436-438);
+* utf-8 and latin-1 encodings with ``<meta charset>`` (bs4 charset-sniff
+  path, nlp.py:92-95);
+* robots.txt rules per host (lrl-crawler.py:173-181 path);
+* a Zipf lexicon with counts on both sides of the common/uncommon split at
+  freq 10 (queries.py:36-38) and an english_ref overlap (queries.py:57-70).
+
+The golden ``text`` column is produced by functions/html_text.py (the same
+code the distributed extraction stage runs — the per-row invariant), and the
+golden ``lang`` column by functions/scoring.py.
+
+The page table is written pre-partitioned by canonical-SHA-1 url bucket
+(``pages/bucket=NNN.parquet``) — the layout the bucketed fetch join relies
+on: at 10^10-URL scale the "web" side of fetch is only ever read one bucket
+at a time.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+from datetime import datetime, timedelta
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..config import CrawlConfig, SynthConfig
+from ..functions.hashing import digest_to_shard, sha1_url
+from ..functions.html_text import extract_text_from_html_bytes
+from ..functions.scoring import LangScoringModel
+from ..functions.urltools import canonicalize
+
+_CONSONANTS = "hkmnptvw"
+_VOWELS = "aeiou"
+
+_EN_WORDS = (
+    "the quick brown fox jumps over lazy dog and cat with some words about "
+    "nothing in particular because this page mostly contains english text "
+    "written for testing language detection pipelines which should not match "
+    "our synthetic low resource language at all even when repeated many times"
+).split()
+
+_NAV_WORDS = ["Home", "About", "Contact", "News", "Login"]
+
+
+def _make_lrl_vocab(rng: random.Random, size: int) -> list[str]:
+    vocab: set[str] = set()
+    while len(vocab) < size:
+        n_syll = rng.randint(2, 4)
+        word = "".join(
+            rng.choice(_CONSONANTS) + rng.choice(_VOWELS) for _ in range(n_syll)
+        )
+        if len(word) >= 3:
+            vocab.add(word)
+    return sorted(vocab)
+
+
+def make_lexicon(rng: random.Random, size: int) -> dict[str, int]:
+    """Zipf counts; both sides of the >10 common/uncommon split populated."""
+    vocab = _make_lrl_vocab(rng, size)
+    rng.shuffle(vocab)
+    lex = {}
+    for rank, word in enumerate(vocab, start=1):
+        lex[word] = max(1, int(500 / rank))
+    return lex
+
+
+def _lrl_para(rng: random.Random, words: list[str], weights: list[int], n: int) -> str:
+    return " ".join(rng.choices(words, weights=weights, k=n))
+
+
+def _en_para(rng: random.Random, n: int) -> str:
+    return " ".join(rng.choices(_EN_WORDS, k=n))
+
+
+def generate_corpus(out_dir: str, scfg: SynthConfig, ccfg: CrawlConfig | None = None) -> None:
+    """Write the full corpus (pages buckets, seeds, lexicon, robots, english_ref)."""
+    ccfg = ccfg or CrawlConfig()
+    rng = random.Random(scfg.seed)
+    os.makedirs(out_dir, exist_ok=True)
+
+    lexicon = make_lexicon(rng, scfg.lexicon_size)
+    lex_words = list(lexicon.keys())
+    lex_weights = list(lexicon.values())
+    scorer = LangScoringModel(lexicon, ccfg)
+
+    # --- hosts, zipf-skewed ---
+    hosts = [f"host{i:03d}.example.org" for i in range(scfg.n_hosts)]
+    host_weights = [1.0 / (i + 1) for i in range(scfg.n_hosts)]
+    robots_disallow = {
+        h: ["/private/"] for i, h in enumerate(hosts) if i % 5 == 2
+    }
+
+    # --- page urls ---
+    n = scfg.n_pages
+    page_host = rng.choices(range(scfg.n_hosts), weights=host_weights, k=n)
+    urls = []
+    for pid in range(n):
+        h = hosts[page_host[pid]]
+        style = rng.random()
+        if style < 0.08 and h in robots_disallow:
+            path = f"/private/p{pid}"
+        elif style < 0.5:
+            path = f"/p/{pid}"
+        elif style < 0.8:
+            path = f"/articles/{pid}.html"
+        else:
+            path = f"/p/{pid}?ref=nav"
+        urls.append(f"https://{h}{path}")
+
+    # --- page bodies ---
+    htmls: list[bytes] = [b""] * n
+    base_ts = datetime(2024, 1, 1)
+    dup_sources: list[int] = []
+    for pid in range(n):
+        r = rng.random()
+        if r < scfg.empty_fraction:
+            htmls[pid] = rng.choice(
+                [b"", b"<html><body>   \n\n   </body></html>"]
+            )
+            continue
+        if r < scfg.empty_fraction + scfg.dup_fraction and dup_sources:
+            htmls[pid] = htmls[rng.choice(dup_sources)]
+            continue
+
+        latin1 = rng.random() < scfg.latin1_fraction
+        charset = "iso-8859-1" if latin1 else "utf-8"
+        n_paras = rng.randint(1, 7)
+        paras = []
+        for _ in range(n_paras):
+            wc = rng.randint(4, 55)
+            if rng.random() < 0.45:
+                paras.append(_lrl_para(rng, lex_words, lex_weights, wc))
+            else:
+                paras.append(_en_para(rng, wc))
+
+        # links: real pages, relative, excluded, dead
+        n_links = rng.randint(0, 6)
+        links = []
+        for _ in range(n_links):
+            lr = rng.random()
+            if lr < scfg.dead_link_fraction:
+                links.append(
+                    f"https://{hosts[rng.randrange(scfg.n_hosts)]}/missing/{rng.randrange(10 * n)}"
+                )
+            elif lr < scfg.dead_link_fraction + 0.06:
+                links.append(f"/p/{rng.randrange(n)}")  # relative href
+            elif lr < scfg.dead_link_fraction + 0.10:
+                links.append(f"https://{rng.choice(ccfg.excluded_domains)}/x{pid}")
+            else:
+                links.append(urls[rng.randrange(n)])
+
+        body_parts = [
+            f'<!DOCTYPE html><html><head><meta charset="{charset}">'
+            f"<title>Page {pid}</title>"
+            "<style>body { font: café serif; }</style></head><body>"
+            if latin1
+            else f'<!DOCTYPE html><html><head><meta charset="{charset}">'
+            f"<title>Page {pid}</title></head><body>",
+            "<!-- generated page -->",
+            "<nav>" + " | ".join(f'<a href="{u}">{w}</a>' for u, w in zip(links, _NAV_WORDS)) + "</nav>"
+            if links
+            else "<nav>no links</nav>",
+        ]
+        for p in paras:
+            body_parts.append(f"<p>{p}</p>")
+        for u in links[len(_NAV_WORDS):]:
+            body_parts.append(f'<a href="{u}">more</a>')
+        body_parts.append("<script>var x = 1;</script></body></html>")
+        html_str = "\n".join(body_parts)
+        htmls[pid] = html_str.encode(charset, errors="replace")
+        dup_sources.append(pid)
+
+    # --- golden text + lang ---
+    texts = [extract_text_from_html_bytes(h) for h in htmls]
+    langs = []
+    for t in texts:
+        res = scorer.score_text(t)
+        langs.append(res.full_lang if res.full_lang is not None else "<NONE>")
+    warc_ts = [base_ts + timedelta(seconds=pid) for pid in range(n)]
+
+    # --- write pages partitioned by canonical-sha1 bucket ---
+    buckets = [
+        digest_to_shard(sha1_url(canonicalize(u)), scfg.num_url_buckets)
+        for u in urls
+    ]
+    table = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(warc_ts, pa.timestamp("us")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+            "bucket": pa.array(buckets, pa.int32()),
+        }
+    )
+    pages_dir = os.path.join(out_dir, "pages")
+    os.makedirs(pages_dir, exist_ok=True)
+    import pyarrow.compute as pc
+
+    for b in range(scfg.num_url_buckets):
+        sub = table.filter(pc.equal(table["bucket"], b))
+        pq.write_table(sub, os.path.join(pages_dir, f"bucket={b:03d}.parquet"))
+
+    # --- seeds: spread across hosts, first-page-ish, deterministic order ---
+    seed_pids = sorted(rng.sample(range(n), min(scfg.seeds_per_corpus, n)))
+    seeds = pa.table(
+        {
+            "seq": pa.array(range(len(seed_pids)), pa.int64()),
+            "url": pa.array([urls[p] for p in seed_pids], pa.string()),
+            "query_id": pa.array([p % 7 for p in range(len(seed_pids))], pa.int64()),
+            "engine": pa.array(
+                [
+                    ["google", "google_api", "bing", "bing_api"][p % 4]
+                    for p in range(len(seed_pids))
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    pq.write_table(seeds, os.path.join(out_dir, "seeds.parquet"))
+
+    # --- lexicon + english_ref ---
+    lex_tbl = pa.table(
+        {
+            "token": pa.array(list(lexicon.keys()), pa.string()),
+            "count": pa.array([lexicon[k] for k in lexicon], pa.int64()),
+        }
+    )
+    pq.write_table(lex_tbl, os.path.join(out_dir, "lexicon.parquet"))
+    en_overlap = rng.sample(lex_words, 5) + ["the", "and", "with", "about", "words"]
+    pq.write_table(
+        pa.table({"token": pa.array(sorted(set(en_overlap)), pa.string())}),
+        os.path.join(out_dir, "english_ref.parquet"),
+    )
+
+    # --- robots rules ---
+    rb_hosts = sorted(robots_disallow.keys())
+    pq.write_table(
+        pa.table(
+            {
+                "host": pa.array(rb_hosts, pa.string()),
+                "disallow": pa.array(
+                    [robots_disallow[h] for h in rb_hosts], pa.list_(pa.string())
+                ),
+            }
+        ),
+        os.path.join(out_dir, "robots.parquet"),
+    )
+
+    with open(os.path.join(out_dir, "_SUCCESS"), "w") as f:
+        f.write(f"n_pages={n} seed={scfg.seed}\n")
+
+
+_SF_PAGES = {"0.001": 500, "0.01": 5000, "0.1": 50000}
+
+# bump when generation/extraction/scoring semantics change so cached corpora
+# under /tmp are regenerated rather than silently reused
+CORPUS_VERSION = 2
+
+
+def corpus_dir_for_sf(sf_dir: str, cache_root: str = "/tmp/wllr_corpus") -> str:
+    """Deterministic corpus sized to match a testdata sf directory, cached.
+
+    sf0.001 -> 500 pages, sf0.01 -> 5k, sf0.1 -> 50k (mirroring the driver's
+    documents-table row counts).  Generation is driver-side, pure Python,
+    one-time; all queries/benchmarks read the cached parquet.
+    """
+    base = os.path.basename(sf_dir.rstrip("/"))
+    sf = base.replace("sf", "") if base.startswith("sf") else "0.001"
+    n_pages = _SF_PAGES.get(sf, 500)
+    return corpus_dir_for_pages(n_pages, cache_root)
+
+
+def corpus_dir_for_pages(n_pages: int, cache_root: str = "/tmp/wllr_corpus") -> str:
+    scfg = SynthConfig(
+        n_pages=n_pages,
+        n_hosts=max(16, int(n_pages ** 0.5)),
+        seeds_per_corpus=max(16, n_pages // 40),
+    )
+    out_dir = os.path.join(cache_root, f"v{CORPUS_VERSION}_n{n_pages}_s{scfg.seed}")
+    if not os.path.exists(os.path.join(out_dir, "_SUCCESS")):
+        generate_corpus(out_dir, scfg)
+    return out_dir
+
+
+def load_lexicon(corpus_dir: str) -> dict[str, int]:
+    t = pq.read_table(os.path.join(corpus_dir, "lexicon.parquet"))
+    return dict(zip(t["token"].to_pylist(), t["count"].to_pylist()))
+
+
+def load_robots(corpus_dir: str) -> dict[str, list[str]]:
+    t = pq.read_table(os.path.join(corpus_dir, "robots.parquet"))
+    return dict(zip(t["host"].to_pylist(), t["disallow"].to_pylist()))
