@@ -1,0 +1,110 @@
+"""E2E conformance: the distributed Ray Data crawl == the single-threaded
+oracle, bit-for-bit, on every ledger column (SURVEY.md §5 step 3).
+
+Pinned invariants (north rule / input_hint):
+* byte-identical extracted ``text`` per url,
+* exact crawl ordering (``seq`` and ``wave``),
+* identical URL-seen membership,
+* identical NLP columns and rejection flags,
+* determinism across reruns and across the driver/Ray admission-insertion
+  code paths,
+* kill-and-resume equals an uninterrupted run.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from webcrawl_lowres_lang_ray.config import CrawlConfig
+from webcrawl_lowres_lang_ray.frontier import LEDGER_META_COLS, load_ledger, run_crawl
+from webcrawl_lowres_lang_ray.oracle import run_oracle
+
+CFG = CrawlConfig(per_host_per_wave=4)
+
+
+def _oracle_df(corpus, cfg) -> pd.DataFrame:
+    res = run_oracle(corpus, cfg)
+    return (
+        pd.DataFrame(res.ledger)[LEDGER_META_COLS]
+        .sort_values("seq")
+        .reset_index(drop=True)
+    )
+
+
+def _assert_ledger_equal(eng: pd.DataFrame, orc: pd.DataFrame):
+    assert len(eng) == len(orc), f"row count {len(eng)} != {len(orc)}"
+    for c in LEDGER_META_COLS:
+        bad = (eng[c] != orc[c])
+        assert not bad.any(), (
+            f"column {c}: {int(bad.sum())} mismatches; first at seq "
+            f"{eng.loc[bad.idxmax(), 'seq']}: {eng[c][bad].iloc[0]!r} != {orc[c][bad].iloc[0]!r}"
+        )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCrawlConformance:
+    def test_ledger_matches_oracle(self, tiny_corpus, tmp_path):
+        stats = run_crawl(tiny_corpus, str(tmp_path / "out"), CFG)
+        eng = load_ledger(str(tmp_path / "out")).sort_values("seq").reset_index(drop=True)
+        orc = _oracle_df(tiny_corpus, CFG)
+        _assert_ledger_equal(eng, orc)
+        assert stats.fetched > 0 and stats.failed > 0  # corpus exercises both
+
+    def test_text_bytes_identical_to_golden(self, tiny_corpus, tmp_path):
+        import glob
+        import pyarrow.parquet as pq
+
+        run_crawl(tiny_corpus, str(tmp_path / "out"), CFG)
+        eng = load_ledger(str(tmp_path / "out"))
+        golden = {}
+        for f in glob.glob(tiny_corpus + "/pages/bucket=*.parquet"):
+            t = pq.read_table(f, columns=["url", "text"])
+            golden.update(zip(t["url"].to_pylist(), t["text"].to_pylist()))
+        fetched = eng.loc[eng["downloaded"]]
+        assert len(fetched) > 0
+        for url, text in zip(fetched["url"], fetched["text"]):
+            assert text == golden[url]
+
+    def test_seen_membership_matches_oracle(self, tiny_corpus, tmp_path):
+        run_crawl(tiny_corpus, str(tmp_path / "out"), CFG)
+        eng = load_ledger(str(tmp_path / "out"))
+        orc = run_oracle(tiny_corpus, CFG)
+        assert set(eng["canon_sha1"]) == orc.seen
+
+    def test_rerun_deterministic(self, tiny_corpus, tmp_path):
+        run_crawl(tiny_corpus, str(tmp_path / "a"), CFG)
+        run_crawl(tiny_corpus, str(tmp_path / "b"), CFG)
+        a = load_ledger(str(tmp_path / "a"))
+        b = load_ledger(str(tmp_path / "b"))
+        _assert_ledger_equal(a, b)
+
+    def test_resume_equals_uninterrupted(self, tiny_corpus, tmp_path):
+        full_out = str(tmp_path / "full")
+        run_crawl(tiny_corpus, full_out, CFG)
+        # "kill" after 2 waves, then resume
+        part_out = str(tmp_path / "part")
+        run_crawl(tiny_corpus, part_out, CFG.replace(max_waves=2))
+        stats = run_crawl(tiny_corpus, part_out, CFG, resume=True)
+        assert stats.waves > 2
+        _assert_ledger_equal(load_ledger(part_out), load_ledger(full_out))
+
+    def test_ray_paths_equal_driver_paths(self, tiny_corpus, tmp_path, monkeypatch):
+        import webcrawl_lowres_lang_ray.frontier as fr
+
+        run_crawl(tiny_corpus, str(tmp_path / "drv"), CFG)
+        monkeypatch.setattr(fr, "DRIVER_PATH_MAX_ROWS", 0)  # force Ray path
+        run_crawl(tiny_corpus, str(tmp_path / "ray"), CFG)
+        _assert_ledger_equal(
+            load_ledger(str(tmp_path / "drv")), load_ledger(str(tmp_path / "ray"))
+        )
+
+    def test_politeness_budget_shapes_waves(self, tiny_corpus, tmp_path):
+        s1 = run_crawl(tiny_corpus, str(tmp_path / "k1"), CFG.replace(per_host_per_wave=1))
+        s8 = run_crawl(tiny_corpus, str(tmp_path / "k8"), CFG.replace(per_host_per_wave=8))
+        assert s1.waves > s8.waves
+        # membership (closure) is admission-order independent
+        a = load_ledger(str(tmp_path / "k1"))
+        b = load_ledger(str(tmp_path / "k8"))
+        assert set(a["canon_sha1"]) == set(b["canon_sha1"])

@@ -1,0 +1,130 @@
+"""Tests for stateful actors: seen-set shards, cuckoo filter, robots cache,
+politeness buckets."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from webcrawl_lowres_lang_ray.state.politeness import HostBudget
+from webcrawl_lowres_lang_ray.state.seen import CuckooFilter
+
+
+def _digest(i: int) -> bytes:
+    return hashlib.sha1(str(i).encode()).digest()
+
+
+class TestCuckooFilter:
+    def test_no_false_negatives(self):
+        cf = CuckooFilter(capacity=4096)
+        keys = [_digest(i) for i in range(3000)]
+        for k in keys:
+            cf.add(k)
+        assert all(cf.might_contain(k) for k in keys)
+
+    def test_false_positive_rate_bounded(self):
+        cf = CuckooFilter(capacity=8192)
+        for i in range(4000):
+            cf.add(_digest(i))
+        probes = [_digest(i) for i in range(100_000, 120_000)]
+        fp = sum(cf.might_contain(p) for p in probes)
+        assert fp / len(probes) < 0.02  # 16-bit fingerprints, 2 buckets
+
+    def test_overflow_goes_to_stash_not_lost(self):
+        cf = CuckooFilter(capacity=16)  # deliberately tiny
+        keys = [_digest(i) for i in range(500)]
+        for k in keys:
+            cf.add(k)
+        assert all(cf.might_contain(k) for k in keys)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSeenShards:
+    def test_contains_and_add_first_wins(self):
+        from webcrawl_lowres_lang_ray.state.seen import (
+            create_seen_shards,
+            seen_filter_new,
+        )
+
+        shards = create_seen_shards(4)
+        batch1 = [_digest(i) for i in range(100)]
+        new1 = seen_filter_new(shards, batch1)
+        assert new1.all()
+        batch2 = [_digest(i) for i in range(50, 150)]
+        new2 = seen_filter_new(shards, batch2)
+        assert (~new2[:50]).all() and new2[50:].all()
+
+    def test_snapshot_restore_roundtrip(self):
+        from webcrawl_lowres_lang_ray.state.seen import (
+            create_seen_shards,
+            restore_all,
+            seen_filter_new,
+            snapshot_all,
+        )
+
+        shards = create_seen_shards(3)
+        keys = [_digest(i) for i in range(200)]
+        seen_filter_new(shards, keys)
+        blobs = snapshot_all(shards)
+        fresh = create_seen_shards(3)
+        restore_all(fresh, blobs)
+        again = seen_filter_new(fresh, keys)
+        assert not again.any()  # everything already present after restore
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRobotsCache:
+    def test_caching_and_blocking(self, small_corpus):
+        import os
+
+        from webcrawl_lowres_lang_ray.sources.synth import load_robots
+        from webcrawl_lowres_lang_ray.state.robots import (
+            create_robots_actors,
+            robots_blocked_mask,
+        )
+        import ray
+
+        rules = load_robots(small_corpus)
+        host = next(iter(rules))
+        actors = create_robots_actors(os.path.join(small_corpus, "robots.parquet"), 2)
+        urls = [
+            f"https://{host}/private/x",
+            f"https://{host}/public/x",
+            "https://unknown.example.net/anything",
+            f"https://{host}/private/y",
+        ]
+        mask = robots_blocked_mask(actors, urls)
+        assert list(mask) == [True, False, False, True]
+        # cache: the host's rules fetched once per owning shard despite 2 queries
+        stats = ray.get([a.stats.remote() for a in actors])
+        total_fetches = sum(s["fetches"] for s in stats)
+        assert total_fetches <= 2  # one per distinct host routed
+
+
+class TestPoliteness:
+    def test_budget_per_wave(self):
+        hb = HostBudget(2)
+        rows = [(0, "a"), (1, "a"), (2, "a"), (3, "b")]
+        assert hb.admit_order(rows) == [True, True, False, True]
+        hb.new_wave()
+        assert hb.try_admit("a")
+
+    def test_matches_groupby_headk_semantics(self):
+        import pandas as pd
+
+        from webcrawl_lowres_lang_ray.frontier import _admit_driver
+
+        rng = np.random.RandomState(7)
+        df = pd.DataFrame(
+            {
+                "seq": np.arange(500),
+                "host": [f"h{rng.randint(10)}" for _ in range(500)],
+            }
+        )
+        k = 3
+        marked = _admit_driver(df.sample(frac=1, random_state=1), k)
+        hb = HostBudget(k)
+        expect = hb.admit_order(list(zip(marked["seq"], marked["host"])))
+        assert list(marked["admit"]) == expect

@@ -1,0 +1,573 @@
+"""The distributed crawl: URL frontier + fetch scheduler as Ray Data waves.
+
+Reproduces the oracle's semantics (oracle.py — itself the reference's
+num_threads=1 FIFO semantics) with Ray Data execution per wave:
+
+  frontier parquet (sorted spill)                        [checkpoint.py]
+    -> politeness admission   groupby(host) head-k by seq [state/politeness.py]
+    -> relative-URL skip + robots gate                    [state/robots.py actors]
+    -> fetch = partitioned hash join vs the page table,
+       one task per url-hash bucket (the pages parquet is
+       pre-partitioned by canonical-SHA-1 bucket)         [_fetch_group]
+    -> extract + clean + score + link-extract             [_score_batch, model
+       in one map_batches stage                            cached per worker]
+    -> ledger partition write  ledger/wave=N/
+    -> candidate insertion: excluded-domain filter, within-wave dedup
+       (first occurrence by (parent_seq, link_idx)), sharded seen-filter
+       actors, deterministic global seq assignment         [_insert_*]
+    -> next frontier partition + manifest + seen snapshots
+
+Determinism: execution order inside a wave is free (preserve_order=False);
+logical order is restored by explicit sort keys — admission by ``seq``,
+insertion rank by ``(parent_seq, link_idx)`` — so the ledger equals the
+single-threaded oracle's bit-for-bit (tests/test_crawl_conformance.py).
+
+Scale notes (the 100 TB story):
+* The frontier lives in per-wave Parquet spill partitions, never on the
+  driver, except that admission and insertion use a driver-local Arrow fast
+  path when the wave is small (< ``driver_path_max_rows``); both paths are
+  implemented and asserted equivalent.  At 10^10-URL scale the Ray path is
+  taken: admission is a host-hash groupby, insertion rank is a two-pass
+  bucket-histogram prefix sum (only the tiny histogram visits the driver).
+* The page-table side of fetch is only ever read one url-hash bucket at a
+  time with an ``url in (...)`` predicate pushed into the Parquet read —
+  no stage scans the whole corpus.
+* html bytes flow fetch->score inside one streaming execution and are
+  dropped before any write; the ledger keeps text, hashes and metrics only.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+from . import checkpoint as ckpt
+from .config import CrawlConfig
+from .functions.hashing import digest_to_shard, md5_batch, sha1_batch
+from .functions.html_text import decode_html, extract_links, extract_text_from_html_bytes
+from .functions.scoring import LangScoringModel
+from .functions.urltools import excluded_mask_batch, host_batch, relative_mask_batch, canonicalize_batch
+from .sources.synth import load_lexicon
+from .state.robots import create_robots_actors, robots_blocked_mask
+from .state.seen import create_seen_shards, restore_all, seen_filter_new, snapshot_all
+
+# switch to the distributed admission/insertion path above this many rows
+DRIVER_PATH_MAX_ROWS = 200_000
+_RANK_BUCKET = 256
+
+FRONTIER_FIELDS = [
+    ("seq", pa.int64()),
+    ("url", pa.string()),
+    ("url_hash", pa.string()),
+    ("canon_sha1", pa.string()),
+    ("host", pa.string()),
+    ("bucket", pa.int32()),
+    ("query_id", pa.int64()),
+    ("engine", pa.string()),
+]
+FRONTIER_SCHEMA = pa.schema(FRONTIER_FIELDS)
+
+LEDGER_META_COLS = [
+    "seq", "url", "url_hash", "canon_sha1", "host", "query_id", "engine",
+    "wave", "downloaded", "downloaded_failed", "handled", "skipped_relative",
+    "robots_blocked", "doc_type", "file_hash", "text",
+    "nlp_full_lang", "nlp_full_confidence", "nlp_para_count",
+    "nlp_para_count_lrl", "nlp_para_perc_lrl", "rejected",
+]
+
+
+@dataclass
+class CrawlStats:
+    waves: int = 0
+    inserted: int = 0
+    fetched: int = 0
+    failed: int = 0
+    skipped_relative: int = 0
+    robots_blocked: int = 0
+    rejected: int = 0
+    elapsed_sec: float = 0.0
+    per_wave: list[dict] = field(default_factory=list)
+
+
+# ---------------------------------------------------------------------------
+# scorer-model cache: one model per worker process (stateless map_batches
+# tasks reuse worker processes, so the model loads once per worker — the
+# actor-pool pattern without per-wave pool churn; cf. stages/score.py for
+# the explicit actor-pool form of the same stage)
+# ---------------------------------------------------------------------------
+_MODEL_CACHE: dict[str, LangScoringModel] = {}
+
+
+def _get_model(lexicon_ref, cfg: CrawlConfig) -> LangScoringModel:
+    key = lexicon_ref.hex() if hasattr(lexicon_ref, "hex") else str(id(lexicon_ref))
+    model = _MODEL_CACHE.get(key)
+    if model is None:
+        lexicon = ray.get(lexicon_ref)
+        model = LangScoringModel(lexicon, cfg)
+        _MODEL_CACHE[key] = model
+    return model
+
+
+# ---------------------------------------------------------------------------
+# per-wave stages
+# ---------------------------------------------------------------------------
+
+def _admit_driver(df: pd.DataFrame, k: int) -> pd.DataFrame:
+    df = df.sort_values("seq", kind="mergesort").reset_index(drop=True)
+    df["admit"] = df.groupby("host").cumcount() < k
+    return df
+
+
+def _admit_ray(ds: "ray.data.Dataset", k: int) -> pd.DataFrame:
+    def mark(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("seq", kind="mergesort")
+        g["admit"] = np.arange(len(g)) < k
+        return g
+
+    out = ds.groupby("host").map_groups(mark, batch_format="pandas")
+    return out.to_pandas()
+
+
+def _fetch_group(pages_dir: str):
+    """Group fn for groupby('bucket').map_groups: partitioned hash join.
+
+    Reads ONE bucket file of the page table with an `url in (...)` predicate
+    (row-group pushdown) and left-joins the wave's rows of that bucket.
+    """
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        bucket = int(g["bucket"].iloc[0])
+        path = os.path.join(pages_dir, f"bucket={bucket:03d}.parquet")
+        urls = list(g["url"])
+        if os.path.exists(path):
+            t = pq.read_table(
+                path, columns=["url", "html"], filters=[("url", "in", urls)]
+            )
+            pages = pd.DataFrame(
+                {"url": t["url"].to_pylist(), "html": t["html"].to_pylist()}
+            )
+        else:
+            pages = pd.DataFrame({"url": [], "html": []})
+        out = g.merge(pages, on="url", how="left")
+        html = out["html"].to_numpy(dtype=object, copy=True)
+        html[pd.isna(html)] = None  # .where(cond, None) would leave NaN
+        out["html"] = html
+        return out
+
+    return fn
+
+
+def _score_batch(lexicon_ref, cfg: CrawlConfig, wave: int):
+    """Batch fn: extract text, score, extract links. html is dropped here."""
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        model = _get_model(lexicon_ref, cfg)
+        n = len(batch)
+        downloaded = np.zeros(n, dtype=bool)
+        failed = np.zeros(n, dtype=bool)
+        handled = np.zeros(n, dtype=bool)
+        rejected = np.zeros(n, dtype=bool)
+        doc_type = np.full(n, "", dtype=object)
+        file_hash = np.full(n, "", dtype=object)
+        text_col = np.full(n, "", dtype=object)
+        full_lang = np.full(n, "", dtype=object)
+        full_conf = np.zeros(n, dtype=np.float64)
+        para_count = np.zeros(n, dtype=np.int64)
+        para_lrl = np.zeros(n, dtype=np.int64)
+        para_perc = np.zeros(n, dtype=np.float64)
+        links = np.empty(n, dtype=object)
+
+        import hashlib
+
+        for i, html in enumerate(batch["html"].to_numpy()):
+            if not isinstance(html, (bytes, bytearray)):  # None/NaN -> fetch miss
+                failed[i] = True
+                links[i] = []
+                continue
+            downloaded[i] = True
+            doc_type[i] = "html"
+            file_hash[i] = hashlib.sha256(html).hexdigest()
+            text = extract_text_from_html_bytes(html)
+            text_col[i] = text
+            sr = model.score_text(text)
+            handled[i] = True
+            full_lang[i] = sr.full_lang or ""
+            full_conf[i] = sr.full_conf
+            para_count[i] = sr.para_count
+            para_lrl[i] = sr.para_count_lrl
+            para_perc[i] = sr.para_perc_lrl
+            rejected[i] = sr.rejected
+            links[i] = extract_links(decode_html(html))
+
+        out = batch.drop(columns=["html"]).copy()
+        out["wave"] = np.int64(wave)
+        out["downloaded"] = downloaded
+        out["downloaded_failed"] = failed
+        out["handled"] = handled
+        out["skipped_relative"] = False
+        out["robots_blocked"] = False
+        out["doc_type"] = doc_type
+        out["file_hash"] = file_hash
+        out["text"] = text_col
+        out["nlp_full_lang"] = full_lang
+        out["nlp_full_confidence"] = full_conf
+        out["nlp_para_count"] = para_count
+        out["nlp_para_count_lrl"] = para_lrl
+        out["nlp_para_perc_lrl"] = para_perc
+        out["rejected"] = rejected
+        out["links"] = links
+        return out
+
+    return fn
+
+
+def _norun_ledger_rows(df: pd.DataFrame, wave: int, relative: np.ndarray, robots: np.ndarray) -> pd.DataFrame:
+    """Ledger rows for admitted URLs that never fetch (relative / robots)."""
+    out = df.copy()
+    out["wave"] = np.int64(wave)
+    out["downloaded"] = False
+    out["downloaded_failed"] = False
+    out["handled"] = True
+    out["skipped_relative"] = relative
+    out["robots_blocked"] = robots
+    out["doc_type"] = ""
+    out["file_hash"] = ""
+    out["text"] = ""
+    out["nlp_full_lang"] = ""
+    out["nlp_full_confidence"] = 0.0
+    out["nlp_para_count"] = np.int64(0)
+    out["nlp_para_count_lrl"] = np.int64(0)
+    out["nlp_para_perc_lrl"] = 0.0
+    out["rejected"] = False
+    return out[LEDGER_META_COLS]
+
+
+# ---------------------------------------------------------------------------
+# candidate insertion (excluded filter -> dedup -> seen -> seq assignment)
+# ---------------------------------------------------------------------------
+
+def _prepare_candidates(df: pd.DataFrame, cfg: CrawlConfig) -> pd.DataFrame:
+    """Vectorized: drop excluded, add canon/sha1/md5/host/bucket columns."""
+    if len(df) == 0:
+        return df.assign(canon_sha1=[], url_hash=[], host=[], bucket=[])
+    urls = df["url"].to_numpy()
+    keep = ~excluded_mask_batch(urls, cfg.excluded_domains)
+    df = df.loc[keep].copy()
+    if len(df) == 0:
+        return df.assign(canon_sha1=[], url_hash=[], host=[], bucket=[])
+    urls = df["url"].to_numpy()
+    canon = canonicalize_batch(urls)
+    sha1 = sha1_batch(canon)
+    df["canon_sha1"] = sha1
+    df["url_hash"] = md5_batch(urls)
+    df["host"] = host_batch(urls)
+    df["bucket"] = np.array(
+        [digest_to_shard(h, cfg.num_url_buckets) for h in sha1], dtype=np.int32
+    )
+    return df
+
+
+def _insert_driver(
+    cand: pd.DataFrame, seen_shards, base_seq: int, cfg: CrawlConfig
+) -> pd.DataFrame:
+    """Driver-Arrow insertion path (small waves). cand columns:
+    url, query_id, engine, ord1, ord2 (+prepared cols)."""
+    cand = _prepare_candidates(cand, cfg)
+    if len(cand) == 0:
+        return _empty_frontier_df()
+    # within-wave dedup: first occurrence by (ord1, ord2)
+    cand = cand.sort_values(["ord1", "ord2"], kind="mergesort")
+    cand = cand.drop_duplicates(subset=["canon_sha1"], keep="first")
+    digests = [bytes.fromhex(h) for h in cand["canon_sha1"]]
+    new_mask = seen_filter_new(seen_shards, digests)
+    cand = cand.loc[new_mask]
+    cand = cand.reset_index(drop=True)
+    cand["seq"] = base_seq + np.arange(len(cand), dtype=np.int64)
+    return cand[["seq", "url", "url_hash", "canon_sha1", "host", "bucket", "query_id", "engine"]]
+
+
+def _insert_ray(
+    cand_ds: "ray.data.Dataset", seen_shards, base_seq: int, cfg: CrawlConfig
+) -> pd.DataFrame:
+    """Distributed insertion: vectorized prepare -> per-key dedup groupby ->
+    seen-filter inside map_batches (actor RPCs from tasks) -> two-pass
+    bucket-histogram rank for global seq assignment."""
+    prepared = cand_ds.map_batches(
+        lambda b: _prepare_candidates(b, cfg), batch_format="pandas"
+    )
+
+    def first_occurrence(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ord1", "ord2"], kind="mergesort")
+        return g.head(1)
+
+    deduped = prepared.groupby("canon_sha1").map_groups(
+        first_occurrence, batch_format="pandas"
+    )
+
+    def seen_stage(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return b
+        digests = [bytes.fromhex(h) for h in b["canon_sha1"]]
+        return b.loc[seen_filter_new(seen_shards, digests)]
+
+    survivors = deduped.map_batches(seen_stage, batch_format="pandas")
+    survivors = survivors.map_batches(
+        lambda b: b.assign(rank_bucket=(b["ord1"] // _RANK_BUCKET).astype(np.int64)),
+        batch_format="pandas",
+    ).materialize()
+
+    # pass 1: tiny histogram to the driver -> prefix offsets
+    hist = survivors.groupby("rank_bucket").count().to_pandas()
+    hist = hist.sort_values("rank_bucket")
+    offsets = dict(
+        zip(hist["rank_bucket"], np.cumsum(hist["count()"]) - hist["count()"])
+    )
+
+    # pass 2: per-bucket local rank + global offset
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ord1", "ord2"], kind="mergesort")
+        off = offsets[int(g["rank_bucket"].iloc[0])]
+        g["seq"] = base_seq + off + np.arange(len(g), dtype=np.int64)
+        return g
+
+    out = survivors.groupby("rank_bucket").map_groups(assign, batch_format="pandas")
+    df = out.to_pandas()
+    if len(df) == 0:
+        return _empty_frontier_df()
+    df = df.sort_values("seq", kind="mergesort").reset_index(drop=True)
+    return df[["seq", "url", "url_hash", "canon_sha1", "host", "bucket", "query_id", "engine"]]
+
+
+def _empty_frontier_df() -> pd.DataFrame:
+    return pd.DataFrame(
+        {name: pd.Series(dtype="object" if t == pa.string() else ("int32" if t == pa.int32() else "int64"))
+         for name, t in FRONTIER_FIELDS}
+    )
+
+
+def _write_frontier(df: pd.DataFrame, path_dir: str) -> None:
+    os.makedirs(path_dir, exist_ok=True)
+    tbl = pa.Table.from_pandas(df[ [n for n,_ in FRONTIER_FIELDS] ], schema=FRONTIER_SCHEMA, preserve_index=False)
+    pq.write_table(tbl, os.path.join(path_dir, "part-0.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# the crawl driver
+# ---------------------------------------------------------------------------
+
+def run_crawl(
+    corpus_dir: str,
+    out_dir: str,
+    cfg: CrawlConfig | None = None,
+    resume: bool = False,
+    score_concurrency: int | None = None,
+) -> CrawlStats:
+    """Run the full crawl; requires ray to be initialised by the caller."""
+    cfg = cfg or CrawlConfig()
+    pages_dir = os.path.join(corpus_dir, "pages")
+    robots_path = os.path.join(corpus_dir, "robots.parquet") if cfg.apply_robots else None
+    stats = CrawlStats()
+    t0 = time.time()
+
+    lexicon_ref = ray.put(load_lexicon(corpus_dir))
+    seen_shards = create_seen_shards(cfg.num_seen_shards)
+    robots_actors = create_robots_actors(robots_path) if cfg.apply_robots else []
+
+    manifest = ckpt.latest_manifest(out_dir) if resume else None
+    if manifest is not None:
+        wave = manifest["wave"] + 1
+        next_seq = manifest["next_seq"]
+        stats.inserted = manifest["inserted"]
+        restore_all(seen_shards, ckpt.read_seen_snapshots(manifest["seen_snapshots"]))
+        pending_path = ckpt.wave_dir(out_dir, "frontier", wave)
+        pending_df = _read_frontier(pending_path)
+    else:
+        ckpt.clear_output(out_dir)
+        wave = 0
+        # --- seed insertion (reference: query-gen + search stage seeds the
+        # urls table in id order; here the seed list is the frontier bootstrap)
+        seeds = pq.read_table(os.path.join(corpus_dir, "seeds.parquet")).to_pandas()
+        seeds = seeds.sort_values("seq", kind="mergesort")
+        cand = pd.DataFrame(
+            {
+                "url": seeds["url"],
+                "query_id": seeds["query_id"].astype(np.int64),
+                "engine": seeds["engine"],
+                "ord1": seeds["seq"].astype(np.int64),
+                "ord2": np.int64(0),
+            }
+        )
+        pending_df = _insert_driver(cand, seen_shards, 0, cfg)
+        next_seq = int(len(pending_df))
+        stats.inserted = next_seq
+        _write_frontier(pending_df, ckpt.wave_dir(out_dir, "frontier", 0))
+
+    while len(pending_df) > 0 and wave < cfg.max_waves:
+        wave_t0 = time.time()
+        # ---- 1. politeness admission (seq order, per-host budget) ----
+        if len(pending_df) <= DRIVER_PATH_MAX_ROWS:
+            marked = _admit_driver(pending_df, cfg.per_host_per_wave)
+        else:
+            marked = _admit_ray(
+                ray.data.from_pandas(pending_df), cfg.per_host_per_wave
+            )
+        admitted = marked.loc[marked["admit"]].drop(columns=["admit"])
+        deferred = marked.loc[~marked["admit"]].drop(columns=["admit"])
+
+        # ---- 2. relative / robots gates (never fetch) ----
+        urls = admitted["url"].to_numpy()
+        rel_mask = relative_mask_batch(urls)
+        if cfg.apply_robots and len(urls):
+            rob_mask = robots_blocked_mask(robots_actors, list(urls)) & ~rel_mask
+        else:
+            rob_mask = np.zeros(len(urls), dtype=bool)
+        norun_mask = rel_mask | rob_mask
+        norun = admitted.loc[norun_mask]
+        to_fetch = admitted.loc[~norun_mask]
+
+        ledger_dir = ckpt.wave_dir(out_dir, "ledger", wave)
+        os.makedirs(ledger_dir, exist_ok=True)
+        if len(norun):
+            norun_rows = _norun_ledger_rows(
+                norun, wave, rel_mask[norun_mask], rob_mask[norun_mask]
+            )
+            pq.write_table(
+                pa.Table.from_pandas(norun_rows, preserve_index=False),
+                os.path.join(ledger_dir, "norun.parquet"),
+            )
+
+        # ---- 3. fetch -> extract -> score -> links (one streaming chain) ----
+        cand_df = pd.DataFrame(
+            {"url": [], "query_id": [], "engine": [], "ord1": [], "ord2": []}
+        )
+        if len(to_fetch):
+            ds = ray.data.from_pandas(to_fetch.reset_index(drop=True))
+            fetched = ds.groupby("bucket").map_groups(
+                _fetch_group(pages_dir), batch_format="pandas"
+            )
+            kwargs = {}
+            if score_concurrency:
+                kwargs["concurrency"] = score_concurrency
+            wave_res = fetched.map_batches(
+                _score_batch(lexicon_ref, cfg, wave),
+                batch_format="pandas",
+                batch_size=256,
+                **kwargs,
+            ).materialize()
+
+            ledger_ds = wave_res.drop_columns(["links"])
+            ledger_ds.write_parquet(ledger_dir)
+
+            link_rows = wave_res.select_columns(["seq", "query_id", "links"]).map_batches(
+                _explode_links, batch_format="pandas"
+            )
+            cand_df = link_rows.to_pandas()
+
+            wr = wave_res.to_pandas()
+            stats.fetched += int(wr["downloaded"].sum())
+            stats.failed += int(wr["downloaded_failed"].sum())
+            stats.rejected += int(wr["rejected"].sum())
+        stats.skipped_relative += int(rel_mask.sum())
+        stats.robots_blocked += int(rob_mask.sum())
+
+        # ---- 4. candidate insertion ----
+        if len(cand_df) <= DRIVER_PATH_MAX_ROWS:
+            new_rows = _insert_driver(cand_df, seen_shards, next_seq, cfg)
+        else:
+            new_rows = _insert_ray(
+                ray.data.from_pandas(cand_df), seen_shards, next_seq, cfg
+            )
+        next_seq += len(new_rows)
+        stats.inserted += len(new_rows)
+
+        # ---- 5. next frontier + checkpoint ----
+        pending_df = pd.concat(
+            [deferred, new_rows], ignore_index=True
+        ) if len(new_rows) else deferred.reset_index(drop=True)
+        _write_frontier(pending_df, ckpt.wave_dir(out_dir, "frontier", wave + 1))
+        snap_paths = ckpt.write_seen_snapshots(out_dir, wave + 1, snapshot_all(seen_shards))
+        ckpt.write_manifest(
+            out_dir,
+            wave,
+            {
+                "wave": wave,
+                "next_seq": next_seq,
+                "inserted": stats.inserted,
+                "fetched": stats.fetched,
+                "failed": stats.failed,
+                "pending": int(len(pending_df)),
+                "seen_snapshots": snap_paths,
+                "wave_sec": round(time.time() - wave_t0, 3),
+            },
+        )
+        stats.per_wave.append(
+            {"wave": wave, "admitted": int(len(admitted)), "pending": int(len(pending_df)),
+             "sec": round(time.time() - wave_t0, 3)}
+        )
+        wave += 1
+
+    stats.waves = wave
+    stats.elapsed_sec = time.time() - t0
+    return stats
+
+
+def _explode_links(b: pd.DataFrame) -> pd.DataFrame:
+    parent, qid, url, ordn = [], [], [], []
+    for seq, q, links in zip(b["seq"], b["query_id"], b["links"]):
+        for li, href in enumerate(links):
+            parent.append(seq)
+            qid.append(q)
+            url.append(href)
+            ordn.append(li)
+    return pd.DataFrame(
+        {
+            "url": pd.Series(url, dtype="object"),
+            "query_id": pd.Series(qid, dtype="int64"),
+            "engine": pd.Series(["link"] * len(url), dtype="object"),
+            "ord1": pd.Series(parent, dtype="int64"),
+            "ord2": pd.Series(ordn, dtype="int64"),
+        }
+    )
+
+
+def _read_frontier(path_dir: str) -> pd.DataFrame:
+    files = sorted(
+        os.path.join(path_dir, f)
+        for f in os.listdir(path_dir)
+        if f.endswith(".parquet")
+    )
+    return pa.concat_tables([pq.read_table(f) for f in files]).to_pandas()
+
+
+def load_ledger(out_dir: str, include_pending: bool = True) -> pd.DataFrame:
+    """Read the full ledger (all wave partitions), sorted by seq.
+
+    With include_pending, frontier rows never fetched are appended with
+    wave=-1 and all flags false — matching the oracle's ledger of inserted
+    rows."""
+    import glob
+
+    parts = sorted(glob.glob(os.path.join(out_dir, "ledger", "wave=*", "*.parquet")))
+    dfs = [pq.read_table(p).to_pandas() for p in parts]
+    ledger = pd.concat(dfs, ignore_index=True) if dfs else pd.DataFrame(columns=LEDGER_META_COLS)
+    if include_pending:
+        fdirs = sorted(glob.glob(os.path.join(out_dir, "frontier", "wave=*")))
+        if fdirs:
+            pend = _read_frontier(fdirs[-1])
+            if len(pend):
+                rows = _norun_ledger_rows(
+                    pend, -1, np.zeros(len(pend), dtype=bool), np.zeros(len(pend), dtype=bool)
+                )
+                rows["handled"] = False
+                rows["wave"] = np.int64(-1)
+                ledger = pd.concat([ledger, rows], ignore_index=True)
+    ledger = ledger.sort_values("seq", kind="mergesort").reset_index(drop=True)
+    return ledger[LEDGER_META_COLS]

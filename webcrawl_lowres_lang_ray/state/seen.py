@@ -1,0 +1,170 @@
+"""Sharded URL-seen set — cuckoo-filter actors with an exact confirm store.
+
+The reference's URL-seen check is a SQLite ``url_hash IN (...)`` existence
+probe before insert (sql.py:180-189, used by insert_urls_many
+sql.py:213-246).  The rebuild shards the seen set across Ray actors keyed by
+``hash(digest) % num_shards`` (north rule: sharded cuckoo filter, SHA-1
+canonical-URL keys):
+
+* ``CuckooFilter`` — a real partial-key cuckoo filter (numpy table,
+  4-slot buckets, 16-bit fingerprints): answers "definitely new" without
+  touching the exact store.  At 10^10-URL scale the filter (~4.5 bytes/key)
+  stays in RAM while the exact store pages from disk; in this sandbox the
+  exact store is an in-memory set and the filter is the documented,
+  property-tested scale path (no false negatives; bounded false positives).
+* ``SeenShard`` — actor owning one shard: ``contains_and_add`` is atomic per
+  shard (the reference's check-then-insert race, SURVEY.md §4, cannot
+  happen), ``snapshot``/``restore`` serialize the exact key set for
+  per-partition checkpoint lineage (north rule).
+
+The crawl inserts each candidate digest at most once per wave (candidates
+are pre-deduplicated within the wave), so RPC arrival order cannot affect
+membership — determinism holds under any actor scheduling.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import ray
+
+_EVICTION_LIMIT = 500
+
+
+class CuckooFilter:
+    """Partial-key cuckoo filter over 20-byte digests (4 slots/bucket)."""
+
+    def __init__(self, capacity: int = 1 << 16):
+        nbuckets = 1 << max(4, int(np.ceil(np.log2(max(16, capacity) / 4 * 1.1))))
+        self.nbuckets = nbuckets
+        self.mask = nbuckets - 1
+        self.table = np.zeros((nbuckets, 4), dtype=np.uint16)
+        self.stash: set[int] = set()  # overflow (never loses a key)
+        self.count = 0
+        self._rng = np.random.RandomState(0xC0FFEE)  # deterministic evictions
+
+    def _decompose(self, digest: bytes) -> tuple[int, int, int]:
+        fp = (digest[0] | (digest[1] << 8)) or 1
+        i1 = int.from_bytes(digest[2:6], "little") & self.mask
+        i2 = (i1 ^ (fp * 0x5BD1)) & self.mask
+        return fp, i1, i2
+
+    def add(self, digest: bytes) -> None:
+        fp, i1, i2 = self._decompose(digest)
+        for idx in (i1, i2):
+            row = self.table[idx]
+            empty = np.nonzero(row == 0)[0]
+            if len(empty):
+                row[empty[0]] = fp
+                self.count += 1
+                return
+        # evict loop
+        idx = i1 if self._rng.randint(2) else i2
+        cur = fp
+        for _ in range(_EVICTION_LIMIT):
+            slot = self._rng.randint(4)
+            cur, self.table[idx][slot] = int(self.table[idx][slot]), cur
+            idx = (idx ^ (cur * 0x5BD1)) & self.mask
+            row = self.table[idx]
+            empty = np.nonzero(row == 0)[0]
+            if len(empty):
+                row[empty[0]] = cur
+                self.count += 1
+                return
+        self.stash.add(cur)
+        self.count += 1
+
+    def might_contain(self, digest: bytes) -> bool:
+        fp, i1, i2 = self._decompose(digest)
+        return (
+            bool((self.table[i1] == fp).any())
+            or bool((self.table[i2] == fp).any())
+            or fp in self.stash
+        )
+
+
+@ray.remote(num_cpus=0.1)
+class SeenShard:
+    """One shard of the URL-seen set (exact authority + cuckoo fast path)."""
+
+    def __init__(self, shard_id: int, capacity: int = 1 << 16):
+        self.shard_id = shard_id
+        self.exact: set[bytes] = set()
+        self.cuckoo = CuckooFilter(capacity)
+
+    def contains_and_add(self, digests: list[bytes]) -> np.ndarray:
+        """Returns a bool array: True where the digest was NEW (now added)."""
+        out = np.empty(len(digests), dtype=bool)
+        exact = self.exact
+        cuckoo = self.cuckoo
+        for i, d in enumerate(digests):
+            if cuckoo.might_contain(d) and d in exact:
+                out[i] = False
+            else:
+                exact.add(d)
+                cuckoo.add(d)
+                out[i] = True
+        return out
+
+    def contains(self, digests: list[bytes]) -> np.ndarray:
+        return np.array([d in self.exact for d in digests], dtype=bool)
+
+    def size(self) -> int:
+        return len(self.exact)
+
+    def snapshot(self) -> bytes:
+        """Deterministic serialization of the exact key set (sorted concat)."""
+        return b"".join(sorted(self.exact))
+
+    def restore(self, blob: bytes, key_len: int = 20) -> int:
+        self.exact = {blob[i : i + key_len] for i in range(0, len(blob), key_len)}
+        self.cuckoo = CuckooFilter(max(1 << 16, 2 * len(self.exact)))
+        for d in self.exact:
+            self.cuckoo.add(d)
+        return len(self.exact)
+
+
+def create_seen_shards(num_shards: int, capacity_hint: int = 1 << 16):
+    return [
+        SeenShard.remote(i, capacity_hint) for i in range(num_shards)
+    ]
+
+
+def shard_of_digest(digest: bytes, num_shards: int) -> int:
+    """Route by the digest's trailing 4 bytes (leading bytes drive the cuckoo
+    bucket index — using different bytes keeps shard routing and filter
+    placement independent)."""
+    return int.from_bytes(digest[-4:], "little") % num_shards
+
+
+def seen_filter_new(shards, digests: list[bytes]) -> np.ndarray:
+    """Batch contains_and_add across shards; True where digest was new.
+
+    Each digest must appear at most once in ``digests`` (callers pre-dedup
+    within the batch/wave) — this keeps the result independent of shard RPC
+    ordering.
+    """
+    n = len(digests)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    num_shards = len(shards)
+    by_shard: list[list[int]] = [[] for _ in range(num_shards)]
+    for i, d in enumerate(digests):
+        by_shard[shard_of_digest(d, num_shards)].append(i)
+    futures = []
+    idx_lists = []
+    for s, idxs in enumerate(by_shard):
+        if idxs:
+            futures.append(shards[s].contains_and_add.remote([digests[i] for i in idxs]))
+            idx_lists.append(idxs)
+    out = np.zeros(n, dtype=bool)
+    for idxs, res in zip(idx_lists, ray.get(futures)):
+        out[np.asarray(idxs, dtype=np.int64)] = res
+    return out
+
+
+def snapshot_all(shards) -> list[bytes]:
+    return ray.get([s.snapshot.remote() for s in shards])
+
+
+def restore_all(shards, blobs: list[bytes]) -> list[int]:
+    return ray.get([s.restore.remote(b) for s, b in zip(shards, blobs)])
