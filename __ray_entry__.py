@@ -1,16 +1,20 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here (or in the library) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+* ``entry()``      — flagship pipeline: the full URL-frontier crawl over the
+                     sf0.001-scale synthetic Common-Crawl-style page table
+                     (input_hint shape), returning the crawl-state ledger.
+* ``queries()``    — one callable per implemented operator family from
+                     SURVEY.md §2 (plus the large-scale training-data ops:
+                     dedup sketches, ANN, quality/langid, multimodal).
+* ``oracle_sql()`` — DuckDB-runnable ANSI SQL for every SQL-expressible
+                     query, same column names as the Ray result.  Crawl
+                     pipelines over the synthesized page table and
+                     sketch/model ops have no SQL form -> rows-only checks
+                     (their correctness gate is the oracle-conformance
+                     pytest suite instead).
 """
 
 from __future__ import annotations
@@ -18,27 +22,84 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from webcrawl_lowres_lang_ray.pipelines import crawl_queries as cq
+from webcrawl_lowres_lang_ray.pipelines import queries as q
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Run the flagship crawl at sf0.001 scale; return the ledger."""
+    import ray.data
+
+    out_dir = cq.crawl_output_dir("/root/testdata/sf0.001")
+    ledger = cq.load_ledger(out_dir).drop(columns=["text"])
+    return ray.data.from_pandas(ledger)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- documents: tokenize / dedup / quality / hashing ---
+        "token_frequency": q.q_token_frequency,
+        "doc_dedup_exact": q.q_doc_dedup_exact,
+        "sorted_token_dedup": q.q_sorted_token_dedup,
+        "lang_counts": q.q_lang_counts,
+        "doc_quality": q.q_doc_quality,
+        "top_docs_by_chars": q.q_top_docs_by_chars,
+        "source_conditional_agg": q.q_source_conditional_agg,
+        "chars_histogram": q.q_chars_histogram,
+        "doc_hashes": q.q_doc_hashes,
+        "doc_fingerprint": q.q_doc_fingerprint,
+        # --- analytics: joins / aggs / top-k ---
+        "lineitem_pricing": q.q_lineitem_pricing,
+        "orders_by_segment": q.q_orders_by_segment,
+        "customers_without_orders": q.q_customers_without_orders,
+        "part_revenue_by_brand": q.q_part_revenue_by_brand,
+        "events_hourly": q.q_events_hourly,
+        "event_type_summary": q.q_event_type_summary,
+        "top_users_by_value": q.q_top_users_by_value,
+        "order_priority_counts": q.q_order_priority_counts,
+        "nation_region_rollup": q.q_nation_region_rollup,
+        # --- embeddings: ANN / stats ---
+        "ann_topk": q.q_ann_topk,
+        "label_counts": q.q_label_counts,
+        "embedding_norms": q.q_embedding_norms,
+        # --- crawl engine (rows-only; gated by oracle conformance tests) ---
+        "crawl_ledger": cq.q_crawl_ledger,
+        "crawl_order": cq.q_crawl_order,
+        "crawl_extracted_text": cq.q_crawl_extracted_text,
+        "crawl_seen_membership": cq.q_crawl_seen_membership,
+        "crawl_stats_report": cq.q_crawl_stats_report,
+        # --- training-data ops (rows-only) ---
+        "minhash_neardup": cq.q_minhash_neardup,
+        "simhash_neardup": cq.q_simhash_neardup,
+        "langid_predict": cq.q_langid_predict,
+        "ann_lsh_topk": cq.q_ann_lsh_topk,
+        "multimodal_decode": cq.q_multimodal_decode,
+        "lexicon_regen": cq.q_lexicon_regen,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "token_frequency": q.SQL_TOKEN_FREQUENCY,
+        "doc_dedup_exact": q.SQL_DOC_DEDUP_EXACT,
+        "sorted_token_dedup": q.SQL_SORTED_TOKEN_DEDUP,
+        "lang_counts": q.SQL_LANG_COUNTS,
+        "doc_quality": q.SQL_DOC_QUALITY,
+        "top_docs_by_chars": q.SQL_TOP_DOCS_BY_CHARS,
+        "source_conditional_agg": q.SQL_SOURCE_CONDITIONAL_AGG,
+        "chars_histogram": q.SQL_CHARS_HISTOGRAM,
+        "doc_hashes": q.SQL_DOC_HASHES,
+        "doc_fingerprint": q.SQL_DOC_FINGERPRINT,
+        "lineitem_pricing": q.SQL_LINEITEM_PRICING,
+        "orders_by_segment": q.SQL_ORDERS_BY_SEGMENT,
+        "customers_without_orders": q.SQL_CUSTOMERS_WITHOUT_ORDERS,
+        "part_revenue_by_brand": q.SQL_PART_REVENUE_BY_BRAND,
+        "events_hourly": q.SQL_EVENTS_HOURLY,
+        "event_type_summary": q.SQL_EVENT_TYPE_SUMMARY,
+        "top_users_by_value": q.SQL_TOP_USERS_BY_VALUE,
+        "order_priority_counts": q.SQL_ORDER_PRIORITY_COUNTS,
+        "nation_region_rollup": q.SQL_NATION_REGION_ROLLUP,
+        "ann_topk": q.SQL_ANN_TOPK,
+        "label_counts": q.SQL_LABEL_COUNTS,
+        "embedding_norms": q.SQL_EMBEDDING_NORMS,
+    }

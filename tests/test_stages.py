@@ -1,0 +1,259 @@
+"""Tests for the operator stages: dedup sketches, ANN, text stats, lexicon
+pipelines, multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+def _docs_with_dups():
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    mutated = base.replace("lazy", "sleepy", 1)  # near-dup of base
+    other = "completely different content about data processing pipelines " * 5
+    rows = [
+        (0, base),
+        (1, base),          # exact dup of 0
+        (2, mutated),       # near dup of 0
+        (3, other),
+        (4, other + " tail changed slightly here"),  # near dup of 3
+        (5, "tiny"),
+    ]
+    return pd.DataFrame(rows, columns=["doc_id", "text"])
+
+
+class TestExactDedup:
+    def test_stats_and_keep_first(self):
+        import ray.data
+
+        from webcrawl_lowres_lang_ray.stages.dedup import (
+            exact_dedup_keep_first,
+            exact_dedup_stats,
+        )
+
+        ds = ray.data.from_pandas(_docs_with_dups())
+        stats = exact_dedup_stats(ds).to_pandas()
+        dup_groups = stats.loc[stats["n"] > 1]
+        assert len(dup_groups) == 1 and dup_groups["keeper"].iloc[0] == 0
+        kept = exact_dedup_keep_first(ds).to_pandas()
+        assert sorted(kept["doc_id"]) == [0, 2, 3, 4, 5]
+
+
+class TestMinHash:
+    def test_signature_estimates_jaccard(self):
+        from webcrawl_lowres_lang_ray.stages.dedup import (
+            _perm_params,
+            minhash_signature,
+            ngram_jaccard,
+        )
+
+        a, b = _perm_params()
+        d = _docs_with_dups()
+        sig0 = minhash_signature(d.text[0], a, b)
+        sig2 = minhash_signature(d.text[2], a, b)
+        sig3 = minhash_signature(d.text[3], a, b)
+        est02 = (sig0 == sig2).mean()
+        true02 = ngram_jaccard(d.text[0], d.text[2])
+        assert abs(est02 - true02) < 0.25
+        assert (sig0 == sig3).mean() < 0.2  # unrelated docs
+
+    def test_lsh_finds_near_dups_not_unrelated(self):
+        import ray.data
+
+        from webcrawl_lowres_lang_ray.stages.dedup import minhash_lsh_pairs
+
+        ds = ray.data.from_pandas(_docs_with_dups())
+        pairs = minhash_lsh_pairs(ds, threshold=0.5).to_pandas()
+        found = set(zip(pairs["id_a"], pairs["id_b"]))
+        assert (0, 1) in found  # exact dup
+        assert (0, 2) in found  # near dup
+        assert (3, 4) in found
+        assert (0, 3) not in found and (1, 3) not in found
+
+    def test_deterministic_across_runs(self):
+        import ray.data
+
+        from webcrawl_lowres_lang_ray.stages.dedup import minhash_lsh_pairs
+
+        ds = ray.data.from_pandas(_docs_with_dups())
+        p1 = minhash_lsh_pairs(ds).to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        p2 = minhash_lsh_pairs(ds).to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(p1, p2)
+
+
+class TestSimHash:
+    def test_near_dup_distance_small(self):
+        from webcrawl_lowres_lang_ray.stages.dedup import simhash64
+
+        d = _docs_with_dups()
+        h0 = simhash64(d.text[0])
+        h2 = simhash64(d.text[2])
+        h3 = simhash64(d.text[3])
+        assert bin(h0 ^ h2).count("1") <= 6
+        assert bin(h0 ^ h3).count("1") > 10
+
+    def test_pairs_pipeline(self):
+        import ray.data
+
+        from webcrawl_lowres_lang_ray.stages.dedup import simhash_neardup_pairs
+
+        ds = ray.data.from_pandas(_docs_with_dups())
+        pairs = simhash_neardup_pairs(ds).to_pandas()
+        found = set(zip(pairs["id_a"], pairs["id_b"]))
+        assert (0, 1) in found  # identical -> distance 0
+
+
+class TestANN:
+    def _emb_ds(self, n=400, dim=32, seed=5):
+        import ray.data
+
+        rng = np.random.RandomState(seed)
+        mat = rng.normal(size=(n, dim))
+        df = pd.DataFrame({"vec_id": np.arange(n), "embedding": list(mat)})
+        return ray.data.from_pandas(df), mat
+
+    def test_brute_force_matches_numpy(self):
+        from webcrawl_lowres_lang_ray.stages.ann import brute_force_topk
+
+        ds, mat = self._emb_ds()
+        q = mat[7]
+        got = brute_force_topk(ds, q, k=10)
+        sims = (mat @ q) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+        expect = np.argsort(-sims, kind="stable")[:10]
+        assert got["vec_id"].iloc[0] == 7  # self-match first
+        assert set(got["vec_id"]) == set(expect)
+
+    def test_lsh_recall_vs_brute_force(self):
+        from webcrawl_lowres_lang_ray.stages.ann import (
+            brute_force_topk,
+            build_srp_index,
+            srp_lsh_topk,
+        )
+
+        ds, mat = self._emb_ds()
+        dim = mat.shape[1]
+        indexed = build_srp_index(ds, dim, bits=8, n_tables=4).materialize()
+        recalls = []
+        for qid in [3, 57, 123]:
+            bf = set(brute_force_topk(ds, mat[qid], k=10)["vec_id"])
+            lsh = set(
+                srp_lsh_topk(
+                    indexed, mat[qid], dim, k=10, bits=8, n_tables=4, probe_hamming=2
+                )["vec_id"]
+            )
+            recalls.append(len(bf & lsh) / 10)
+        assert np.mean(recalls) >= 0.7  # 4 tables x multi-probe radius 2
+
+
+class TestTextStats:
+    def test_quality_metrics(self):
+        from webcrawl_lowres_lang_ray.stages.textstats import quality_batch
+
+        b = pd.DataFrame({"text": ["the cat, and a dog!", ""]})
+        out = quality_batch(b)
+        assert out["n_tokens"].iloc[0] == 5
+        assert out["punct_ratio"].iloc[0] == round(2 / 19, 4)
+        assert out["stopword_ratio"].iloc[0] == round(3 / 5, 4)
+        assert out["n_tokens"].iloc[1] == 0
+
+    def test_round_half_away(self):
+        from webcrawl_lowres_lang_ray.stages.textstats import round_half_away
+
+        assert round_half_away(4.40625, 4) == 4.4063  # numpy would give .4062
+        assert round_half_away(-4.40625, 4) == -4.4063
+        assert round_half_away(1.0, 2) == 1.0
+
+    def test_fingerprint_normalizes(self):
+        from webcrawl_lowres_lang_ray.stages.textstats import fingerprint
+
+        assert fingerprint("A  b\tC") == fingerprint("a b c")
+
+    def test_winnow_overlap_for_shared_substrings(self):
+        from webcrawl_lowres_lang_ray.stages.textstats import winnow_fingerprints
+
+        a = "x" * 5 + "the common long substring appears here" + "y" * 5
+        b = "z" * 9 + "the common long substring appears here" + "w" * 3
+        fa, fb = set(winnow_fingerprints(a)), set(winnow_fingerprints(b))
+        assert fa & fb
+
+    def test_bpeish_token_count(self):
+        from webcrawl_lowres_lang_ray.stages.textstats import token_count_bpeish
+
+        assert token_count_bpeish("don't stop!") == 5  # don ' t stop !
+
+
+class TestLexicon:
+    def test_token_frequencies_matches_counter(self, small_corpus):
+        import collections
+
+        import ray.data
+
+        from webcrawl_lowres_lang_ray.functions.tokenize import tokenize_batch
+        from webcrawl_lowres_lang_ray.stages.lexicon import token_frequencies_ds
+
+        df = pd.DataFrame({"text": ["Kapa haka kapa", "haka!! x9 ab", "mana mana mana"]})
+        out = token_frequencies_ds(ray.data.from_pandas(df)).to_pandas()
+        got = dict(zip(out["token"], out["count"]))
+        expect = collections.Counter()
+        for toks in tokenize_batch(df["text"].to_numpy()):
+            expect.update(toks)
+        assert got == dict(expect)
+
+    def test_merge_semantics(self):
+        from webcrawl_lowres_lang_ray.stages.lexicon import merge_lexicons
+
+        assert merge_lexicons({"a": 1, "b": 2}, {"b": 3, "c": 4}) == {"a": 1, "b": 5, "c": 4}
+
+    def test_regen_grows_lexicon(self, small_corpus):
+        import ray.data
+
+        from webcrawl_lowres_lang_ray.config import CrawlConfig
+        from webcrawl_lowres_lang_ray.sources.synth import load_lexicon
+        from webcrawl_lowres_lang_ray.stages.lexicon import regenerate_lexicon
+        import glob
+        import pyarrow.parquet as pq
+
+        texts = []
+        for f in sorted(glob.glob(small_corpus + "/pages/bucket=*.parquet"))[:4]:
+            texts.extend(pq.read_table(f, columns=["text"])["text"].to_pylist())
+        ds = ray.data.from_pandas(pd.DataFrame({"text": texts}))
+        core = load_lexicon(small_corpus)
+        grown = regenerate_lexicon(ds, core, CrawlConfig(), output_mode="merge")
+        assert sum(grown.values()) > sum(core.values())  # merge adds counts
+        replaced = regenerate_lexicon(ds, core, CrawlConfig(), output_mode="replace")
+        assert set(replaced) - set(core) == set()  # paras are lexicon words
+
+
+class TestMultimodal:
+    def test_decode_stage_fake(self):
+        import ray.data
+
+        from webcrawl_lowres_lang_ray.stages.multimodal import DecodeStage, synth_media_batch
+
+        media = ray.data.from_pandas(synth_media_batch(30))
+        out = media.map_batches(
+            DecodeStage, fn_constructor_kwargs={"fake": True},
+            batch_format="pandas", batch_size=8, concurrency=2,
+        ).to_pandas()
+        assert len(out) == 30 and "features" in out and "payload" not in out
+
+    def test_real_decode_is_marked_stub(self):
+        from webcrawl_lowres_lang_ray.stages.multimodal import DecodeStage
+
+        with pytest.raises(NotImplementedError):
+            DecodeStage(fake=False)._decode("image/png", b"xx")
+
+    def test_frame_sampling(self):
+        import ray.data
+
+        from webcrawl_lowres_lang_ray.stages.multimodal import FrameSampleStage, synth_media_batch
+
+        media = ray.data.from_pandas(synth_media_batch(12))
+        frames = media.map_batches(
+            FrameSampleStage, fn_constructor_kwargs={"every_n": 10},
+            batch_format="pandas", batch_size=8, concurrency=2,
+        ).to_pandas()
+        assert len(frames) > 0 and (frames["frame_idx"] % 10 == 0).all()

@@ -469,12 +469,7 @@ def run_crawl(
             link_rows = wave_res.select_columns(["seq", "query_id", "links"]).map_batches(
                 _explode_links, batch_format="pandas"
             )
-            cand_df = link_rows.to_pandas()
-
-            wr = wave_res.to_pandas()
-            stats.fetched += int(wr["downloaded"].sum())
-            stats.failed += int(wr["downloaded_failed"].sum())
-            stats.rejected += int(wr["rejected"].sum())
+            cand_df = link_rows.to_pandas()  # candidates only: url + ints, no text
         stats.skipped_relative += int(rel_mask.sum())
         stats.robots_blocked += int(rob_mask.sum())
 
@@ -515,6 +510,18 @@ def run_crawl(
         wave += 1
 
     stats.waves = wave
+    # fetch/fail/reject counters from the ledger partitions (single columnar
+    # pass at the end instead of a driver pull of text per wave)
+    import glob
+
+    parts = glob.glob(os.path.join(out_dir, "ledger", "wave=*", "*.parquet"))
+    import pyarrow.compute as pc
+
+    for p in parts:
+        t = pq.read_table(p, columns=["downloaded", "downloaded_failed", "rejected"])
+        stats.fetched += int(pc.sum(t["downloaded"]).as_py() or 0)
+        stats.failed += int(pc.sum(t["downloaded_failed"]).as_py() or 0)
+        stats.rejected += int(pc.sum(t["rejected"]).as_py() or 0)
     stats.elapsed_sec = time.time() - t0
     return stats
 

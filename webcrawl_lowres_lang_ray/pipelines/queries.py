@@ -1,0 +1,555 @@
+"""Correctness-gate pipelines: one Ray Data implementation per operator
+family from SURVEY.md §2, each paired (where SQL-expressible) with an ANSI
+SQL oracle the driver runs through DuckDB on the same parquet tables.
+
+Conventions:
+* every callable takes ``sf_dir`` and returns a Dataset / DataFrame;
+* every computed column is named identically in the Ray pipeline and the
+  SQL (the driver's value-hash sorts columns by name);
+* floats that survive a reduction are rounded (2–5 dp) on BOTH sides so
+  summation-order noise cannot flip the hash;
+* heavy aggregations pre-aggregate inside map_batches (combiner pattern)
+  before the groupby shuffle;
+* small join sides are broadcast via ray.put — never shuffled.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pandas as pd
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from ..functions.tokenize import tokenize_batch
+from ..stages.lexicon import token_frequencies_ds
+from ..stages.textstats import round_half_away
+
+
+def _read(sf_dir: str, table: str, columns=None) -> "ray.data.Dataset":
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, f"{table}.parquet"), columns=columns
+    )
+
+
+# ===========================================================================
+# documents: tokenizing, dedup, quality, hashing (M16-M18, G1, D1/D5, F4)
+# ===========================================================================
+
+def q_token_frequency(sf_dir: str):
+    """G1 (extract.py:72-78): reference-tokenizer frequency counts."""
+    docs = _read(sf_dir, "documents", ["text"])
+    return token_frequencies_ds(docs, "text")
+
+
+SQL_TOKEN_FREQUENCY = r"""
+WITH toks AS (
+    SELECT lower(token) AS token
+    FROM (
+        SELECT unnest(string_split_regex(regexp_replace(text, '[^\w\s]', ' ', 'g'), '\s+')) AS token
+        FROM documents
+    )
+    WHERE length(token) >= 3 AND NOT regexp_matches(token, '[0-9]')
+)
+SELECT token, CAST(count(*) AS BIGINT) AS "count" FROM toks GROUP BY token
+"""
+
+
+def q_doc_dedup_exact(sf_dir: str):
+    """D5 (sql.py:167-172): per content-hash group keeper + multiplicity."""
+    from ..stages.dedup import exact_dedup_stats
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return exact_dedup_stats(docs)
+
+
+SQL_DOC_DEDUP_EXACT = """
+SELECT md5(text) AS content_md5, min(doc_id) AS keeper, CAST(count(*) AS BIGINT) AS n
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_sorted_token_dedup(sf_dir: str):
+    """D1 (queries.py:51-55): order-insensitive term-set dedup key."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def keyed(b: pd.DataFrame) -> pd.DataFrame:
+        b["sorted_key"] = [" ".join(sorted(t.split())) for t in b["text"]]
+        return b
+
+    return (
+        docs.map_batches(keyed, batch_format="pandas")
+        .groupby("sorted_key")
+        .aggregate(Min("doc_id", alias_name="keeper"), Count(alias_name="n"))
+    )
+
+
+SQL_SORTED_TOKEN_DEDUP = """
+SELECT array_to_string(list_sort(string_split(text, ' ')), ' ') AS sorted_key,
+       min(doc_id) AS keeper, CAST(count(*) AS BIGINT) AS n
+FROM documents GROUP BY 1
+"""
+
+
+def q_lang_counts(sf_dir: str):
+    """G3-style verdict counts (sql.py:369-379 analog)."""
+    return (
+        _read(sf_dir, "documents", ["lang"])
+        .groupby("lang")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+SQL_LANG_COUNTS = "SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang"
+
+
+def q_doc_quality(sf_dir: str):
+    """Quality scoring: token/punct/stopword metrics per doc (4dp)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        from ..stages.textstats import quality_batch
+
+        out = quality_batch(b)
+        return out[["doc_id", "n_tokens", "punct_ratio", "stopword_ratio", "mean_token_len"]]
+
+    return docs.map_batches(fn, batch_format="pandas")
+
+
+SQL_DOC_QUALITY = r"""
+SELECT doc_id,
+       CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       round(length(regexp_replace(text, '[\w\s]', '', 'g'))
+             / greatest(length(text), 1), 4) AS punct_ratio,
+       round(length(list_filter(string_split(text, ' '),
+                                x -> lower(x) IN ('the','a','and','of','to')))
+             / greatest(length(string_split(text, ' ')), 1), 4) AS stopword_ratio,
+       round((length(text) - (length(string_split(text, ' ')) - 1))
+             / CAST(length(string_split(text, ' ')) AS DOUBLE), 4) AS mean_token_len
+FROM documents
+"""
+
+
+def q_top_docs_by_chars(sf_dir: str):
+    """T1-style sort + limit (sql.py:783-809 analog)."""
+    return (
+        _read(sf_dir, "documents", ["doc_id", "n_chars"])
+        .sort(["n_chars", "doc_id"], descending=[True, False])
+        .limit(10)
+    )
+
+
+SQL_TOP_DOCS_BY_CHARS = (
+    "SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 10"
+)
+
+
+def q_source_conditional_agg(sf_dir: str):
+    """G8 (sql.py:496-514): SUM(CASE WHEN ...) per group via 0/1 flag cols."""
+    docs = _read(sf_dir, "documents", ["source", "lang", "n_chars"])
+
+    def flags(b: pd.DataFrame) -> pd.DataFrame:
+        b["n_en"] = (b["lang"] == "en").astype(np.int64)
+        return b[["source", "n_chars", "n_en"]]
+
+    return (
+        docs.map_batches(flags, batch_format="pandas")
+        .groupby("source")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_chars", alias_name="total_chars"),
+            Sum("n_en", alias_name="n_en"),
+        )
+    )
+
+
+SQL_SOURCE_CONDITIONAL_AGG = """
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en
+FROM documents GROUP BY source
+"""
+
+
+def q_chars_histogram(sf_dir: str):
+    """G11 (sql.py:943-1044): one-pass bucketize + count (vs 10 range scans)."""
+    docs = _read(sf_dir, "documents", ["n_chars"])
+
+    def bucketize(b: pd.DataFrame) -> pd.DataFrame:
+        b["bucket"] = (b["n_chars"] // 100).astype(np.int64)
+        return b[["bucket"]]
+
+    return (
+        docs.map_batches(bucketize, batch_format="pandas")
+        .groupby("bucket")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+SQL_CHARS_HISTOGRAM = """
+SELECT CAST(n_chars // 100 AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n
+FROM documents GROUP BY 1
+"""
+
+
+def q_doc_hashes(sf_dir: str):
+    """F4 (fileutils.py:101, lrl-crawler.py:231-233): md5 + sha256 parity."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        b["md5_hash"] = [hashlib.md5(t.encode()).hexdigest() for t in b["text"]]
+        b["sha256_hash"] = [hashlib.sha256(t.encode()).hexdigest() for t in b["text"]]
+        return b[["doc_id", "md5_hash", "sha256_hash"]]
+
+    return docs.map_batches(fn, batch_format="pandas")
+
+
+SQL_DOC_HASHES = """
+SELECT doc_id, md5(text) AS md5_hash, sha256(text) AS sha256_hash FROM documents
+"""
+
+
+def q_doc_fingerprint(sf_dir: str):
+    """Document fingerprint: md5 of whitespace-normalized lowercase text."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        from ..stages.textstats import fingerprint
+
+        b["fp"] = [fingerprint(t) for t in b["text"]]
+        return b[["doc_id", "fp"]]
+
+    return docs.map_batches(fn, batch_format="pandas")
+
+
+SQL_DOC_FINGERPRINT = r"""
+SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+FROM documents
+"""
+
+
+# ===========================================================================
+# analytics: joins, anti-joins, grouped/conditional aggs, top-k, histograms
+# (J1/J2, G3-G12, T1-T3 analogs over the TPC-H-ish tables)
+# ===========================================================================
+
+def q_lineitem_pricing(sf_dir: str):
+    """TPC-H-Q1-shaped grouped aggregate (G8/G13 analog)."""
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        b["disc_price"] = b["l_extendedprice"] * (1 - b["l_discount"])
+        return b
+
+    out = (
+        li.map_batches(derive, batch_format="pandas")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Mean("l_quantity", alias_name="avg_qty"),
+            Count(alias_name="count_order"),
+        )
+    ).to_pandas()
+    for c, dp in [("sum_qty", 2), ("sum_base_price", 2), ("sum_disc_price", 2), ("avg_qty", 4)]:
+        out[c] = round_half_away(out[c], dp)
+    return out
+
+
+SQL_LINEITEM_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_orders_by_segment(sf_dir: str):
+    """J1 (sql.py:381-391): broadcast join small dim -> grouped agg."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    seg_map_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def join(b: pd.DataFrame) -> pd.DataFrame:
+        seg = ray.get(seg_map_ref)
+        b["c_mktsegment"] = [seg.get(k, "") for k in b["o_custkey"]]
+        return b[["c_mktsegment", "o_totalprice"]]
+
+    out = (
+        orders.map_batches(join, batch_format="pandas")
+        .groupby("c_mktsegment")
+        .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total_price"))
+    ).to_pandas()
+    out["total_price"] = round_half_away(out["total_price"], 2)
+    return out
+
+
+SQL_ORDERS_BY_SEGMENT = """
+SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o.o_totalprice), 2) AS total_price
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+_BIG_ORDER = 300_000.0
+
+
+def q_customers_without_orders(sf_dir: str):
+    """J2 (sql.py:842-853): anti-join via a broadcast key set — customers
+    with no large (> _BIG_ORDER) order.  The key set is distinct custkeys of
+    the filtered big side: filter pushed into the read, distinct via
+    ``unique`` (small), broadcast with ray.put, probe inside map_batches."""
+    import pyarrow.compute as pc_
+
+    big = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey"],
+        filter=(pc_.field("o_totalprice") > _BIG_ORDER),
+    )
+    have_ref = ray.put(set(big.unique("o_custkey")))
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+
+    def anti(b: pd.DataFrame) -> pd.DataFrame:
+        h = ray.get(have_ref)
+        return b.loc[[k not in h for k in b["c_custkey"]]]
+
+    return cust.map_batches(anti, batch_format="pandas")
+
+
+SQL_CUSTOMERS_WITHOUT_ORDERS = f"""
+SELECT c.c_custkey, c.c_name
+FROM customer c
+WHERE NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > {_BIG_ORDER}
+)
+"""
+
+
+def q_part_revenue_by_brand(sf_dir: str):
+    """Broadcast join lineitem -> part, revenue per brand."""
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"]).to_pandas()
+    brand_ref = ray.put(dict(zip(part["p_partkey"], part["p_brand"])))
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
+
+    def join(b: pd.DataFrame) -> pd.DataFrame:
+        brands = ray.get(brand_ref)
+        b["p_brand"] = [brands.get(k, "") for k in b["l_partkey"]]
+        b["revenue"] = b["l_extendedprice"] * (1 - b["l_discount"])
+        return b[["p_brand", "revenue"]]
+
+    out = (
+        li.map_batches(join, batch_format="pandas")
+        .groupby("p_brand")
+        .aggregate(Sum("revenue", alias_name="revenue"), Count(alias_name="n_items"))
+    ).to_pandas()
+    out["revenue"] = round_half_away(out["revenue"], 2)
+    return out
+
+
+SQL_PART_REVENUE_BY_BRAND = """
+SELECT p.p_brand, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+"""
+
+
+def q_events_hourly(sf_dir: str):
+    """Windowed aggregate: per (event_type, hour bucket) count + sum."""
+    ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def bucketize(b: pd.DataFrame) -> pd.DataFrame:
+        us = b["ts"].astype("int64")  # timestamp[us] -> microseconds
+        b["hour_bucket"] = (us // 3_600_000_000).astype(np.int64)
+        return b[["event_type", "hour_bucket", "value"]]
+
+    out = (
+        ev.map_batches(bucketize, batch_format="pandas")
+        .groupby(["event_type", "hour_bucket"])
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="total_value"))
+    ).to_pandas()
+    out["total_value"] = round_half_away(out["total_value"], 4)
+    return out
+
+
+SQL_EVENTS_HOURLY = """
+SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
+       CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_event_type_summary(sf_dir: str):
+    """G9-style threshold/extremes per event_type."""
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    out = (
+        ev.groupby("event_type")
+        .aggregate(
+            Count(alias_name="n"),
+            Mean("value", alias_name="avg_value"),
+            Min("value", alias_name="min_value"),
+            Max("value", alias_name="max_value"),
+        )
+    ).to_pandas()
+    for c in ("avg_value", "min_value", "max_value"):
+        out[c] = round_half_away(out[c], 4)
+    return out
+
+
+SQL_EVENT_TYPE_SUMMARY = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n, round(avg(value), 4) AS avg_value,
+       round(min(value), 4) AS min_value, round(max(value), 4) AS max_value
+FROM events GROUP BY event_type
+"""
+
+
+def q_top_users_by_value(sf_dir: str):
+    """T1/T3-style top-k after a grouped sum."""
+    ev = _read(sf_dir, "events", ["user_id", "value"])
+    out = (
+        ev.groupby("user_id")
+        .aggregate(Sum("value", alias_name="total_value"))
+        .to_pandas()
+    )
+    out["total_value"] = round_half_away(out["total_value"], 4)
+    out = out.sort_values(
+        ["total_value", "user_id"], ascending=[False, True], kind="mergesort"
+    ).head(5)
+    return out.reset_index(drop=True)
+
+
+SQL_TOP_USERS_BY_VALUE = """
+SELECT user_id, round(sum(value), 4) AS total_value
+FROM events GROUP BY user_id
+ORDER BY total_value DESC, user_id LIMIT 5
+"""
+
+
+def q_order_priority_counts(sf_dir: str):
+    """G4/G5-style categorical counts with a HAVING filter."""
+    orders = _read(sf_dir, "orders", ["o_orderpriority", "o_orderstatus"])
+    out = (
+        orders.groupby(["o_orderpriority", "o_orderstatus"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    return out.loc[out["n"] > 5].reset_index(drop=True)
+
+
+SQL_ORDER_PRIORITY_COUNTS = """
+SELECT o_orderpriority, o_orderstatus, CAST(count(*) AS BIGINT) AS n
+FROM orders GROUP BY 1, 2 HAVING count(*) > 5
+"""
+
+
+def q_nation_region_rollup(sf_dir: str):
+    """Two-level dim join rollup: customers per region."""
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    n2r = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
+    r2n = dict(zip(region["r_regionkey"], region["r_name"]))
+    map_ref = ray.put({k: r2n.get(v, "") for k, v in n2r.items()})
+    cust = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+
+    def join(b: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(map_ref)
+        b["r_name"] = [m.get(k, "") for k in b["c_nationkey"]]
+        return b[["r_name", "c_acctbal"]]
+
+    out = (
+        cust.map_batches(join, batch_format="pandas")
+        .groupby("r_name")
+        .aggregate(Count(alias_name="n_customers"), Sum("c_acctbal", alias_name="total_acctbal"))
+    ).to_pandas()
+    out["total_acctbal"] = round_half_away(out["total_acctbal"], 2)
+    return out
+
+
+SQL_NATION_REGION_ROLLUP = """
+SELECT r.r_name, CAST(count(*) AS BIGINT) AS n_customers,
+       round(sum(c.c_acctbal), 2) AS total_acctbal
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+"""
+
+
+# ===========================================================================
+# embeddings: ANN + label stats
+# ===========================================================================
+
+def _query_vec(sf_dir: str) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), filters=[("vec_id", "=", 0)]
+    )
+    return np.asarray(t["embedding"].to_pylist()[0], dtype=np.float64)
+
+
+def q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-10 vs the vec_id=0 query (broadcast matmul)."""
+    from ..stages.ann import brute_force_topk
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return brute_force_topk(emb, _query_vec(sf_dir), k=10)
+
+
+SQL_ANN_TOPK = """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                    CAST((SELECT qe FROM q) AS DOUBLE[])), 5) AS score
+FROM embeddings e ORDER BY score DESC, e.vec_id LIMIT 10
+"""
+
+
+def q_label_counts(sf_dir: str):
+    out = (
+        _read(sf_dir, "embeddings", ["label"])
+        .groupby("label")
+        .aggregate(Count(alias_name="n"))
+    )
+    return out
+
+
+SQL_LABEL_COUNTS = "SELECT label, CAST(count(*) AS BIGINT) AS n FROM embeddings GROUP BY label"
+
+
+def q_embedding_norms(sf_dir: str):
+    """Per-label mean L2 norm (vectorized numpy kernel per batch)."""
+    emb = _read(sf_dir, "embeddings", ["label", "embedding"])
+
+    def norms(b: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in b["embedding"]])
+        b["norm"] = np.linalg.norm(mat, axis=1)
+        return b[["label", "norm"]]
+
+    out = (
+        emb.map_batches(norms, batch_format="pandas")
+        .groupby("label")
+        .aggregate(Mean("norm", alias_name="mean_norm"))
+    ).to_pandas()
+    out["mean_norm"] = round_half_away(out["mean_norm"], 4)
+    return out
+
+
+SQL_EMBEDDING_NORMS = """
+SELECT label,
+       round(avg(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))), 4) AS mean_norm
+FROM embeddings GROUP BY label
+"""

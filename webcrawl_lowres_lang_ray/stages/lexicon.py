@@ -1,0 +1,113 @@
+"""Lexicon pipelines: token frequency counting, merge, bootstrap and the
+iterative regeneration loop (reference N6–N8, extract.py:72-238,
+lrl-regenerate-dict.py:43-80).
+
+``token_frequencies_ds`` is the G1 aggregation done the scalable way:
+frequencies are pre-aggregated per batch inside ``map_batches`` (one row per
+token per batch) before the ``groupby(token).sum`` — the combiner pattern —
+so the shuffle moves counts, not tokens.
+"""
+
+from __future__ import annotations
+
+import collections
+
+import pandas as pd
+
+import ray
+import ray.data
+from ray.data.aggregate import Sum
+
+from ..config import CrawlConfig
+from ..functions.scoring import LangScoringModel
+from ..functions.tokenize import tokenize_batch
+
+
+def token_frequencies_ds(
+    ds: "ray.data.Dataset", text_col: str = "text", min_char_len: int = 3
+) -> "ray.data.Dataset":
+    """tokenize (reference extract.py:35-70 semantics) -> (token, count)."""
+
+    def partial_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        counter: collections.Counter = collections.Counter()
+        for toks in tokenize_batch(batch[text_col].to_numpy(), min_char_len):
+            counter.update(toks)
+        return pd.DataFrame(
+            {"token": list(counter.keys()), "count": list(counter.values())}
+        )
+
+    partials = ds.select_columns([text_col]).map_batches(
+        partial_counts, batch_format="pandas"
+    )
+    return partials.groupby("token").aggregate(Sum("count", alias_name="count"))
+
+
+def merge_lexicons(core: dict[str, int], topup: dict[str, int]) -> dict[str, int]:
+    """Reference append_to_language_dictionary (fileutils.py:89-96)."""
+    out = dict(core)
+    for k, v in topup.items():
+        out[k] = out.get(k, 0) + v
+    return out
+
+
+def harvest_matching_paras(
+    ds: "ray.data.Dataset",
+    lexicon: dict[str, int],
+    cfg: CrawlConfig,
+    algorithm: str = "cossim",
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """N6 (extract.py:150-184): re-score docs, keep matching paragraphs.
+
+    algorithm: 'cossim' -> termdist-matching paras; 'primary' -> the
+    n-gram-detector-matching paras (the reference's lingua branch,
+    enums.py:15-20).
+    """
+    lex_ref = ray.put(lexicon)
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        model = LangScoringModel(ray.get(lex_ref), cfg)
+        paras = []
+        for t in batch[text_col]:
+            sr = model.score_text(t)
+            matches = (
+                sr.termdist_match_paras if algorithm == "cossim" else sr.primary_match_paras
+            )
+            paras.extend(matches)
+        return pd.DataFrame({"para": paras})
+
+    return ds.select_columns([text_col]).map_batches(fn, batch_format="pandas")
+
+
+def regenerate_lexicon(
+    ds: "ray.data.Dataset",
+    core_lexicon: dict[str, int],
+    cfg: CrawlConfig,
+    algorithm: str = "cossim",
+    output_mode: str = "merge",
+    text_col: str = "text",
+) -> dict[str, int]:
+    """N7 (extract.py:187-238): harvest -> count -> merge-or-replace.
+
+    This is one phase of the reference's iterative lexicon-growth loop
+    (DH2025-TONGAN-EXPT-LEXICON-GROWTH.sh:14-28); callers loop, rebuilding
+    the scorer from the grown lexicon between phases.
+    """
+    paras = harvest_matching_paras(ds, core_lexicon, cfg, algorithm, text_col)
+    freq = token_frequencies_ds(paras, text_col="para")
+    grown = dict(
+        zip(
+            freq.to_pandas()["token"],
+            freq.to_pandas()["count"].astype(int),
+        )
+    )
+    if output_mode == "merge":
+        return merge_lexicons(core_lexicon, grown)
+    return grown
+
+
+def bootstrap_lexicon_from_text(text: str) -> dict[str, int]:
+    """N8 (extract.py:81-148): seed-document -> unigram frequency dict."""
+    from ..functions.tokenize import filter_words, token_frequencies, unigram_words
+
+    return dict(token_frequencies(filter_words(unigram_words(text), 3)))

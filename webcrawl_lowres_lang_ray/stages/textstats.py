@@ -1,0 +1,136 @@
+"""Text-analysis stages over a document Dataset: quality scoring, token
+counting, fingerprinting, language ID — the large-scale training-data
+operators the rebuild adds on top of the reference's surface.
+
+Everything is a vectorized ``map_batches`` kernel; the language-ID stage is
+the actor-pool pattern (profiles built once per actor).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+_WS_RE = re.compile(r"\s+")
+_BPE_ISH_RE = re.compile(r"\w+|[^\w\s]")  # word pieces + punctuation marks
+_PUNCT_RE = re.compile(r"[^\w\s]")
+
+STOPWORDS = ("the", "a", "and", "of", "to")
+
+
+def round_half_away(x, dp: int):
+    """SQL-compatible rounding (DuckDB/C++ round: half away from zero;
+    numpy rounds half to even — 4.40625 would otherwise hash-mismatch)."""
+    x = np.asarray(x, dtype=np.float64)
+    scale = 10.0 ** dp
+    return np.sign(x) * np.floor(np.abs(x) * scale + 0.5) / scale
+
+
+def quality_batch(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """Per-doc quality metrics: token/char counts, ratios (4dp)."""
+    texts = batch[text_col].to_numpy()
+    n = len(texts)
+    n_tokens = np.zeros(n, dtype=np.int64)
+    n_chars = np.zeros(n, dtype=np.int64)
+    n_punct = np.zeros(n, dtype=np.int64)
+    n_stop = np.zeros(n, dtype=np.int64)
+    mean_tok_len = np.zeros(n, dtype=np.float64)
+    for i, t in enumerate(texts):
+        if not t:
+            continue
+        toks = t.split()
+        n_tokens[i] = len(toks)
+        n_chars[i] = len(t)
+        n_punct[i] = len(_PUNCT_RE.findall(t))
+        n_stop[i] = sum(1 for w in toks if w.lower() in STOPWORDS)
+        if toks:
+            mean_tok_len[i] = sum(len(w) for w in toks) / len(toks)
+    out = batch.copy()
+    out["n_tokens"] = n_tokens
+    out["punct_ratio"] = round_half_away(np.divide(n_punct, np.maximum(n_chars, 1)), 4)
+    out["stopword_ratio"] = round_half_away(np.divide(n_stop, np.maximum(n_tokens, 1)), 4)
+    out["mean_token_len"] = round_half_away(mean_tok_len, 4)
+    return out
+
+
+def token_count_bpeish(text: str) -> int:
+    """BPE-ish token estimate: \\w+ runs plus individual punctuation marks."""
+    return len(_BPE_ISH_RE.findall(text))
+
+
+def add_token_counts(ds: "ray.data.Dataset", text_col: str = "text") -> "ray.data.Dataset":
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        b["ws_tokens"] = np.array([len(t.split()) for t in b[text_col]], dtype=np.int64)
+        b["bpeish_tokens"] = np.array(
+            [token_count_bpeish(t) for t in b[text_col]], dtype=np.int64
+        )
+        return b
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def fingerprint(text: str) -> str:
+    """Document fingerprint: md5 of whitespace-normalized lowercase text."""
+    normalized = _WS_RE.sub(" ", text.lower()).strip()
+    return hashlib.md5(normalized.encode()).hexdigest()
+
+
+def rolling_hashes(text: str, window: int = 16, base: int = 257, mod: int = (1 << 31) - 1) -> list[int]:
+    """Rabin–Karp rolling hashes over the char stream (winnowing building
+    block for fingerprint-based near-dup)."""
+    if len(text) < window:
+        return []
+    h = 0
+    pw = pow(base, window - 1, mod)
+    out = []
+    for i, ch in enumerate(text):
+        h = (h * base + ord(ch)) % mod
+        if i >= window - 1:
+            out.append(h)
+            h = (h - ord(text[i - window + 1]) * pw) % mod
+    return out
+
+
+def winnow_fingerprints(text: str, window: int = 16, select: int = 8) -> list[int]:
+    """Winnowing: min hash per sliding window of `select` rolling hashes."""
+    hs = rolling_hashes(text, window)
+    if not hs:
+        return []
+    out = []
+    last = None
+    for i in range(max(1, len(hs) - select + 1)):
+        m = min(hs[i : i + select])
+        if m != last:
+            out.append(m)
+            last = m
+    return out
+
+
+class LangIdStage:
+    """Actor-pool language ID: char-trigram profiles per language, built once
+    per actor from provided per-language lexicons (or word lists)."""
+
+    def __init__(self, profiles: dict[str, dict[str, int]]):
+        from ..functions.langid import NgramLangModel
+
+        self.models = {lang: NgramLangModel(lex) for lang, lex in profiles.items()}
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        langs = []
+        confs = []
+        for t in batch["text"]:
+            best_lang, best_conf = "", 0.0
+            for lang, m in self.models.items():
+                c = m.confidence(t)
+                if c > best_conf:
+                    best_lang, best_conf = lang, c
+            langs.append(best_lang)
+            confs.append(round(best_conf, 4))
+        batch["pred_lang"] = langs
+        batch["pred_conf"] = confs
+        return batch
