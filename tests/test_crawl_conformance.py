@@ -94,7 +94,9 @@ class TestCrawlConformance:
         import webcrawl_lowres_lang_ray.frontier as fr
 
         run_crawl(tiny_corpus, str(tmp_path / "drv"), CFG)
-        monkeypatch.setattr(fr, "DRIVER_PATH_MAX_ROWS", 0)  # force Ray path
+        # force the fully-distributed path for admission, insertion AND fetch
+        monkeypatch.setattr(fr, "DRIVER_PATH_MAX_ROWS", 0)
+        monkeypatch.setattr(fr, "SMALL_WAVE_MAX_ROWS", 0)
         run_crawl(tiny_corpus, str(tmp_path / "ray"), CFG)
         _assert_ledger_equal(
             load_ledger(str(tmp_path / "drv")), load_ledger(str(tmp_path / "ray"))

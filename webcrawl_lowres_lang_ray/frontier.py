@@ -61,6 +61,11 @@ from .state.seen import create_seen_shards, restore_all, seen_filter_new, snapsh
 
 # switch to the distributed admission/insertion path above this many rows
 DRIVER_PATH_MAX_ROWS = 200_000
+# politeness-bound tail waves (a few URLs per hot host) run locally with the
+# SAME kernels — paying a cluster fan-out for <1k rows costs more than the
+# work; any real scheduler makes this call.  Conformance tests force both
+# paths and assert identical ledgers.
+SMALL_WAVE_MAX_ROWS = 768
 _RANK_BUCKET = 256
 
 FRONTIER_FIELDS = [
@@ -448,7 +453,23 @@ def run_crawl(
         cand_df = pd.DataFrame(
             {"url": [], "query_id": [], "engine": [], "ord1": [], "ord2": []}
         )
-        if len(to_fetch):
+        if len(to_fetch) and len(to_fetch) <= SMALL_WAVE_MAX_ROWS:
+            # local fast path: same kernels, no cluster fan-out
+            fetch_fn = _fetch_group(pages_dir)
+            parts = [
+                fetch_fn(g.reset_index(drop=True))
+                for _, g in to_fetch.groupby("bucket", sort=True)
+            ]
+            fetched_df = pd.concat(parts, ignore_index=True)
+            wave_df = _score_batch(lexicon_ref, cfg, wave)(fetched_df)
+            pq.write_table(
+                pa.Table.from_pandas(
+                    wave_df.drop(columns=["links"]), preserve_index=False
+                ),
+                os.path.join(ledger_dir, "local.parquet"),
+            )
+            cand_df = _explode_links(wave_df[["seq", "query_id", "links"]])
+        elif len(to_fetch):
             ds = ray.data.from_pandas(to_fetch.reset_index(drop=True))
             fetched = ds.groupby("bucket").map_groups(
                 _fetch_group(pages_dir), batch_format="pandas"

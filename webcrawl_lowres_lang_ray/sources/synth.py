@@ -98,9 +98,11 @@ def generate_corpus(out_dir: str, scfg: SynthConfig, ccfg: CrawlConfig | None = 
     lex_weights = list(lexicon.values())
     scorer = LangScoringModel(lexicon, ccfg)
 
-    # --- hosts, zipf-skewed ---
+    # --- hosts, zipf-skewed (alpha < 1: hot hosts exist — the skew axis —
+    # but no single host owns double-digit percent of the web, which would
+    # turn any politeness-correct crawl into a single-host serial tail) ---
     hosts = [f"host{i:03d}.example.org" for i in range(scfg.n_hosts)]
-    host_weights = [1.0 / (i + 1) for i in range(scfg.n_hosts)]
+    host_weights = [1.0 / (i + 1) ** 0.85 for i in range(scfg.n_hosts)]
     robots_disallow = {
         h: ["/private/"] for i, h in enumerate(hosts) if i % 5 == 2
     }
@@ -270,7 +272,7 @@ _SF_PAGES = {"0.001": 500, "0.01": 5000, "0.1": 50000}
 
 # bump when generation/extraction/scoring semantics change so cached corpora
 # under /tmp are regenerated rather than silently reused
-CORPUS_VERSION = 2
+CORPUS_VERSION = 3
 
 
 def corpus_dir_for_sf(sf_dir: str, cache_root: str = "/tmp/wllr_corpus") -> str:
@@ -289,7 +291,7 @@ def corpus_dir_for_sf(sf_dir: str, cache_root: str = "/tmp/wllr_corpus") -> str:
 def corpus_dir_for_pages(n_pages: int, cache_root: str = "/tmp/wllr_corpus") -> str:
     scfg = SynthConfig(
         n_pages=n_pages,
-        n_hosts=max(16, int(n_pages ** 0.5)),
+        n_hosts=max(24, n_pages // 100),
         seeds_per_corpus=max(16, n_pages // 40),
     )
     out_dir = os.path.join(cache_root, f"v{CORPUS_VERSION}_n{n_pages}_s{scfg.seed}")
