@@ -75,6 +75,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": cq.q_ann_lsh_topk,
         "multimodal_decode": cq.q_multimodal_decode,
         "lexicon_regen": cq.q_lexicon_regen,
+        "query_generation": cq.q_query_generation,
+        "sentence_split": cq.q_sentence_split,
     }
 
 

@@ -142,13 +142,17 @@ def _admit_ray(ds: "ray.data.Dataset", k: int) -> pd.DataFrame:
 
 
 def _fetch_group(pages_dir: str):
-    """Group fn for groupby('bucket').map_groups: partitioned hash join.
+    """Partitioned hash join against the page table, one bucket at a time.
 
-    Reads ONE bucket file of the page table with an `url in (...)` predicate
-    (row-group pushdown) and left-joins the wave's rows of that bucket.
+    Each call reads the bucket file(s) its rows map to with an
+    `url in (...)` predicate (row-group pushdown) and left-joins.  In the
+    distributed path the wave is laid out one BLOCK per bucket
+    (ray.data.from_pandas of per-bucket frames + map_batches with
+    batch_size=None), so a task touches exactly one bucket file — the
+    explicit partitioned-join pattern without a sort shuffle.
     """
 
-    def fn(g: pd.DataFrame) -> pd.DataFrame:
+    def fetch_one(g: pd.DataFrame) -> pd.DataFrame:
         bucket = int(g["bucket"].iloc[0])
         path = os.path.join(pages_dir, f"bucket={bucket:03d}.parquet")
         urls = list(g["url"])
@@ -166,6 +170,16 @@ def _fetch_group(pages_dir: str):
         html[pd.isna(html)] = None  # .where(cond, None) would leave NaN
         out["html"] = html
         return out
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return g.assign(html=np.empty(0, dtype=object))
+        if g["bucket"].nunique() == 1:
+            return fetch_one(g)
+        return pd.concat(
+            [fetch_one(sub.reset_index(drop=True)) for _, sub in g.groupby("bucket", sort=True)],
+            ignore_index=True,
+        )
 
     return fn
 
@@ -331,6 +345,8 @@ def _insert_ray(
 
     # pass 1: tiny histogram to the driver -> prefix offsets
     hist = survivors.groupby("rank_bucket").count().to_pandas()
+    if len(hist) == 0:  # every candidate excluded / duplicate / already seen
+        return _empty_frontier_df()
     hist = hist.sort_values("rank_bucket")
     offsets = dict(
         zip(hist["rank_bucket"], np.cumsum(hist["count()"]) - hist["count()"])
@@ -470,9 +486,16 @@ def run_crawl(
             )
             cand_df = _explode_links(wave_df[["seq", "query_id", "links"]])
         elif len(to_fetch):
-            ds = ray.data.from_pandas(to_fetch.reset_index(drop=True))
-            fetched = ds.groupby("bucket").map_groups(
-                _fetch_group(pages_dir), batch_format="pandas"
+            # one block per url-bucket: each fetch task reads exactly one
+            # bucket file (partitioned hash join, no sort shuffle) and block
+            # count — not byte size — sets the wave's parallelism
+            groups = [
+                g.reset_index(drop=True)
+                for _, g in to_fetch.groupby("bucket", sort=True)
+            ]
+            ds = ray.data.from_pandas(groups)
+            fetched = ds.map_batches(
+                _fetch_group(pages_dir), batch_format="pandas", batch_size=None
             )
             kwargs = {}
             if score_concurrency:
@@ -480,7 +503,7 @@ def run_crawl(
             wave_res = fetched.map_batches(
                 _score_batch(lexicon_ref, cfg, wave),
                 batch_format="pandas",
-                batch_size=256,
+                batch_size=None,
                 **kwargs,
             ).materialize()
 

@@ -176,6 +176,37 @@ def q_multimodal_decode(sf_dir: str) -> pd.DataFrame:
     return out.to_pandas().sort_values("media_id").reset_index(drop=True)
 
 
+def q_query_generation(sf_dir: str) -> pd.DataFrame:
+    """N9 (queries.py:73-106): the 4 query generators + sorted-tuple dedup
+    over the corpus lexicon, english_ref excluded, seeded RNG."""
+    import pyarrow.parquet as pq
+
+    from ..functions.querygen import generate_all
+
+    corpus = corpus_dir_for_sf(sf_dir)
+    lex = load_lexicon(corpus)
+    en = {
+        t: 1
+        for t in pq.read_table(os.path.join(corpus, "english_ref.parquet"))[
+            "token"
+        ].to_pylist()
+    }
+    qs = generate_all(lex, seed=42, english_word_dict=en, word_count=3, query_count=10)
+    return pd.DataFrame(qs)
+
+
+def q_sentence_split(sf_dir: str) -> pd.DataFrame:
+    """N10 (tongan-sentence-splitter.py): sentence counts per fetched doc."""
+    from ..functions.sentences import split_sentences_batch
+
+    led = load_ledger(crawl_output_dir(sf_dir))
+    docs = led.loc[led["downloaded"], ["seq", "text"]].reset_index(drop=True)
+    sents = split_sentences_batch(docs["text"])
+    return pd.DataFrame(
+        {"seq": docs["seq"], "n_sentences": [len(s) for s in sents]}
+    )
+
+
 def q_lexicon_regen(sf_dir: str) -> pd.DataFrame:
     """One phase of the iterative lexicon-growth loop (N7) over the crawl's
     accepted texts."""

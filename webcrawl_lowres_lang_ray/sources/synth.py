@@ -141,10 +141,11 @@ def generate_corpus(out_dir: str, scfg: SynthConfig, ccfg: CrawlConfig | None = 
 
         latin1 = rng.random() < scfg.latin1_fraction
         charset = "iso-8859-1" if latin1 else "utf-8"
-        n_paras = rng.randint(1, 7)
+        # page weight ~ real crawl text: a few hundred to ~2k words
+        n_paras = rng.randint(2, 12)
         paras = []
         for _ in range(n_paras):
-            wc = rng.randint(4, 55)
+            wc = rng.randint(30, 180)
             if rng.random() < 0.45:
                 paras.append(_lrl_para(rng, lex_words, lex_weights, wc))
             else:
@@ -272,7 +273,7 @@ _SF_PAGES = {"0.001": 500, "0.01": 5000, "0.1": 50000}
 
 # bump when generation/extraction/scoring semantics change so cached corpora
 # under /tmp are regenerated rather than silently reused
-CORPUS_VERSION = 3
+CORPUS_VERSION = 5
 
 
 def corpus_dir_for_sf(sf_dir: str, cache_root: str = "/tmp/wllr_corpus") -> str:
