@@ -81,6 +81,20 @@ def run_bench() -> dict:
     warm_corpus = corpus_dir_for_pages(500)
     run_crawl(warm_corpus, "/tmp/wllr_bench/warmup", CrawlConfig(per_host_per_wave=64, max_waves=3))
 
+    # the warmup crawl's waves are small enough to take the driver-local fast
+    # path, so ALSO force every remote worker process to start and import the
+    # package (cold worker spawn + import is one-time cluster setup, not
+    # steady-state throughput)
+    import ray.data as rd
+
+    def _warm(b):
+        import webcrawl_lowres_lang_ray.frontier  # noqa: F401
+        return b
+
+    rd.range(NUM_CPUS * 8, override_num_blocks=NUM_CPUS * 8).map_batches(
+        _warm, batch_format="pandas"
+    ).materialize()
+
     out_dir = f"/tmp/wllr_bench/crawl_{NUM_CPUS}"
     shutil.rmtree(out_dir, ignore_errors=True)
     # generous politeness budget + wave cap = the throughput-bound phase:

@@ -43,7 +43,7 @@ class CrawlConfig:
     # --- seen-set sharding (north_rule: sharded cuckoo filter, SHA-1 keys) ---
     num_seen_shards: int = 8
     # --- fetch-join bucketing (pages table partitioned by url-hash bucket) ---
-    num_url_buckets: int = 64
+    num_url_buckets: int = 256
 
     apply_robots: bool = True
 
@@ -83,4 +83,4 @@ class SynthConfig:
     empty_fraction: float = 0.02   # empty / whitespace-only bodies
     latin1_fraction: float = 0.10  # pages encoded latin-1 (charset sniff path)
     dead_link_fraction: float = 0.06   # hrefs pointing outside the page table
-    num_url_buckets: int = 64      # must match CrawlConfig.num_url_buckets
+    num_url_buckets: int = 256      # must match CrawlConfig.num_url_buckets

@@ -62,10 +62,10 @@ from .state.seen import create_seen_shards, restore_all, seen_filter_new, snapsh
 # switch to the distributed admission/insertion path above this many rows
 DRIVER_PATH_MAX_ROWS = 200_000
 # politeness-bound tail waves (a few URLs per hot host) run locally with the
-# SAME kernels — paying a cluster fan-out for <1k rows costs more than the
-# work; any real scheduler makes this call.  Conformance tests force both
-# paths and assert identical ledgers.
-SMALL_WAVE_MAX_ROWS = 768
+# SAME kernels — paying a cluster fan-out for <~a hundred rows costs more
+# than the work; any real scheduler makes this call.  Conformance tests force
+# both paths and assert identical ledgers.
+SMALL_WAVE_MAX_ROWS = 128
 _RANK_BUCKET = 256
 
 FRONTIER_FIELDS = [
@@ -248,6 +248,62 @@ def _score_batch(lexicon_ref, cfg: CrawlConfig, wave: int):
     return fn
 
 
+def _wave_task(pages_dir: str, lexicon_ref, cfg: CrawlConfig, wave: int, ledger_dir: str):
+    """The whole per-bucket wave body as ONE task: partitioned fetch join ->
+    extract/score -> write this bucket's ledger partition (resumable layout:
+    ledger/wave=N/part-bKKK.parquet, idempotent overwrite) -> explode links ->
+    prepare candidates (excluded filter, canon/sha1/md5/host/bucket).
+
+    Fusing the chain keeps each wave at a single Ray Data execution and a
+    single driver pull of *prepared candidate* rows (url + hashes + ints —
+    no html, no text), which is what makes the wave loop's serial fraction
+    small enough to scale (BASELINE.md scaling criterion)."""
+    fetch_fn = _fetch_group(pages_dir)
+    score_fn = _score_batch(lexicon_ref, cfg, wave)
+
+    def one_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        wave_df = score_fn(fetch_fn(g))
+        bucket = int(g["bucket"].iloc[0])
+        pq.write_table(
+            pa.Table.from_pandas(
+                wave_df.drop(columns=["links"])[LEDGER_META_COLS],
+                preserve_index=False,
+            ),
+            os.path.join(ledger_dir, f"part-b{bucket:03d}.parquet"),
+        )
+        cand = _explode_links(wave_df[["seq", "query_id", "links"]])
+        return _prepare_candidates(cand, cfg)
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return _empty_candidates_df()
+        if g["bucket"].nunique() == 1:
+            return one_bucket(g)
+        return pd.concat(
+            [one_bucket(sub.reset_index(drop=True))
+             for _, sub in g.groupby("bucket", sort=True)],
+            ignore_index=True,
+        )
+
+    return fn
+
+
+def _empty_candidates_df() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "url": pd.Series(dtype="object"),
+            "query_id": pd.Series(dtype="int64"),
+            "engine": pd.Series(dtype="object"),
+            "ord1": pd.Series(dtype="int64"),
+            "ord2": pd.Series(dtype="int64"),
+            "canon_sha1": pd.Series(dtype="object"),
+            "url_hash": pd.Series(dtype="object"),
+            "host": pd.Series(dtype="object"),
+            "bucket": pd.Series(dtype="int32"),
+        }
+    )
+
+
 def _norun_ledger_rows(df: pd.DataFrame, wave: int, relative: np.ndarray, robots: np.ndarray) -> pd.DataFrame:
     """Ledger rows for admitted URLs that never fetch (relative / robots)."""
     out = df.copy()
@@ -276,12 +332,12 @@ def _norun_ledger_rows(df: pd.DataFrame, wave: int, relative: np.ndarray, robots
 def _prepare_candidates(df: pd.DataFrame, cfg: CrawlConfig) -> pd.DataFrame:
     """Vectorized: drop excluded, add canon/sha1/md5/host/bucket columns."""
     if len(df) == 0:
-        return df.assign(canon_sha1=[], url_hash=[], host=[], bucket=[])
+        return _empty_candidates_df()
     urls = df["url"].to_numpy()
     keep = ~excluded_mask_batch(urls, cfg.excluded_domains)
     df = df.loc[keep].copy()
     if len(df) == 0:
-        return df.assign(canon_sha1=[], url_hash=[], host=[], bucket=[])
+        return _empty_candidates_df()
     urls = df["url"].to_numpy()
     canon = canonicalize_batch(urls)
     sha1 = sha1_batch(canon)
@@ -297,9 +353,9 @@ def _prepare_candidates(df: pd.DataFrame, cfg: CrawlConfig) -> pd.DataFrame:
 def _insert_driver(
     cand: pd.DataFrame, seen_shards, base_seq: int, cfg: CrawlConfig
 ) -> pd.DataFrame:
-    """Driver-Arrow insertion path (small waves). cand columns:
-    url, query_id, engine, ord1, ord2 (+prepared cols)."""
-    cand = _prepare_candidates(cand, cfg)
+    """Driver insertion path: dedup + seen-filter + seq over PREPARED
+    candidates (columns of _empty_candidates_df; prep happens inside the
+    distributed wave task)."""
     if len(cand) == 0:
         return _empty_frontier_df()
     # within-wave dedup: first occurrence by (ord1, ord2)
@@ -316,12 +372,10 @@ def _insert_driver(
 def _insert_ray(
     cand_ds: "ray.data.Dataset", seen_shards, base_seq: int, cfg: CrawlConfig
 ) -> pd.DataFrame:
-    """Distributed insertion: vectorized prepare -> per-key dedup groupby ->
-    seen-filter inside map_batches (actor RPCs from tasks) -> two-pass
+    """Distributed insertion over PREPARED candidates: per-key dedup groupby
+    -> seen-filter inside map_batches (actor RPCs from tasks) -> two-pass
     bucket-histogram rank for global seq assignment."""
-    prepared = cand_ds.map_batches(
-        lambda b: _prepare_candidates(b, cfg), batch_format="pandas"
-    )
+    prepared = cand_ds
 
     def first_occurrence(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["ord1", "ord2"], kind="mergesort")
@@ -426,13 +480,14 @@ def run_crawl(
                 "ord2": np.int64(0),
             }
         )
-        pending_df = _insert_driver(cand, seen_shards, 0, cfg)
+        pending_df = _insert_driver(_prepare_candidates(cand, cfg), seen_shards, 0, cfg)
         next_seq = int(len(pending_df))
         stats.inserted = next_seq
         _write_frontier(pending_df, ckpt.wave_dir(out_dir, "frontier", 0))
 
     while len(pending_df) > 0 and wave < cfg.max_waves:
         wave_t0 = time.time()
+        sec = {}  # per-section timing -> manifest (scaling diagnostics)
         # ---- 1. politeness admission (seq order, per-host budget) ----
         if len(pending_df) <= DRIVER_PATH_MAX_ROWS:
             marked = _admit_driver(pending_df, cfg.per_host_per_wave)
@@ -442,8 +497,10 @@ def run_crawl(
             )
         admitted = marked.loc[marked["admit"]].drop(columns=["admit"])
         deferred = marked.loc[~marked["admit"]].drop(columns=["admit"])
+        sec["admit"] = round(time.time() - wave_t0, 3)
 
         # ---- 2. relative / robots gates (never fetch) ----
+        t_sec = time.time()
         urls = admitted["url"].to_numpy()
         rel_mask = relative_mask_batch(urls)
         if cfg.apply_robots and len(urls):
@@ -465,57 +522,45 @@ def run_crawl(
                 os.path.join(ledger_dir, "norun.parquet"),
             )
 
-        # ---- 3. fetch -> extract -> score -> links (one streaming chain) ----
-        cand_df = pd.DataFrame(
-            {"url": [], "query_id": [], "engine": [], "ord1": [], "ord2": []}
-        )
+        sec["gates"] = round(time.time() - t_sec, 3)
+        t_sec = time.time()
+        # ---- 3. fetch -> extract -> score -> ledger write -> links ----
+        # the whole chain is ONE fused per-bucket task (_wave_task): each
+        # task reads exactly one page-table bucket file (partitioned hash
+        # join, no sort shuffle), writes its own ledger partition, and
+        # returns only prepared candidate rows — a single Ray Data execution
+        # and a single small driver pull per wave.
+        cand_df = _empty_candidates_df()
+        wave_fn = _wave_task(pages_dir, lexicon_ref, cfg, wave, ledger_dir)
         if len(to_fetch) and len(to_fetch) <= SMALL_WAVE_MAX_ROWS:
-            # local fast path: same kernels, no cluster fan-out
-            fetch_fn = _fetch_group(pages_dir)
-            parts = [
-                fetch_fn(g.reset_index(drop=True))
-                for _, g in to_fetch.groupby("bucket", sort=True)
-            ]
-            fetched_df = pd.concat(parts, ignore_index=True)
-            wave_df = _score_batch(lexicon_ref, cfg, wave)(fetched_df)
-            pq.write_table(
-                pa.Table.from_pandas(
-                    wave_df.drop(columns=["links"]), preserve_index=False
-                ),
-                os.path.join(ledger_dir, "local.parquet"),
+            # local fast path: same kernel, no cluster fan-out
+            cand_df = pd.concat(
+                [
+                    wave_fn(g.reset_index(drop=True))
+                    for _, g in to_fetch.groupby("bucket", sort=True)
+                ],
+                ignore_index=True,
             )
-            cand_df = _explode_links(wave_df[["seq", "query_id", "links"]])
         elif len(to_fetch):
-            # one block per url-bucket: each fetch task reads exactly one
-            # bucket file (partitioned hash join, no sort shuffle) and block
-            # count — not byte size — sets the wave's parallelism
+            # one block per url-bucket: block count — not byte size — sets
+            # the wave's parallelism.  LPT order (largest group first) so the
+            # wave barrier isn't stretched by a big bucket landing last.
             groups = [
                 g.reset_index(drop=True)
                 for _, g in to_fetch.groupby("bucket", sort=True)
             ]
+            groups.sort(key=len, reverse=True)
             ds = ray.data.from_pandas(groups)
-            fetched = ds.map_batches(
-                _fetch_group(pages_dir), batch_format="pandas", batch_size=None
-            )
             kwargs = {}
             if score_concurrency:
                 kwargs["concurrency"] = score_concurrency
-            wave_res = fetched.map_batches(
-                _score_batch(lexicon_ref, cfg, wave),
-                batch_format="pandas",
-                batch_size=None,
-                **kwargs,
-            ).materialize()
-
-            ledger_ds = wave_res.drop_columns(["links"])
-            ledger_ds.write_parquet(ledger_dir)
-
-            link_rows = wave_res.select_columns(["seq", "query_id", "links"]).map_batches(
-                _explode_links, batch_format="pandas"
-            )
-            cand_df = link_rows.to_pandas()  # candidates only: url + ints, no text
+            cand_df = ds.map_batches(
+                wave_fn, batch_format="pandas", batch_size=None, **kwargs
+            ).to_pandas()
         stats.skipped_relative += int(rel_mask.sum())
         stats.robots_blocked += int(rob_mask.sum())
+        sec["fetch_score"] = round(time.time() - t_sec, 3)
+        t_sec = time.time()
 
         # ---- 4. candidate insertion ----
         if len(cand_df) <= DRIVER_PATH_MAX_ROWS:
@@ -526,6 +571,8 @@ def run_crawl(
             )
         next_seq += len(new_rows)
         stats.inserted += len(new_rows)
+        sec["insert"] = round(time.time() - t_sec, 3)
+        t_sec = time.time()
 
         # ---- 5. next frontier + checkpoint ----
         pending_df = pd.concat(
@@ -545,6 +592,7 @@ def run_crawl(
                 "pending": int(len(pending_df)),
                 "seen_snapshots": snap_paths,
                 "wave_sec": round(time.time() - wave_t0, 3),
+                "sections": {**sec, "ckpt": round(time.time() - t_sec, 3)},
             },
         )
         stats.per_wave.append(

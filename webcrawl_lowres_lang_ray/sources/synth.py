@@ -269,11 +269,11 @@ def generate_corpus(out_dir: str, scfg: SynthConfig, ccfg: CrawlConfig | None = 
         f.write(f"n_pages={n} seed={scfg.seed}\n")
 
 
-_SF_PAGES = {"0.001": 500, "0.01": 5000, "0.1": 50000}
+_SF_PAGES = {"0.001": 500, "0.01": 5000, "0.1": 150000}
 
 # bump when generation/extraction/scoring semantics change so cached corpora
 # under /tmp are regenerated rather than silently reused
-CORPUS_VERSION = 5
+CORPUS_VERSION = 6
 
 
 def corpus_dir_for_sf(sf_dir: str, cache_root: str = "/tmp/wllr_corpus") -> str:

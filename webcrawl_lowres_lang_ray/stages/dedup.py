@@ -16,8 +16,15 @@ provides the training-data-pipeline generalizations as Ray Data pipelines:
 * ``ngram_jaccard_pairs`` — exact n-gram Jaccard verification for candidate
                         pairs (the verify step after LSH).
 
-All hashing is content-derived (blake2b) — deterministic across processes
+All hashing is content-derived (pandas SipHash with its fixed default key,
+plus a polynomial combine for shingles) — deterministic across processes
 and runs, no Python ``hash()``.
+
+Scale notes: candidate buckets are processed through a *partition-key*
+groupby (``_PAIR_PARTITIONS`` groups, vectorized pandas groupby inside each)
+rather than one map_groups call per bucket — per-group Python dispatch at
+10^5+ buckets otherwise dominates the wall clock.  Pair emission inside a
+bucket is vectorized (triu indices + matrix compare / XOR popcount).
 """
 
 from __future__ import annotations
@@ -33,20 +40,29 @@ from ray.data.aggregate import Count, Min
 
 _MERSENNE = (1 << 61) - 1
 _N_PERM = 64
+_PAIR_PARTITIONS = 64
+_POLY = np.uint64(1099511628211)  # FNV prime, shingle combine multiplier
+
+
+def _word_hashes(text: str) -> np.ndarray:
+    """Whitespace tokens -> uint64 (pandas SipHash — vectorized, process-stable)."""
+    words = text.split()
+    if not words:
+        return np.empty(0, dtype=np.uint64)
+    return pd.util.hash_array(np.asarray(words, dtype=object))
 
 
 def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """Word k-shingles -> uint64 hashes (blake2b, deterministic)."""
-    words = text.split()
-    if len(words) < k:
-        shingles = [" ".join(words)] if words else []
-    else:
-        shingles = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
-    out = np.empty(len(shingles), dtype=np.uint64)
-    for i, s in enumerate(shingles):
-        out[i] = int.from_bytes(
-            hashlib.blake2b(s.encode(), digest_size=8).digest(), "little"
-        )
+    """Word k-shingles -> uint64 hashes (polynomial combine of word hashes,
+    uint64 wraparound — fully vectorized)."""
+    wh = _word_hashes(text)
+    if len(wh) == 0:
+        return wh
+    if len(wh) < k:
+        k = len(wh)
+    out = wh[: len(wh) - k + 1].copy()
+    for j in range(1, k):
+        out = out * _POLY + wh[j : len(wh) - k + 1 + j]
     return out
 
 
@@ -65,6 +81,32 @@ def minhash_signature(text: str, a: np.ndarray, b: np.ndarray) -> np.ndarray:
     prod = (a[:, None] * (sh[None, :] % _MERSENNE)) % _MERSENNE
     vals = (prod + b[:, None]) % _MERSENNE
     return vals.min(axis=1).astype(np.uint64)
+
+
+def _dedup_pairs(pairs: "ray.data.Dataset", cols: list[str]) -> "ray.data.Dataset":
+    """Distinct (id_a, id_b) rows: hash-partition by pair key, then a
+    vectorized pandas drop_duplicates per partition (valid because every
+    non-key column is a pure function of the pair, so duplicates are
+    identical rows).  O(#partitions) group dispatches, not O(#pairs)."""
+
+    def keyed(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return b.assign(pair_part=pd.Series(dtype="int64"))
+        key = b["id_a"].to_numpy(np.int64) * np.int64(2654435761) + b["id_b"].to_numpy(np.int64)
+        b = b.copy()
+        b["pair_part"] = pd.util.hash_array(key).astype(np.int64) % _PAIR_PARTITIONS
+        return b
+
+    def drop_dups(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["id_a", "id_b"], kind="mergesort").drop_duplicates(
+            ["id_a", "id_b"]
+        )[cols]
+
+    return (
+        pairs.map_batches(keyed, batch_format="pandas")
+        .groupby("pair_part")
+        .map_groups(drop_dups, batch_format="pandas")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -116,8 +158,8 @@ def minhash_lsh_pairs(
     ds: "ray.data.Dataset",
     text_col: str = "text",
     id_col: str = "doc_id",
-    bands: int = 16,
-    rows_per_band: int = 4,
+    bands: int = 32,
+    rows_per_band: int = 2,
     threshold: float = 0.5,
 ) -> "ray.data.Dataset":
     """Candidate near-dup pairs with MinHash-estimated Jaccard >= threshold.
@@ -136,36 +178,52 @@ def minhash_lsh_pairs(
                 chunk = sig[band * rows_per_band : (band + 1) * rows_per_band]
                 bh = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
                 rows.append((int(did), band, bh, sig.tobytes()))
-        return pd.DataFrame(rows, columns=[id_col, "band", "band_hash", "sig"])
+        out = pd.DataFrame(rows, columns=[id_col, "band", "band_hash", "sig"])
+        # partition key: all rows of one (band, band_hash) bucket land in the
+        # same partition group; buckets are then iterated vectorized inside it
+        out["part"] = pd.util.hash_pandas_object(
+            out["band"].astype(str) + out["band_hash"], index=False
+        ).to_numpy() % _PAIR_PARTITIONS
+        return out
 
     banded = ds.select_columns([id_col, text_col]).map_batches(
         sig_stage, batch_format="pandas"
     )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame(columns=["id_a", "id_b", "est_jaccard"])
-        out = []
-        recs = sorted(zip(g[id_col], g["sig"]))
-        for (ida, sa), (idb, sb) in combinations(recs, 2):
-            if ida == idb:
+    def part_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        lo_all, hi_all, est_all = [], [], []
+        for _, sub in g.groupby(["band", "band_hash"], sort=False):
+            c = len(sub)
+            if c < 2:
                 continue
-            va = np.frombuffer(sa, dtype=np.uint64)
-            vb = np.frombuffer(sb, dtype=np.uint64)
-            est = float((va == vb).mean())
-            if est >= threshold:
-                out.append((min(ida, idb), max(ida, idb), round(est, 4)))
-        return pd.DataFrame(out, columns=["id_a", "id_b", "est_jaccard"])
+            ids = sub[id_col].to_numpy(dtype=np.int64)
+            sigmat = np.frombuffer(b"".join(sub["sig"]), dtype=np.uint64).reshape(c, -1)
+            iu, ju = np.triu_indices(c, 1)
+            est = (sigmat[iu] == sigmat[ju]).mean(axis=1)
+            keep = est >= threshold
+            if not keep.any():
+                continue
+            ida, idb = ids[iu[keep]], ids[ju[keep]]
+            lo_all.append(np.minimum(ida, idb))
+            hi_all.append(np.maximum(ida, idb))
+            est_all.append(np.round(est[keep], 4))
+        if not lo_all:
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
+                 "est_jaccard": pd.Series(dtype="float64")}
+            )
+        return pd.DataFrame(
+            {"id_a": np.concatenate(lo_all), "id_b": np.concatenate(hi_all),
+             "est_jaccard": np.concatenate(est_all)}
+        )
 
-    pairs = banded.groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
-    )
+    pairs = banded.groupby("part").map_groups(part_pairs, batch_format="pandas")
 
-    # a pair can surface from several bands — keep one row per pair
-    def dedup_pair(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
-
-    return pairs.groupby(["id_a", "id_b"]).map_groups(dedup_pair, batch_format="pandas")
+    # a pair can surface from several bands — keep one row per pair (the
+    # estimate comes from the full signature, so it is identical per band).
+    # NOT groupby(id_a,id_b).aggregate: per-group dispatch at 10^5 pair
+    # groups is ~ms each; hash-partition + vectorized drop_duplicates instead.
+    return _dedup_pairs(pairs, ["id_a", "id_b", "est_jaccard"])
 
 
 # ---------------------------------------------------------------------------
@@ -173,17 +231,13 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash over whitespace tokens (blake2b token hashes)."""
-    acc = np.zeros(64, dtype=np.int64)
-    for w in text.split():
-        h = int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "little")
-        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-        acc += np.where(bits.astype(bool), 1, -1)
-    out = 0
-    for i in range(64):
-        if acc[i] > 0:
-            out |= 1 << i
-    return out
+    """64-bit SimHash over whitespace tokens (vectorized bit votes)."""
+    wh = _word_hashes(text)
+    if len(wh) == 0:
+        return 0
+    bits = (wh[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+    votes = 2 * bits.astype(np.int64).sum(axis=0) - len(wh)
+    return int(((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
 
 
 def add_simhash(ds: "ray.data.Dataset", text_col: str = "text") -> "ray.data.Dataset":
@@ -212,34 +266,53 @@ def simhash_neardup_pairs(
     withhash = add_simhash(ds.select_columns([id_col, text_col]), text_col)
 
     def explode_blocks(batch: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for did, sh in zip(batch[id_col], batch["simhash"]):
-            sh = int(sh)
-            for blk in range(4):
-                rows.append((int(did), blk, (sh >> (16 * blk)) & 0xFFFF, np.uint64(sh)))
-        return pd.DataFrame(rows, columns=[id_col, "block", "block_val", "simhash"])
+        n = len(batch)
+        ids = np.repeat(batch[id_col].to_numpy(dtype=np.int64), 4)
+        sh = np.repeat(batch["simhash"].to_numpy(dtype=np.uint64), 4)
+        blk = np.tile(np.arange(4, dtype=np.int64), n)
+        block_val = (sh >> (np.uint64(16) * blk.astype(np.uint64))) & np.uint64(0xFFFF)
+        out = pd.DataFrame(
+            {id_col: ids, "block": blk, "block_val": block_val.astype(np.int64),
+             "simhash": sh}
+        )
+        out["part"] = (
+            pd.util.hash_array((out["block"] * 65536 + out["block_val"]).to_numpy())
+            % _PAIR_PARTITIONS
+        )
+        return out
 
     blocks = withhash.map_batches(explode_blocks, batch_format="pandas")
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame(columns=["id_a", "id_b", "hamming"])
-        out = []
-        recs = sorted(zip(g[id_col], g["simhash"]))
-        for (ida, ha), (idb, hb) in combinations(recs, 2):
-            if ida == idb:
+    def part_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        lo_all, hi_all, d_all = [], [], []
+        for _, sub in g.groupby(["block", "block_val"], sort=False):
+            c = len(sub)
+            if c < 2:
                 continue
-            d = bin(int(ha) ^ int(hb)).count("1")
-            if d <= 3:
-                out.append((min(ida, idb), max(ida, idb), d))
-        return pd.DataFrame(out, columns=["id_a", "id_b", "hamming"])
+            ids = sub[id_col].to_numpy(dtype=np.int64)
+            h = sub["simhash"].to_numpy(dtype=np.uint64)
+            iu, ju = np.triu_indices(c, 1)
+            x = h[iu] ^ h[ju]
+            d = np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1)
+            keep = d <= max_hamming
+            if not keep.any():
+                continue
+            ida, idb = ids[iu[keep]], ids[ju[keep]]
+            lo_all.append(np.minimum(ida, idb))
+            hi_all.append(np.maximum(ida, idb))
+            d_all.append(d[keep].astype(np.int64))
+        if not lo_all:
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
+                 "hamming": pd.Series(dtype="int64")}
+            )
+        return pd.DataFrame(
+            {"id_a": np.concatenate(lo_all), "id_b": np.concatenate(hi_all),
+             "hamming": np.concatenate(d_all)}
+        )
 
-    pairs = blocks.groupby(["block", "block_val"]).map_groups(
-        bucket_pairs, batch_format="pandas"
-    )
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    pairs = blocks.groupby("part").map_groups(part_pairs, batch_format="pandas")
+    return _dedup_pairs(pairs, ["id_a", "id_b", "hamming"])
 
 
 # ---------------------------------------------------------------------------
