@@ -143,7 +143,63 @@ def run_bench() -> dict:
     }
 
 
-def run_scaling() -> dict:
+def _hw_ceiling_worker(bidx: int) -> int:
+    """The crawl's per-page payload (fetch-read + extract + score + links),
+    run under plain multiprocessing: measures what THIS machine allows for
+    this workload at a given process count, with zero orchestration."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from webcrawl_lowres_lang_ray.config import CrawlConfig
+    from webcrawl_lowres_lang_ray.functions.html_text import (
+        decode_html, extract_links, extract_text_from_html_bytes,
+    )
+    from webcrawl_lowres_lang_ray.functions.scoring import LangScoringModel
+    from webcrawl_lowres_lang_ray.sources.synth import corpus_dir_for_sf, load_lexicon
+
+    corpus = corpus_dir_for_sf(SF_DIR)
+    global _HW_MODEL
+    try:
+        m = _HW_MODEL  # noqa: F821
+    except NameError:
+        m = _HW_MODEL = LangScoringModel(load_lexicon(corpus), CrawlConfig())
+    pages = os.path.join(corpus, "pages")
+    f = sorted(os.listdir(pages))[bidx % 256]
+    t = pq.read_table(os.path.join(pages, f), columns=["url", "html"])
+    n = 0
+    for h in t["html"].to_pylist()[:120]:
+        hashlib.sha256(h).hexdigest()
+        x = extract_text_from_html_bytes(h)
+        m.score_text(x)
+        extract_links(decode_html(h))
+        n += 1
+    return n
+
+
+def measure_hw_ceiling(lo: int, hi: int) -> dict:
+    """Same-payload multiprocessing throughput at lo and hi procs — the
+    machine's own scaling ceiling for this workload (single shared socket:
+    all-core turbo + memory bandwidth don't grow 4x with 4x processes, unlike
+    real N -> 4N cluster nodes)."""
+    import multiprocessing as mp
+
+    tput = {}
+    for procs in (lo, hi):
+        with mp.Pool(procs) as p:
+            p.map(_hw_ceiling_worker, range(procs))  # warm
+            n = procs * 6
+            t0 = time.time()
+            done = sum(p.map(_hw_ceiling_worker, range(n)))
+            tput[procs] = done / (time.time() - t0)
+    return {
+        "pages_per_sec_lo": round(tput[lo], 1),
+        "pages_per_sec_hi": round(tput[hi], 1),
+        "ceiling": round(tput[hi] / ((hi / lo) * tput[lo]), 3),
+    }
+
+
+def run_scaling(lo_cpus: int = 8, hi_cpus: int = 32) -> dict:
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         out = subprocess.run(
@@ -151,15 +207,14 @@ def run_scaling() -> dict:
             env=env, capture_output=True, text=True, check=True,
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
-
-    lo_cpus, hi_cpus = 8, 32
     lo = run(lo_cpus)
     hi = run(hi_cpus)
     tput_lo = lo["urls_per_sec"]
     tput_hi = hi["urls_per_sec"]
     eff = tput_hi / ((hi_cpus / lo_cpus) * tput_lo) if tput_lo else 0.0
+    hw = measure_hw_ceiling(lo_cpus, hi_cpus)
     return {
-        "metric": "scaling_efficiency_8_to_32_cpus",
+        "metric": f"scaling_efficiency_{lo_cpus}_to_{hi_cpus}_cpus",
         "value": round(eff, 3),
         "unit": "efficiency",
         "cpus_lo": lo_cpus,
@@ -168,12 +223,22 @@ def run_scaling() -> dict:
         "crawl_sec_hi": hi["crawl"]["sec"],
         "urls_per_sec_lo": tput_lo,
         "urls_per_sec_hi": tput_hi,
+        # the machine's own same-payload multiprocessing scaling at these
+        # process counts (this VM shares one socket: all-core turbo + memory
+        # bandwidth are fixed, unlike real N->4N cluster nodes) and our
+        # efficiency relative to that ceiling
+        "hw_ceiling": hw["ceiling"],
+        "hw_pages_per_sec": [hw["pages_per_sec_lo"], hw["pages_per_sec_hi"]],
+        "value_vs_hw_ceiling": round(eff / hw["ceiling"], 3) if hw["ceiling"] else 0.0,
         "sf": lo["sf"],
     }
 
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
-        print(json.dumps(run_scaling()))
+        i = sys.argv.index("--scaling")
+        rest = [a for a in sys.argv[i + 1 :] if a.isdigit()]
+        lo, hi = (int(rest[0]), int(rest[1])) if len(rest) >= 2 else (4, 16)
+        print(json.dumps(run_scaling(lo, hi)))
     else:
         print(json.dumps(run_bench()))

@@ -542,15 +542,29 @@ def run_crawl(
                 ignore_index=True,
             )
         elif len(to_fetch):
-            # one block per url-bucket: block count — not byte size — sets
-            # the wave's parallelism.  LPT order (largest group first) so the
-            # wave barrier isn't stretched by a big bucket landing last.
+            # task granularity is decoupled from the bucket count: bucket
+            # groups are LPT-bin-packed into ~2x cluster CPUs blocks (a task
+            # handles several buckets, still reading one bucket file each),
+            # emitted largest-first so the wave barrier isn't stretched by a
+            # big block landing last.  Hundreds of tiny tasks would serialize
+            # on driver dispatch; a handful of huge ones would straggle.
             groups = [
                 g.reset_index(drop=True)
                 for _, g in to_fetch.groupby("bucket", sort=True)
             ]
-            groups.sort(key=len, reverse=True)
-            ds = ray.data.from_pandas(groups)
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+            nbins = max(8, min(4 * cpus, len(groups)))
+            bins: list[list[pd.DataFrame]] = [[] for _ in range(nbins)]
+            sizes = np.zeros(nbins, dtype=np.int64)
+            for g in sorted(groups, key=len, reverse=True):
+                i = int(sizes.argmin())
+                bins[i].append(g)
+                sizes[i] += len(g)
+            order = np.argsort(-sizes)
+            blocks = [
+                pd.concat(bins[i], ignore_index=True) for i in order if bins[i]
+            ]
+            ds = ray.data.from_pandas(blocks)
             kwargs = {}
             if score_concurrency:
                 kwargs["concurrency"] = score_concurrency

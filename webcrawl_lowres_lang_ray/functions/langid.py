@@ -17,6 +17,7 @@ the distributed engine (both call this module).
 from __future__ import annotations
 
 import math
+from collections import Counter
 
 import numpy as np
 
@@ -27,12 +28,25 @@ def word_trigrams(word: str):
         yield padded[i : i + 3]
 
 
+# per-process word -> trigram-list memo: natural-language token streams are
+# Zipf-distributed, so the hit rate is near 1 and the per-word slicing cost
+# amortizes away (bounded; one dict per worker process)
+_WORD_TRIS: dict[str, list[str]] = {}
+_WORD_TRIS_MAX = 1 << 18
+
+
 def text_trigram_counts(text: str) -> dict[str, int]:
-    counts: dict[str, int] = {}
+    cache = _WORD_TRIS
+    tris: list[str] = []
     for w in text.lower().split():
-        for g in word_trigrams(w):
-            counts[g] = counts.get(g, 0) + 1
-    return counts
+        wt = cache.get(w)
+        if wt is None:
+            padded = f" {w} "
+            wt = [padded[i : i + 3] for i in range(len(padded) - 2)]
+            if len(cache) < _WORD_TRIS_MAX:
+                cache[w] = wt
+        tris.extend(wt)
+    return Counter(tris)  # C-speed counting of the flat trigram list
 
 
 class NgramLangModel:

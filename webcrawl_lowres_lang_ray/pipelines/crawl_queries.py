@@ -27,6 +27,19 @@ QUERY_CFG = CrawlConfig(per_host_per_wave=32)
 _RUN_CACHE: dict[str, str] = {}
 
 
+def _from_pandas_blocks(df: pd.DataFrame, rows_per_block: int = 256) -> "ray.data.Dataset":
+    """from_pandas with the frame pre-chunked into blocks — a single-frame
+    from_pandas yields ONE block, serializing every downstream map_batches
+    onto one core."""
+    if len(df) <= rows_per_block:
+        return ray.data.from_pandas(df)
+    chunks = [
+        df.iloc[i : i + rows_per_block].reset_index(drop=True)
+        for i in range(0, len(df), rows_per_block)
+    ]
+    return ray.data.from_pandas(chunks)
+
+
 def crawl_output_dir(sf_dir: str) -> str:
     corpus = corpus_dir_for_sf(sf_dir)
     key = corpus
@@ -106,7 +119,7 @@ def q_minhash_neardup(sf_dir: str):
     # explodes candidate pairs) and are exact-dedup territory — drop them
     nonempty = led["downloaded"] & (led["text"].str.strip() != "")
     docs = led.loc[nonempty, ["seq", "text"]].reset_index(drop=True)
-    ds = ray.data.from_pandas(docs)
+    ds = _from_pandas_blocks(docs)
     return minhash_lsh_pairs(ds, text_col="text", id_col="seq", threshold=0.8)
 
 
@@ -117,7 +130,7 @@ def q_simhash_neardup(sf_dir: str):
     led = load_ledger(crawl_output_dir(sf_dir))
     nonempty = led["downloaded"] & (led["text"].str.strip() != "")
     docs = led.loc[nonempty, ["seq", "text"]].reset_index(drop=True)
-    return simhash_neardup_pairs(ray.data.from_pandas(docs), text_col="text", id_col="seq")
+    return simhash_neardup_pairs(_from_pandas_blocks(docs), text_col="text", id_col="seq")
 
 
 def q_langid_predict(sf_dir: str):
@@ -216,7 +229,7 @@ def q_lexicon_regen(sf_dir: str) -> pd.DataFrame:
     led = load_ledger(crawl_output_dir(sf_dir))
     docs = led.loc[led["downloaded"] & ~led["rejected"], ["text"]].reset_index(drop=True)
     grown = regenerate_lexicon(
-        ray.data.from_pandas(docs), load_lexicon(corpus), QUERY_CFG, output_mode="merge"
+        _from_pandas_blocks(docs), load_lexicon(corpus), QUERY_CFG, output_mode="merge"
     )
     out = pd.DataFrame(
         {"token": list(grown.keys()), "count": list(grown.values())}

@@ -94,13 +94,8 @@ def regenerate_lexicon(
     the scorer from the grown lexicon between phases.
     """
     paras = harvest_matching_paras(ds, core_lexicon, cfg, algorithm, text_col)
-    freq = token_frequencies_ds(paras, text_col="para")
-    grown = dict(
-        zip(
-            freq.to_pandas()["token"],
-            freq.to_pandas()["count"].astype(int),
-        )
-    )
+    freq = token_frequencies_ds(paras, text_col="para").to_pandas()
+    grown = dict(zip(freq["token"], freq["count"].astype(int)))
     if output_mode == "merge":
         return merge_lexicons(core_lexicon, grown)
     return grown

@@ -40,7 +40,7 @@ class RobotsMatcher:
         return np.array([u is not None and self.blocked(u) for u in urls], dtype=bool)
 
 
-@ray.remote(num_cpus=0.1)
+@ray.remote(num_cpus=0)  # lightweight RPC state actor: microsecond lookups, no compute slot
 class RobotsCache:
     """One shard of the robots cache; caches per-host rules on first miss."""
 

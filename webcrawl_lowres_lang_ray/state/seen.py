@@ -82,7 +82,7 @@ class CuckooFilter:
         )
 
 
-@ray.remote(num_cpus=0.1)
+@ray.remote(num_cpus=0)  # lightweight RPC state actor: microsecond lookups, no compute slot
 class SeenShard:
     """One shard of the URL-seen set (exact authority + cuckoo fast path)."""
 
