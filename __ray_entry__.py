@@ -58,10 +58,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_users_by_value": q.q_top_users_by_value,
         "order_priority_counts": q.q_order_priority_counts,
         "nation_region_rollup": q.q_nation_region_rollup,
-        # --- embeddings: ANN / stats ---
+        # --- embeddings: ANN / stats / near-dup ---
         "ann_topk": q.q_ann_topk,
         "label_counts": q.q_label_counts,
         "embedding_norms": q.q_embedding_norms,
+        "embedding_neardup": q.q_embedding_neardup,
+        "ann_ivf_topk": q.q_ann_ivf_topk,
+        "ngram_jaccard": q.q_ngram_jaccard,
+        "token_counts": q.q_token_counts,
         # --- crawl engine (rows-only; gated by oracle conformance tests) ---
         "crawl_ledger": cq.q_crawl_ledger,
         "crawl_order": cq.q_crawl_order,
@@ -104,4 +108,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": q.SQL_ANN_TOPK,
         "label_counts": q.SQL_LABEL_COUNTS,
         "embedding_norms": q.SQL_EMBEDDING_NORMS,
+        "embedding_neardup": q.SQL_EMBEDDING_NEARDUP,
+        "ann_ivf_topk": q.SQL_ANN_IVF_TOPK,
+        "ngram_jaccard": q.SQL_NGRAM_JACCARD,
+        "token_counts": q.SQL_TOKEN_COUNTS,
     }

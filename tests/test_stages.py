@@ -257,3 +257,103 @@ class TestMultimodal:
             batch_format="pandas", batch_size=8, concurrency=2,
         ).to_pandas()
         assert len(frames) > 0 and (frames["frame_idx"] % 10 == 0).all()
+
+
+class TestCosineNearDup:
+    def _emb_ds(self, n=60, dim=16, seed=3):
+        import ray.data as ray_data
+        rng = np.random.RandomState(seed)
+        mat = rng.randn(n, dim)
+        mat[1] = mat[0] + 0.01 * rng.randn(dim)   # near-dup of 0
+        mat[5] = -mat[4]                          # anti-parallel: NOT a dup
+        df = pd.DataFrame({"vec_id": np.arange(n), "embedding": [list(r) for r in mat]})
+        return ray_data.from_pandas(df), mat
+
+    def test_exact_pairs_match_numpy_oracle(self):
+        from webcrawl_lowres_lang_ray.stages.ann import cosine_neardup_pairs
+
+        ds, mat = self._emb_ds()
+        got = cosine_neardup_pairs(ds, threshold=0.6, block_rows=16).to_pandas()
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = (mat / norms) @ (mat / norms).T
+        iu, ju = np.triu_indices(len(mat), 1)
+        want = {(i, j) for i, j in zip(iu[sims[iu, ju] >= 0.6], ju[sims[iu, ju] >= 0.6])}
+        assert set(zip(got["id_a"], got["id_b"])) == want
+        assert (0, 1) in want  # the planted near-dup was actually planted
+
+
+class TestIvf:
+    def test_full_probe_equals_brute_force(self):
+        from webcrawl_lowres_lang_ray.stages.ann import (
+            brute_force_topk, ivf_topk, ivf_train_centroids,
+        )
+
+        rng = np.random.RandomState(11)
+        mat = rng.randn(200, 16)
+        import ray.data as ray_data
+
+        df = pd.DataFrame({"vec_id": np.arange(200), "embedding": [list(r) for r in mat]})
+        ds = ray_data.from_pandas(df)
+        cents = ivf_train_centroids(ds, nlist=8)
+        exact = brute_force_topk(ds, mat[0], k=10)
+        full = ivf_topk(ds, cents, mat[0], k=10, nprobe=8)
+        pd.testing.assert_frame_equal(exact, full)
+
+    def test_low_probe_recall(self):
+        from webcrawl_lowres_lang_ray.stages.ann import (
+            brute_force_topk, ivf_topk, ivf_train_centroids,
+        )
+
+        rng = np.random.RandomState(12)
+        # clustered data so IVF lists are meaningful
+        centers = rng.randn(8, 16) * 4
+        mat = np.vstack([c + rng.randn(40, 16) for c in centers])
+        import ray.data as ray_data
+
+        df = pd.DataFrame({"vec_id": np.arange(len(mat)), "embedding": [list(r) for r in mat]})
+        ds = ray_data.from_pandas(df)
+        cents = ivf_train_centroids(ds, nlist=8)
+        exact = brute_force_topk(ds, mat[0], k=10)
+        approx = ivf_topk(ds, cents, mat[0], k=10, nprobe=3)
+        recall = len(set(exact["vec_id"]) & set(approx["vec_id"])) / 10
+        assert recall >= 0.7
+
+    def test_centroids_deterministic(self):
+        from webcrawl_lowres_lang_ray.stages.ann import ivf_train_centroids
+
+        rng = np.random.RandomState(13)
+        mat = rng.randn(100, 8)
+        import ray.data as ray_data
+
+        df = pd.DataFrame({"vec_id": np.arange(100), "embedding": [list(r) for r in mat]})
+        c1 = ivf_train_centroids(ray_data.from_pandas(df), nlist=4)
+        c2 = ivf_train_centroids(ray_data.from_pandas(df), nlist=4)
+        np.testing.assert_array_equal(c1, c2)
+
+
+class TestNgramJaccardAllPairs:
+    def test_matches_brute_force(self):
+        from webcrawl_lowres_lang_ray.stages.dedup import (
+            _string_shingles, ngram_jaccard_allpairs,
+        )
+
+        import ray.data as ray_data
+
+        df = _docs_with_dups().rename(columns={})
+        ds = ray_data.from_pandas(df)
+        got = ngram_jaccard_allpairs(ds, threshold=0.3, block_rows=2).to_pandas()
+        # brute force oracle on string shingles
+        want = []
+        rows = list(zip(df["doc_id"], df["text"]))
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                si, sj = _string_shingles(rows[i][1]), _string_shingles(rows[j][1])
+                inter = len(si & sj)
+                jac = 1.0 if not si and not sj else (
+                    0.0 if not si or not sj else inter / (len(si) + len(sj) - inter)
+                )
+                if jac >= 0.3:
+                    want.append((rows[i][0], rows[j][0], round(jac, 4)))
+        got_set = set(zip(got["id_a"], got["id_b"], got["jaccard"]))
+        assert got_set == set(want)
+        assert any(a == 0 and b == 1 for a, b, _ in want)  # exact dup pair present

@@ -553,3 +553,106 @@ SELECT label,
        round(avg(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))), 4) AS mean_norm
 FROM embeddings GROUP BY label
 """
+
+
+# ===========================================================================
+# embedding near-dup, IVF ANN, n-gram Jaccard, token counts (training-data
+# pipeline ops, SQL-checkable at gate scale; scale paths documented in the
+# stage modules)
+# ===========================================================================
+
+def q_embedding_neardup(sf_dir: str):
+    """Exact embedding-cosine near-dup pairs (broadcast-block all-pairs;
+    SRP-LSH buckets are the beyond-broadcast scale path)."""
+    from ..stages.ann import cosine_neardup_pairs
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return cosine_neardup_pairs(emb, threshold=0.35)
+
+
+SQL_EMBEDDING_NEARDUP = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 3) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.35
+"""
+
+
+def q_ann_ivf_topk(sf_dir: str):
+    """IVF top-k with exhaustive probing (nprobe == nlist): identical to the
+    exact result, so SQL-checkable; recall at nprobe < nlist is pinned by
+    tests/test_stages.py."""
+    from ..stages.ann import ivf_topk, ivf_train_centroids
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cents = ivf_train_centroids(emb, nlist=16)
+    return ivf_topk(emb, cents, _query_vec(sf_dir), k=10, nprobe=16)
+
+
+SQL_ANN_IVF_TOPK = """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                    CAST((SELECT qe FROM q) AS DOUBLE[])), 5) AS score
+FROM embeddings e ORDER BY score DESC, e.vec_id LIMIT 10
+"""
+
+
+def q_ngram_jaccard(sf_dir: str):
+    """Exact 3-gram Jaccard near-dup pairs over documents (the verification
+    oracle for the MinHash estimate; quadratic — at scale feed LSH candidate
+    pairs through ngram_jaccard instead)."""
+    from ..stages.dedup import ngram_jaccard_allpairs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ngram_jaccard_allpairs(docs, threshold=0.5)
+
+
+SQL_NGRAM_JACCARD = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE
+           WHEN len(ws) = 0 THEN []::VARCHAR[]
+           WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+           ELSE list_distinct(list_transform(range(1, len(ws) - 1),
+                                             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+         END AS s
+  FROM w
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.s, b.s)) AS inter,
+         len(a.s) AS na, len(b.s) AS nb
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       round(CASE WHEN na = 0 AND nb = 0 THEN 1.0
+                  WHEN na = 0 OR nb = 0 THEN 0.0
+                  ELSE inter::DOUBLE / (na + nb - inter) END, 4) AS jaccard
+FROM pairs
+WHERE CASE WHEN na = 0 AND nb = 0 THEN 1.0
+           WHEN na = 0 OR nb = 0 THEN 0.0
+           ELSE inter::DOUBLE / (na + nb - inter) END >= 0.5
+"""
+
+
+def q_token_counts(sf_dir: str):
+    """Whitespace + BPE-ish regex token counts per document (training-data
+    token accounting)."""
+    from ..stages.textstats import add_token_counts
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return add_token_counts(docs).select_columns(["doc_id", "ws_tokens", "bpeish_tokens"])
+
+
+SQL_TOKEN_COUNTS = r"""
+SELECT doc_id,
+       len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS ws_tokens,
+       len(regexp_extract_all(text, '\w+|[^\w\s]')) AS bpeish_tokens
+FROM documents
+"""

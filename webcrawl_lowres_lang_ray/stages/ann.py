@@ -164,3 +164,133 @@ def srp_lsh_topk(
         return pd.DataFrame({id_col: [], "score": []})
     allp = allp.sort_values(["score", id_col], ascending=[False, True], kind="mergesort")
     return allp.head(k).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup (exact all-pairs) + IVF
+# ---------------------------------------------------------------------------
+
+def cosine_neardup_pairs(
+    ds: "ray.data.Dataset",
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_rows: int = 512,
+    round_dp: int = 3,
+) -> "ray.data.Dataset":
+    """Exact embedding-cosine near-dup pairs: (id_a < id_b, cos >= threshold).
+
+    The normalized matrix is broadcast once (``ray.put``); work fans out as
+    row blocks, each computing one (block x all) matmul — O(N^2 D) compute
+    over N/block_rows tasks with zero shuffle.  The broadcast bounds N to
+    what fits one worker's heap (N x D float64); beyond that use the
+    SRP-LSH bucketed variant (``build_srp_index`` + within-bucket pairs) —
+    the documented scale path, same pattern as dedup's MinHash-LSH.
+    """
+    tbl = ds.select_columns([id_col, vec_col]).to_pandas()
+    ids = tbl[id_col].to_numpy(np.int64)
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in tbl[vec_col]])
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    matn = mat / norms[:, None]
+    ref = ray.put((ids, matn))
+    n = len(ids)
+    nblocks = max(1, (n + block_rows - 1) // block_rows)
+
+    def block_pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        ids_all, matn_all = ray.get(ref)
+        out_a, out_b, out_s = [], [], []
+        for blk in batch["id"].to_numpy():
+            lo = int(blk) * block_rows
+            hi = min(lo + block_rows, len(ids_all))
+            sims = matn_all[lo:hi] @ matn_all.T
+            # upper triangle only: global column index > global row index
+            rows, cols = np.nonzero(sims >= threshold)
+            keep = cols > (rows + lo)
+            rows, cols = rows[keep], cols[keep]
+            ia, ib = ids_all[rows + lo], ids_all[cols]
+            out_a.append(np.minimum(ia, ib))
+            out_b.append(np.maximum(ia, ib))
+            out_s.append(round_half_away(sims[rows, cols], round_dp))
+        if not out_a:
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
+                 "cos_sim": pd.Series(dtype="float64")}
+            )
+        return pd.DataFrame(
+            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b),
+             "cos_sim": np.concatenate(out_s)}
+        )
+
+    return ray.data.range(nblocks).map_batches(
+        block_pairs, batch_format="pandas", batch_size=1
+    )
+
+
+def ivf_train_centroids(
+    ds: "ray.data.Dataset",
+    nlist: int = 16,
+    vec_col: str = "embedding",
+    sample_rows: int = 4096,
+    iters: int = 10,
+    seed: int = 7,
+) -> np.ndarray:
+    """Deterministic k-means coarse quantizer trained on a bounded sample
+    (the IVF 'train' phase; FAISS-style).  Sample -> driver, Lloyd iterations
+    in numpy; centroids are tiny and get broadcast to the assign stage."""
+    sample = ds.select_columns([vec_col]).limit(sample_rows).to_pandas()
+    x = np.stack([np.asarray(v, dtype=np.float64) for v in sample[vec_col]])
+    rng = np.random.RandomState(seed)
+    cents = x[rng.choice(len(x), size=min(nlist, len(x)), replace=False)].copy()
+    for _ in range(iters):
+        d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(cents)):
+            members = x[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
+def ivf_topk(
+    ds: "ray.data.Dataset",
+    centroids: np.ndarray,
+    query_vec: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 5,
+) -> pd.DataFrame:
+    """IVF approximate top-k: assign each vector to its nearest centroid
+    inside map_batches (broadcast centroids), keep only vectors whose list is
+    among the query's ``nprobe`` closest lists, exact cosine + partial top-k
+    on the survivors.  With nprobe == nlist this is exhaustive and equals
+    ``brute_force_topk`` exactly (the SQL-checkable configuration)."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    dq = ((centroids - q[None, :]) ** 2).sum(axis=1)
+    probed = set(np.argsort(dq)[:nprobe].tolist())
+    bundle_ref = ray.put((centroids, q, probed))
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        cents, qv, probe_set = ray.get(bundle_ref)
+        mat = _batch_matrix(batch, vec_col)
+        d = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        lists = d.argmin(axis=1)
+        mask = np.isin(lists, list(probe_set))
+        if not mask.any():
+            return pd.DataFrame(
+                {id_col: pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")}
+            )
+        sub = mat[mask]
+        ids = batch[id_col].to_numpy()[mask]
+        scores = round_half_away(_cosine_scores(sub, qv), round_dp)
+        order = np.lexsort((ids, -scores))[:k]
+        return pd.DataFrame({id_col: ids[order], "score": scores[order]})
+
+    partials = ds.select_columns([id_col, vec_col]).map_batches(
+        partial, batch_format="pandas"
+    )
+    allp = partials.to_pandas()
+    allp = allp.sort_values(["score", id_col], ascending=[False, True], kind="mergesort")
+    return allp.head(k).reset_index(drop=True)

@@ -327,3 +327,82 @@ def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
     if not sa or not sb:
         return 0.0
     return len(sa & sb) / len(sa | sb)
+
+
+def _string_shingles(text: str, k: int = 3) -> set[str]:
+    """Word k-shingles as STRINGS (not hashes) — the SQL-comparable form.
+    Texts shorter than k words collapse to one whole-text shingle."""
+    words = text.split()
+    if not words:
+        return set()
+    if len(words) < k:
+        return {" ".join(words)}
+    return {" ".join(words[i : i + k]) for i in range(len(words) - k + 1)}
+
+
+def ngram_jaccard_allpairs(
+    ds: "ray.data.Dataset",
+    threshold: float = 0.5,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_rows: int = 256,
+    round_dp: int = 4,
+) -> "ray.data.Dataset":
+    """Exact n-gram Jaccard over ALL pairs >= threshold (id_a < id_b).
+
+    Shingle sets are built distributed, broadcast once, and the O(N^2) pair
+    space fans out as row blocks (same broadcast-block pattern as
+    ann.cosine_neardup_pairs).  Exact all-pairs is the verification oracle —
+    quadratic by definition; at scale run minhash_lsh_pairs first and feed
+    only candidate pairs through ``ngram_jaccard``."""
+
+    def shingle_stage(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                id_col: b[id_col].to_numpy(np.int64),
+                "sh": [sorted(_string_shingles(t, k)) for t in b[text_col]],
+            }
+        )
+
+    sets_df = (
+        ds.select_columns([id_col, text_col])
+        .map_batches(shingle_stage, batch_format="pandas")
+        .to_pandas()
+        .sort_values(id_col, kind="mergesort")
+        .reset_index(drop=True)
+    )
+    ids = sets_df[id_col].to_numpy(np.int64)
+    shingle_sets = [set(s) for s in sets_df["sh"]]
+    ref = ray.put((ids, shingle_sets))
+    n = len(ids)
+    nblocks = max(1, (n + block_rows - 1) // block_rows)
+
+    def block_pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        ids_all, sets_all = ray.get(ref)
+        out = []
+        for blk in batch["id"].to_numpy():
+            lo = int(blk) * block_rows
+            hi = min(lo + block_rows, len(ids_all))
+            for i in range(lo, hi):
+                si = sets_all[i]
+                for j in range(i + 1, len(ids_all)):
+                    sj = sets_all[j]
+                    if not si and not sj:
+                        jac = 1.0
+                    elif not si or not sj:
+                        jac = 0.0
+                    else:
+                        inter = len(si & sj)
+                        jac = inter / (len(si) + len(sj) - inter)
+                    if jac >= threshold:
+                        out.append((int(min(ids_all[i], ids_all[j])),
+                                    int(max(ids_all[i], ids_all[j])),
+                                    round(jac, round_dp)))
+        return pd.DataFrame(out, columns=["id_a", "id_b", "jaccard"]).astype(
+            {"id_a": "int64", "id_b": "int64", "jaccard": "float64"}
+        )
+
+    return ray.data.range(nblocks).map_batches(
+        block_pairs, batch_format="pandas", batch_size=1
+    )
