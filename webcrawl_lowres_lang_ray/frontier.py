@@ -669,8 +669,13 @@ def load_ledger(out_dir: str, include_pending: bool = True) -> pd.DataFrame:
     import glob
 
     parts = sorted(glob.glob(os.path.join(out_dir, "ledger", "wave=*", "*.parquet")))
-    dfs = [pq.read_table(p).to_pandas() for p in parts]
-    ledger = pd.concat(dfs, ignore_index=True) if dfs else pd.DataFrame(columns=LEDGER_META_COLS)
+    if parts:
+        import pyarrow.dataset as pads
+
+        # multithreaded C++ scan across the many per-bucket partition files
+        ledger = pads.dataset(parts, format="parquet").to_table().to_pandas()
+    else:
+        ledger = pd.DataFrame(columns=LEDGER_META_COLS)
     if include_pending:
         fdirs = sorted(glob.glob(os.path.join(out_dir, "frontier", "wave=*")))
         if fdirs:

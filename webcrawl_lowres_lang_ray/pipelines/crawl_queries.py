@@ -17,7 +17,7 @@ import pandas as pd
 import ray.data
 
 from ..config import CrawlConfig
-from ..frontier import load_ledger, run_crawl
+from ..frontier import run_crawl
 from ..sources.synth import corpus_dir_for_sf, load_lexicon
 
 # generous politeness budget so the per-round driver check stays fast while
@@ -38,6 +38,19 @@ def _from_pandas_blocks(df: pd.DataFrame, rows_per_block: int = 256) -> "ray.dat
         for i in range(0, len(df), rows_per_block)
     ]
     return ray.data.from_pandas(chunks)
+
+
+_LEDGER_CACHE: dict[str, pd.DataFrame] = {}
+
+
+def load_ledger(out_dir: str) -> pd.DataFrame:
+    """Cached ledger load — every query callable reads the same crawl run."""
+    from ..frontier import load_ledger as _load
+
+    led = _LEDGER_CACHE.get(out_dir)
+    if led is None:
+        led = _LEDGER_CACHE[out_dir] = _load(out_dir)
+    return led
 
 
 def crawl_output_dir(sf_dir: str) -> str:
