@@ -164,66 +164,94 @@ def minhash_lsh_pairs(
 ) -> "ray.data.Dataset":
     """Candidate near-dup pairs with MinHash-estimated Jaccard >= threshold.
 
-    shingle -> minhash (per batch, vectorized) -> explode (band, band_hash)
-    rows -> groupby bucket -> intra-bucket pairs -> estimate from signature
-    agreement -> dedup pairs.  Returns (id_a, id_b, est_jaccard) sorted ids.
+    shingle -> minhash (per batch, vectorized) -> materialize compact
+    signature rows -> explode (band, band_hash:int64) rows ONLY (no signature
+    payload rides the shuffle — 512 B x bands per doc would dominate the
+    exchange) -> partitioned bucket candidate pairs -> distinct pairs ->
+    verify: estimate from full-signature agreement against the signature
+    matrix broadcast once via ray.put (the small side of the join; beyond
+    broadcast size, swap the verify stage for a shuffle join on id).
+    Returns (id_a, id_b, est_jaccard), id_a < id_b.
     """
     a, b = _perm_params(bands * rows_per_band)
 
     def sig_stage(batch: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for did, text in zip(batch[id_col], batch[text_col]):
-            sig = minhash_signature(text, a, b)
-            for band in range(bands):
-                chunk = sig[band * rows_per_band : (band + 1) * rows_per_band]
-                bh = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
-                rows.append((int(did), band, bh, sig.tobytes()))
-        out = pd.DataFrame(rows, columns=[id_col, "band", "band_hash", "sig"])
-        # partition key: all rows of one (band, band_hash) bucket land in the
-        # same partition group; buckets are then iterated vectorized inside it
-        out["part"] = pd.util.hash_pandas_object(
-            out["band"].astype(str) + out["band_hash"], index=False
-        ).to_numpy() % _PAIR_PARTITIONS
-        return out
+        sigs = [minhash_signature(t, a, b).tobytes() for t in batch[text_col]]
+        return pd.DataFrame({id_col: batch[id_col].to_numpy(np.int64), "sig": sigs})
 
-    banded = ds.select_columns([id_col, text_col]).map_batches(
-        sig_stage, batch_format="pandas"
+    sigs_ds = (
+        ds.select_columns([id_col, text_col])
+        .map_batches(sig_stage, batch_format="pandas")
+        .materialize()
     )
 
-    def part_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        lo_all, hi_all, est_all = [], [], []
+    # broadcast the signature matrix (id -> row) for the verify stage
+    sig_df = sigs_ds.to_pandas()
+    ids_all = sig_df[id_col].to_numpy(np.int64)
+    sigmat = np.frombuffer(b"".join(sig_df["sig"]), dtype=np.uint64).reshape(
+        len(sig_df), -1
+    )
+    row_of = {int(i): r for r, i in enumerate(ids_all)}
+    sig_ref = ray.put((row_of, sigmat))
+
+    def band_stage(batch: pd.DataFrame) -> pd.DataFrame:
+        n = len(batch)
+        ids = np.repeat(batch[id_col].to_numpy(np.int64), bands)
+        band = np.tile(np.arange(bands, dtype=np.int64), n)
+        bh = np.empty(n * bands, dtype=np.int64)
+        k = 0
+        for s in batch["sig"]:
+            for bi in range(bands):
+                chunk = s[bi * rows_per_band * 8 : (bi + 1) * rows_per_band * 8]
+                bh[k] = int.from_bytes(
+                    hashlib.blake2b(chunk, digest_size=8).digest(), "little"
+                ) >> 1
+                k += 1
+        out = pd.DataFrame({id_col: ids, "band": band, "band_hash": bh})
+        out["part"] = (
+            pd.util.hash_array((out["band"].to_numpy() << 56) ^ bh) % _PAIR_PARTITIONS
+        ).astype(np.int64)
+        return out
+
+    banded = sigs_ds.map_batches(band_stage, batch_format="pandas")
+
+    def part_cands(g: pd.DataFrame) -> pd.DataFrame:
+        lo_all, hi_all = [], []
         for _, sub in g.groupby(["band", "band_hash"], sort=False):
             c = len(sub)
             if c < 2:
                 continue
-            ids = sub[id_col].to_numpy(dtype=np.int64)
-            sigmat = np.frombuffer(b"".join(sub["sig"]), dtype=np.uint64).reshape(c, -1)
+            ids = sub[id_col].to_numpy(np.int64)
             iu, ju = np.triu_indices(c, 1)
-            est = (sigmat[iu] == sigmat[ju]).mean(axis=1)
-            keep = est >= threshold
-            if not keep.any():
-                continue
-            ida, idb = ids[iu[keep]], ids[ju[keep]]
-            lo_all.append(np.minimum(ida, idb))
-            hi_all.append(np.maximum(ida, idb))
-            est_all.append(np.round(est[keep], 4))
+            ia, ib = ids[iu], ids[ju]
+            lo_all.append(np.minimum(ia, ib))
+            hi_all.append(np.maximum(ia, ib))
         if not lo_all:
             return pd.DataFrame(
-                {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
-                 "est_jaccard": pd.Series(dtype="float64")}
+                {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")}
             )
-        return pd.DataFrame(
-            {"id_a": np.concatenate(lo_all), "id_b": np.concatenate(hi_all),
-             "est_jaccard": np.concatenate(est_all)}
+        out = pd.DataFrame(
+            {"id_a": np.concatenate(lo_all), "id_b": np.concatenate(hi_all)}
         )
+        # within-partition distinct (a pair recurs across this partition's
+        # bands); cross-partition dups fall to _dedup_pairs below
+        return out.drop_duplicates(["id_a", "id_b"])
 
-    pairs = banded.groupby("part").map_groups(part_pairs, batch_format="pandas")
+    cands = banded.groupby("part").map_groups(part_cands, batch_format="pandas")
+    cands = _dedup_pairs(cands, ["id_a", "id_b"])
 
-    # a pair can surface from several bands — keep one row per pair (the
-    # estimate comes from the full signature, so it is identical per band).
-    # NOT groupby(id_a,id_b).aggregate: per-group dispatch at 10^5 pair
-    # groups is ~ms each; hash-partition + vectorized drop_duplicates instead.
-    return _dedup_pairs(pairs, ["id_a", "id_b", "est_jaccard"])
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return batch.assign(est_jaccard=pd.Series(dtype="float64"))
+        rows, mat = ray.get(sig_ref)
+        ra = np.fromiter((rows[int(i)] for i in batch["id_a"]), dtype=np.int64, count=len(batch))
+        rb = np.fromiter((rows[int(i)] for i in batch["id_b"]), dtype=np.int64, count=len(batch))
+        est = np.round((mat[ra] == mat[rb]).mean(axis=1), 4)
+        out = batch.copy()
+        out["est_jaccard"] = est
+        return out.loc[est >= threshold].reset_index(drop=True)
+
+    return cands.map_batches(verify, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
