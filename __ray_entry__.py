@@ -58,6 +58,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_users_by_value": q.q_top_users_by_value,
         "order_priority_counts": q.q_order_priority_counts,
         "nation_region_rollup": q.q_nation_region_rollup,
+        "asof_click_view": q.q_asof_click_view,
+        "events_sliding_window": q.q_events_sliding_window,
+        "user_value_salted": q.q_user_value_salted,
         # --- embeddings: ANN / stats / near-dup ---
         "ann_topk": q.q_ann_topk,
         "label_counts": q.q_label_counts,
@@ -105,6 +108,9 @@ def oracle_sql() -> dict[str, str]:
         "top_users_by_value": q.SQL_TOP_USERS_BY_VALUE,
         "order_priority_counts": q.SQL_ORDER_PRIORITY_COUNTS,
         "nation_region_rollup": q.SQL_NATION_REGION_ROLLUP,
+        "asof_click_view": q.SQL_ASOF_CLICK_VIEW,
+        "events_sliding_window": q.SQL_EVENTS_SLIDING_WINDOW,
+        "user_value_salted": q.SQL_USER_VALUE_SALTED,
         "ann_topk": q.SQL_ANN_TOPK,
         "label_counts": q.SQL_LABEL_COUNTS,
         "embedding_norms": q.SQL_EMBEDDING_NORMS,

@@ -357,3 +357,92 @@ class TestNgramJaccardAllPairs:
         got_set = set(zip(got["id_a"], got["id_b"], got["jaccard"]))
         assert got_set == set(want)
         assert any(a == 0 and b == 1 for a, b, _ in want)  # exact dup pair present
+
+
+class TestWindows:
+    def _events(self, n=400, seed=5):
+        rng = np.random.RandomState(seed)
+        ts = pd.Timestamp("2024-01-01") + pd.to_timedelta(
+            np.sort(rng.randint(0, 3600 * 72, n)), unit="s"
+        )
+        return pd.DataFrame(
+            {
+                "event_id": np.arange(n, dtype=np.int64),
+                "ts": ts,
+                "user_id": rng.randint(0, 12, n).astype(np.int64),
+                "event_type": rng.choice(["view", "click"], n),
+                "value": rng.uniform(0, 10, n).round(2),
+            }
+        )
+
+    def test_asof_matches_pandas_merge_asof(self):
+        import ray.data as ray_data
+
+        from webcrawl_lowres_lang_ray.stages.windows import asof_join_by_key
+
+        df = self._events()
+        clicks = df.loc[df.event_type == "click"].drop(columns=["event_type"])
+        views = df.loc[df.event_type == "view"].drop(columns=["event_type"])
+        got = (
+            asof_join_by_key(
+                ray_data.from_pandas(clicks.reset_index(drop=True)),
+                ray_data.from_pandas(views.reset_index(drop=True)),
+                key="user_id", right_cols=("event_id",),
+            )
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        want = pd.merge_asof(
+            clicks.sort_values("ts"),
+            views[["user_id", "ts", "event_id"]].rename(
+                columns={"event_id": "event_id_r", "ts": "ts_r"}
+            ).sort_values("ts_r"),
+            left_on="ts", right_on="ts_r", by="user_id", direction="backward",
+        )
+        want = want.loc[want["ts_r"].notna()].sort_values("event_id").reset_index(drop=True)
+        assert list(got["event_id"]) == list(want["event_id"])
+        assert list(got["event_id_r"].astype(int)) == list(want["event_id_r"].astype(int))
+
+    def test_sliding_window_counts(self):
+        import ray.data as ray_data
+
+        from webcrawl_lowres_lang_ray.stages.windows import sliding_window_agg
+
+        df = self._events()
+        got = sliding_window_agg(
+            ray_data.from_pandas(df), "event_type", window_hours=3
+        ).to_pandas()
+        # oracle: per type, trailing 3-hour count over occupied hours
+        for etype, sub in df.groupby("event_type"):
+            hrs = sub.set_index(sub["ts"].dt.floor("h"))
+            counts = hrs.groupby(level=0).size()
+            for hr, _ in counts.items():
+                lo = hr - pd.Timedelta(hours=2)
+                want = int(counts[(counts.index >= lo) & (counts.index <= hr)].sum())
+                row = got.loc[
+                    (got["event_type"] == etype)
+                    & (got["hour"] == hr.strftime("%Y-%m-%d %H:00"))
+                ]
+                assert int(row["n_window"].iloc[0]) == want
+
+    def test_salted_sum_equals_plain(self):
+        import ray.data as ray_data
+
+        from webcrawl_lowres_lang_ray.stages.windows import salted_sum
+
+        df = self._events()
+        # make user 0 hot
+        df.loc[: len(df) // 2, "user_id"] = 0
+        got = (
+            salted_sum(ray_data.from_pandas(df), "user_id", "value", salt_n=8)
+            .to_pandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        want = df.groupby("user_id")["value"].sum().reset_index()
+        np.testing.assert_allclose(
+            got["sum_value"].to_numpy(),
+            want["value"].to_numpy(),
+            rtol=1e-9,
+        )

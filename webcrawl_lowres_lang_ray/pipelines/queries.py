@@ -656,3 +656,88 @@ SELECT doc_id,
        len(regexp_extract_all(text, '\w+|[^\w\s]')) AS bpeish_tokens
 FROM documents
 """
+
+
+# ===========================================================================
+# custom relational operators: as-of join, sliding window, salted groupby
+# (stages/windows.py — compositions Ray Data lacks natively)
+# ===========================================================================
+
+def q_asof_click_view(sf_dir: str):
+    """Per click event: the latest prior (<=) view by the same user, as a
+    distributed as-of join (hash-partition by user, merge_asof per part)."""
+    from ..stages.windows import asof_join_by_key
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    clicks = ev.filter(expr="event_type == 'click'").drop_columns(["event_type"])
+    views = ev.filter(expr="event_type == 'view'").drop_columns(["event_type"])
+    joined = asof_join_by_key(
+        clicks, views, key="user_id", ts_col="ts", right_cols=("event_id", "ts")
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": b["event_id"].astype("int64"),
+                "user_id": b["user_id"].astype("int64"),
+                "view_event_id": b["event_id_r"].astype("int64"),
+                "gap_sec": (b["ts"] - b["ts_r"]).dt.total_seconds().round(3),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
+SQL_ASOF_CLICK_VIEW = """
+SELECT c.event_id, c.user_id, v.event_id AS view_event_id,
+       round(epoch(c.ts - v.ts), 3) AS gap_sec
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON c.user_id = v.user_id AND c.ts >= v.ts
+"""
+
+
+def q_events_sliding_window(sf_dir: str):
+    """Trailing 3-hour windowed (count, value-sum) per event_type per
+    occupied hour (combiner pre-agg + per-group vectorized rolling)."""
+    from ..stages.windows import sliding_window_agg
+
+    ev = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    return sliding_window_agg(ev, "event_type", window_hours=3)
+
+
+SQL_EVENTS_SLIDING_WINDOW = """
+WITH h AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr,
+         count(*)::BIGINT AS n, sum(value) AS v
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, strftime(hr, '%Y-%m-%d %H:00') AS hour,
+       CAST(sum(n) OVER w AS BIGINT) AS n_window,
+       round(sum(v) OVER w, 2) AS v_window
+FROM h
+WINDOW w AS (PARTITION BY event_type ORDER BY hr
+             RANGE BETWEEN INTERVAL 2 HOURS PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_user_value_salted(sf_dir: str):
+    """groupby(user).sum(value) through the salted two-stage exchange (the
+    hot-key skew pattern; result equals the plain groupby, which is exactly
+    what the SQL gate asserts)."""
+    from ..stages.windows import salted_sum
+
+    ev = _read(sf_dir, "events", ["user_id", "value"])
+    out = salted_sum(ev, "user_id", "value", salt_n=16)
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["sum_value"] = b["sum_value"].round(2)
+        return b
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
+SQL_USER_VALUE_SALTED = """
+SELECT user_id, round(sum(value), 2) AS sum_value FROM events GROUP BY user_id
+"""

@@ -1,0 +1,170 @@
+"""Custom relational operators Ray Data lacks natively: as-of join,
+sliding-window aggregate, salted groupby.
+
+Each is a composition of map_batches + groupby().map_groups + vectorized
+pandas kernels (SURVEY.md §2 "custom operators" guidance: composition
+first, actor state only if semantics demand it — none of these do).
+
+Partitioning assumptions (documented per the build brief):
+* ``asof_join_by_key`` — correctness requires all rows of one key on one
+  partition; guaranteed here by the groupby(key-hash-partition) exchange.
+* ``sliding_window_agg`` — one partition per group key (small group-key
+  cardinality, e.g. event_type); each group's full time range is processed
+  vectorized in pandas.
+* ``salted_sum`` — no co-location requirement at stage 1 (the salt spreads
+  a hot key over ``salt_n`` reducers); stage 2 merges ``salt_n`` partials
+  per key, so the final exchange carries #keys x salt_n rows, never the
+  raw rows of a hot key.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+from ray.data.aggregate import Sum
+
+_PARTS = 64
+
+
+def _with_part(ds: "ray.data.Dataset", key: str) -> "ray.data.Dataset":
+    def add(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__part"] = (
+            pd.util.hash_array(b[key].to_numpy(np.int64)) % _PARTS
+        ).astype(np.int64)
+        return b
+
+    return ds.map_batches(add, batch_format="pandas")
+
+
+def asof_join_by_key(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    key: str,
+    ts_col: str = "ts",
+    right_cols: tuple[str, ...] = (),
+    suffix: str = "_r",
+) -> "ray.data.Dataset":
+    """For each left row, the latest right row with same ``key`` and
+    right.ts <= left.ts (inclusive — DuckDB ASOF JOIN semantics).  Left rows
+    with no prior right row are dropped (inner as-of).
+
+    Both sides are hash-partitioned on ``key`` into the same partition space
+    and each partition runs a vectorized ``pd.merge_asof`` (sorted by ts,
+    ``by=key``).  One key's rows always land in one partition, so the merge
+    is exact.
+    """
+    lt = _with_part(left, key).map_batches(
+        lambda b: b.assign(__side=np.int8(0)), batch_format="pandas"
+    )
+    rt = _with_part(right, key).map_batches(
+        lambda b: b.assign(__side=np.int8(1)), batch_format="pandas"
+    )
+    both = lt.union(rt)
+
+    def merge_part(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g.loc[g["__side"] == 0].drop(columns=["__part", "__side"])
+        rg = g.loc[g["__side"] == 1].drop(columns=["__part", "__side"])
+        if len(lg) == 0 or len(rg) == 0:
+            out = lg.iloc[0:0].copy()
+            for c in right_cols:
+                out[c + suffix] = pd.Series(dtype=rg[c].dtype if c in rg else "object")
+            return out
+        lg = lg.sort_values([ts_col, "event_id"] if "event_id" in lg else ts_col,
+                            kind="mergesort")
+        extra = [c for c in right_cols if c not in (key, ts_col)]
+        rg = rg[[key, ts_col, *extra]].copy()
+        rg.columns = [key, ts_col + suffix, *[c + suffix for c in extra]]
+        rg = rg.sort_values(ts_col + suffix, kind="mergesort")
+        merged = pd.merge_asof(
+            lg, rg,
+            left_on=ts_col, right_on=ts_col + suffix,
+            by=key, allow_exact_matches=True, direction="backward",
+        )
+        merged = merged.loc[merged[ts_col + suffix].notna()]
+        if ts_col not in right_cols:
+            merged = merged.drop(columns=[ts_col + suffix])
+        return merged
+
+    return both.groupby("__part").map_groups(merge_part, batch_format="pandas")
+
+
+def sliding_window_agg(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_hours: int = 3,
+) -> "ray.data.Dataset":
+    """Per (group, hour): count and value-sum over the trailing
+    ``window_hours``-hour window (RANGE semantics: [hour - (w-1)h, hour],
+    only hours that actually contain rows are emitted).
+
+    Stage 1 pre-aggregates (group, hour) partials inside map_batches (the
+    combiner pattern — the shuffle carries one row per group-hour per batch,
+    not raw events).  Stage 2 is one vectorized pandas pass per group:
+    reindex to the full hourly grid, rolling(window) sum, re-filter to
+    occupied hours.
+    """
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        hr = b[ts_col].dt.floor("h")
+        g = (
+            b.assign(hr=hr)
+            .groupby([group_col, "hr"], sort=False, observed=True)
+            .agg(n=(value_col, "size"), v=(value_col, "sum"))
+            .reset_index()
+        )
+        return g
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby("hr", sort=True).agg(n=("n", "sum"), v=("v", "sum"))
+        grid = pd.date_range(g.index.min(), g.index.max(), freq="h")
+        filled = g.reindex(grid, fill_value=0)
+        out = pd.DataFrame(
+            {
+                "n_window": filled["n"].rolling(window_hours, min_periods=1).sum().astype(np.int64),
+                "v_window": filled["v"].rolling(window_hours, min_periods=1).sum().round(2),
+            },
+            index=grid,
+        )
+        out = out.loc[g.index[g["n"] > 0]]
+        out.insert(0, "hour", out.index.strftime("%Y-%m-%d %H:00"))
+        return out.reset_index(drop=True)
+
+    def roll_group(g: pd.DataFrame) -> pd.DataFrame:
+        key = g[group_col].iloc[0]
+        out = roll(g)
+        out.insert(0, group_col, key)
+        return out
+
+    return partials.groupby(group_col).map_groups(roll_group, batch_format="pandas")
+
+
+def salted_sum(
+    ds: "ray.data.Dataset",
+    key: str,
+    value_col: str,
+    salt_n: int = 16,
+) -> "ray.data.Dataset":
+    """groupby(key).sum(value) with hot-key salting: stage 1 groups on
+    (key, salt) so a hot key's rows spread over ``salt_n`` reducers; stage 2
+    merges the per-salt partials.  Identical result to a plain groupby-sum
+    (asserted by the SQL gate) — the point is the exchange shape under skew.
+    """
+
+    def add_salt(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__salt"] = np.arange(len(b), dtype=np.int64) % salt_n
+        return b
+
+    stage1 = (
+        ds.map_batches(add_salt, batch_format="pandas")
+        .groupby([key, "__salt"])
+        .aggregate(Sum(value_col, alias_name="__partial"))
+    )
+    return stage1.groupby(key).aggregate(Sum("__partial", alias_name="sum_" + value_col))
