@@ -44,6 +44,11 @@ BENCH_QUERIES = [
     "top_users_by_value",
     "ann_topk",
     "doc_quality",
+    "token_counts",
+    "asof_click_view",
+    "events_sliding_window",
+    "user_value_salted",
+    "embedding_neardup",
 ]
 
 
