@@ -87,59 +87,39 @@ def _en_para(rng: random.Random, n: int) -> str:
     return " ".join(rng.choices(_EN_WORDS, k=n))
 
 
-def generate_corpus(out_dir: str, scfg: SynthConfig, ccfg: CrawlConfig | None = None) -> None:
-    """Write the full corpus (pages buckets, seeds, lexicon, robots, english_ref)."""
-    ccfg = ccfg or CrawlConfig()
-    rng = random.Random(scfg.seed)
-    os.makedirs(out_dir, exist_ok=True)
+_GEN_CTX: dict | None = None
 
-    lexicon = make_lexicon(rng, scfg.lexicon_size)
-    lex_words = list(lexicon.keys())
-    lex_weights = list(lexicon.values())
-    scorer = LangScoringModel(lexicon, ccfg)
 
-    # --- hosts, zipf-skewed (alpha < 1: hot hosts exist — the skew axis —
-    # but no single host owns double-digit percent of the web, which would
-    # turn any politeness-correct crawl into a single-host serial tail) ---
-    hosts = [f"host{i:03d}.example.org" for i in range(scfg.n_hosts)]
-    host_weights = [1.0 / (i + 1) ** 0.85 for i in range(scfg.n_hosts)]
-    robots_disallow = {
-        h: ["/private/"] for i, h in enumerate(hosts) if i % 5 == 2
-    }
+def _gen_init(ctx: dict) -> None:
+    global _GEN_CTX
+    _GEN_CTX = ctx
 
-    # --- page urls ---
-    n = scfg.n_pages
-    page_host = rng.choices(range(scfg.n_hosts), weights=host_weights, k=n)
-    urls = []
-    for pid in range(n):
-        h = hosts[page_host[pid]]
-        style = rng.random()
-        if style < 0.08 and h in robots_disallow:
-            path = f"/private/p{pid}"
-        elif style < 0.5:
-            path = f"/p/{pid}"
-        elif style < 0.8:
-            path = f"/articles/{pid}.html"
-        else:
-            path = f"/p/{pid}?ref=nav"
-        urls.append(f"https://{h}{path}")
 
-    # --- page bodies ---
-    htmls: list[bytes] = [b""] * n
-    base_ts = datetime(2024, 1, 1)
-    dup_sources: list[int] = []
-    for pid in range(n):
-        r = rng.random()
-        if r < scfg.empty_fraction:
-            htmls[pid] = rng.choice(
-                [b"", b"<html><body>   \n\n   </body></html>"]
-            )
+def _build_pages_chunk(args: tuple[int, int]) -> list[bytes]:
+    """Build the html for pids [lo, hi) that are 'normal' kind.  Each page is
+    driven by its own seeded Random — independent of every other page, which
+    is what makes generation order-free and parallel while staying
+    deterministic."""
+    lo, hi = args
+    ctx = _GEN_CTX
+    seed = ctx["seed"]
+    hosts = ctx["hosts"]
+    urls = ctx["urls"]
+    lex_words = ctx["lex_words"]
+    lex_weights = ctx["lex_weights"]
+    excluded = ctx["excluded"]
+    kinds = ctx["kinds"]
+    latin1_fraction = ctx["latin1_fraction"]
+    dead_link_fraction = ctx["dead_link_fraction"]
+    n = len(urls)
+    n_hosts = len(hosts)
+    out: list[bytes] = []
+    for pid in range(lo, hi):
+        if kinds[pid] != 0:
+            out.append(b"")
             continue
-        if r < scfg.empty_fraction + scfg.dup_fraction and dup_sources:
-            htmls[pid] = htmls[rng.choice(dup_sources)]
-            continue
-
-        latin1 = rng.random() < scfg.latin1_fraction
+        rng = random.Random(f"{seed}:page:{pid}")
+        latin1 = rng.random() < latin1_fraction
         charset = "iso-8859-1" if latin1 else "utf-8"
         # page weight ~ real crawl text: a few hundred to ~2k words
         n_paras = rng.randint(2, 12)
@@ -156,14 +136,14 @@ def generate_corpus(out_dir: str, scfg: SynthConfig, ccfg: CrawlConfig | None = 
         links = []
         for _ in range(n_links):
             lr = rng.random()
-            if lr < scfg.dead_link_fraction:
+            if lr < dead_link_fraction:
                 links.append(
-                    f"https://{hosts[rng.randrange(scfg.n_hosts)]}/missing/{rng.randrange(10 * n)}"
+                    f"https://{hosts[rng.randrange(n_hosts)]}/missing/{rng.randrange(10 * n)}"
                 )
-            elif lr < scfg.dead_link_fraction + 0.06:
+            elif lr < dead_link_fraction + 0.06:
                 links.append(f"/p/{rng.randrange(n)}")  # relative href
-            elif lr < scfg.dead_link_fraction + 0.10:
-                links.append(f"https://{rng.choice(ccfg.excluded_domains)}/x{pid}")
+            elif lr < dead_link_fraction + 0.10:
+                links.append(f"https://{rng.choice(excluded)}/x{pid}")
             else:
                 links.append(urls[rng.randrange(n)])
 
@@ -184,16 +164,133 @@ def generate_corpus(out_dir: str, scfg: SynthConfig, ccfg: CrawlConfig | None = 
         for u in links[len(_NAV_WORDS):]:
             body_parts.append(f'<a href="{u}">more</a>')
         body_parts.append("<script>var x = 1;</script></body></html>")
-        html_str = "\n".join(body_parts)
-        htmls[pid] = html_str.encode(charset, errors="replace")
-        dup_sources.append(pid)
+        out.append("\n".join(body_parts).encode(charset, errors="replace"))
+    return out
 
-    # --- golden text + lang ---
-    texts = [extract_text_from_html_bytes(h) for h in htmls]
-    langs = []
-    for t in texts:
+
+def _score_chunk(htmls: list[bytes]) -> tuple[list[str], list[str]]:
+    """Golden text + lang for a chunk (same kernels the engine runs)."""
+    ctx = _GEN_CTX
+    global _GEN_SCORER
+    try:
+        scorer = _GEN_SCORER  # noqa: F821
+    except NameError:
+        globals()["_GEN_SCORER"] = scorer = LangScoringModel(ctx["lexicon"], CrawlConfig())
+    texts, langs = [], []
+    for h in htmls:
+        t = extract_text_from_html_bytes(h)
+        texts.append(t)
         res = scorer.score_text(t)
         langs.append(res.full_lang if res.full_lang is not None else "<NONE>")
+    return texts, langs
+
+
+def generate_corpus(out_dir: str, scfg: SynthConfig, ccfg: CrawlConfig | None = None) -> None:
+    """Write the full corpus (pages buckets, seeds, lexicon, robots,
+    english_ref).  Deterministic from the seed AND parallel: global
+    structure (hosts, kinds, urls) comes from seeded numpy vectors, page
+    bodies from per-page seeded Randoms, so chunks can build on a
+    multiprocessing pool in any order."""
+    import multiprocessing as mp
+
+    import numpy as np
+
+    ccfg = ccfg or CrawlConfig()
+    rng = random.Random(scfg.seed)
+    os.makedirs(out_dir, exist_ok=True)
+
+    lexicon = make_lexicon(rng, scfg.lexicon_size)
+    lex_words = list(lexicon.keys())
+    lex_weights = list(lexicon.values())
+
+    # --- hosts, zipf-skewed (alpha < 1: hot hosts exist — the skew axis —
+    # but no single host owns double-digit percent of the web, which would
+    # turn any politeness-correct crawl into a single-host serial tail) ---
+    hosts = [f"host{i:03d}.example.org" for i in range(scfg.n_hosts)]
+    host_weights = np.array([1.0 / (i + 1) ** 0.85 for i in range(scfg.n_hosts)])
+    robots_disallow = {
+        h: ["/private/"] for i, h in enumerate(hosts) if i % 5 == 2
+    }
+    robots_hosts = set(robots_disallow)
+
+    # --- vectorized global structure (seeded numpy: order-free) ---
+    n = scfg.n_pages
+    nprng = np.random.RandomState(scfg.seed ^ 0x5EED)
+    page_host = nprng.choice(
+        scfg.n_hosts, size=n, p=host_weights / host_weights.sum()
+    )
+    style = nprng.random_sample(n)
+    kind_r = nprng.random_sample(n)
+    # kind: 0 normal, 1 empty, 2 dup-of-earlier
+    kinds = np.zeros(n, dtype=np.int8)
+    kinds[kind_r < scfg.empty_fraction + scfg.dup_fraction] = 2
+    kinds[kind_r < scfg.empty_fraction] = 1
+    kinds[0] = 0  # a dup needs an earlier page
+    empty_variant = nprng.randint(0, 2, size=n)
+    dup_target_raw = (nprng.random_sample(n) * np.arange(n)).astype(np.int64)
+
+    urls = []
+    for pid in range(n):
+        h = hosts[page_host[pid]]
+        s = style[pid]
+        if s < 0.08 and h in robots_hosts:
+            path = f"/private/p{pid}"
+        elif s < 0.5:
+            path = f"/p/{pid}"
+        elif s < 0.8:
+            path = f"/articles/{pid}.html"
+        else:
+            path = f"/p/{pid}?ref=nav"
+        urls.append(f"https://{h}{path}")
+
+    # --- page bodies: normal pages in parallel, then empties + dup chains ---
+    ctx = {
+        "seed": scfg.seed,
+        "hosts": hosts,
+        "urls": urls,
+        "lex_words": lex_words,
+        "lex_weights": lex_weights,
+        "lexicon": lexicon,
+        "excluded": list(ccfg.excluded_domains),
+        "kinds": kinds,
+        "latin1_fraction": scfg.latin1_fraction,
+        "dead_link_fraction": scfg.dead_link_fraction,
+    }
+    chunk = 4096
+    spans = [(lo, min(lo + chunk, n)) for lo in range(0, n, chunk)]
+    procs = min(16, max(1, (os.cpu_count() or 8) - 2))
+    if n >= 20000:
+        with mp.Pool(procs, initializer=_gen_init, initargs=(ctx,)) as pool:
+            chunks = pool.map(_build_pages_chunk, spans)
+    else:
+        _gen_init(ctx)
+        chunks = [_build_pages_chunk(s) for s in spans]
+    htmls: list[bytes] = [h for c in chunks for h in c]
+
+    empty_bodies = [b"", b"<html><body>   \n\n   </body></html>"]
+    for pid in np.nonzero(kinds == 1)[0]:
+        htmls[pid] = empty_bodies[empty_variant[pid]]
+    # dup chains: follow target until a non-dup page; empty targets fall
+    # through to the empty body (still a byte-identical dup pair)
+    for pid in np.nonzero(kinds == 2)[0]:
+        t = int(dup_target_raw[pid])
+        hops = 0
+        while kinds[t] == 2 and hops < 64:
+            t = int(dup_target_raw[t])
+            hops += 1
+        htmls[pid] = htmls[t]
+
+    # --- golden text + lang (parallel; same kernels as the engine) ---
+    score_spans = [htmls[lo:hi] for lo, hi in spans]
+    if n >= 20000:
+        with mp.Pool(procs, initializer=_gen_init, initargs=(ctx,)) as pool:
+            scored = pool.map(_score_chunk, score_spans)
+    else:
+        _gen_init(ctx)
+        scored = [_score_chunk(s) for s in score_spans]
+    texts = [t for ts, _ in scored for t in ts]
+    langs = [l for _, ls in scored for l in ls]
+    base_ts = datetime(2024, 1, 1)
     warc_ts = [base_ts + timedelta(seconds=pid) for pid in range(n)]
 
     # --- write pages partitioned by canonical-sha1 bucket ---
@@ -269,11 +366,11 @@ def generate_corpus(out_dir: str, scfg: SynthConfig, ccfg: CrawlConfig | None = 
         f.write(f"n_pages={n} seed={scfg.seed}\n")
 
 
-_SF_PAGES = {"0.001": 500, "0.01": 5000, "0.1": 150000}
+_SF_PAGES = {"0.001": 500, "0.01": 5000, "0.1": 300000}
 
 # bump when generation/extraction/scoring semantics change so cached corpora
 # under /tmp are regenerated rather than silently reused
-CORPUS_VERSION = 6
+CORPUS_VERSION = 7
 
 
 def corpus_dir_for_sf(sf_dir: str, cache_root: str = "/tmp/wllr_corpus") -> str:
