@@ -13,10 +13,12 @@ Prints ONE JSON line:
   {"metric": ..., "value": sec, "unit": "sec", "queries": {...},
    "sf": ..., "num_cpus": N, "urls_per_sec": ..., "crawl": {...}}
 
---scaling: runs the headline crawl in fresh subprocesses at 8 and 32 cpus
-on the SAME input and reports both throughputs + scaling efficiency
-(throughput32 / (4 * throughput8)) — the sandbox substitute for the north
-rule's N vs 4N cluster sizes.
+--scaling [lo hi]: runs the headline crawl in fresh subprocesses at lo and
+hi cpus (default 4 and 16) on the SAME input and reports both throughputs,
+the raw scaling efficiency (tput_hi / ((hi/lo) * tput_lo)), the machine's
+own same-payload multiprocessing ceiling at those process counts, and the
+efficiency relative to that ceiling — the sandbox substitute for the north
+rule's N vs 4N cluster sizes (see BASELINE.md).
 """
 
 from __future__ import annotations

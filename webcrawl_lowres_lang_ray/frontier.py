@@ -6,9 +6,9 @@ num_threads=1 FIFO semantics) with Ray Data execution per wave:
   frontier parquet (sorted spill)                        [checkpoint.py]
     -> politeness admission   groupby(host) head-k by seq [state/politeness.py]
     -> relative-URL skip + robots gate                    [state/robots.py actors]
-    -> fetch = partitioned hash join vs the page table,
-       one task per url-hash bucket (the pages parquet is
-       pre-partitioned by canonical-SHA-1 bucket)         [_fetch_group]
+    -> fetch = partitioned hash join vs the page table
+       (pre-partitioned by canonical-SHA-1 bucket); bucket
+       groups LPT-bin-packed into ~4x cluster-CPU tasks    [_fetch_group]
     -> extract + clean + score + link-extract             [_score_batch, model
        in one map_batches stage                            cached per worker]
     -> ledger partition write  ledger/wave=N/
@@ -145,11 +145,11 @@ def _fetch_group(pages_dir: str):
     """Partitioned hash join against the page table, one bucket at a time.
 
     Each call reads the bucket file(s) its rows map to with an
-    `url in (...)` predicate (row-group pushdown) and left-joins.  In the
-    distributed path the wave is laid out one BLOCK per bucket
-    (ray.data.from_pandas of per-bucket frames + map_batches with
-    batch_size=None), so a task touches exactly one bucket file — the
-    explicit partitioned-join pattern without a sort shuffle.
+    `url in (...)` predicate pushed into the Parquet read and left-joins.
+    In the distributed path the wave's rows arrive grouped by bucket
+    (LPT-bin-packed bucket groups, see run_crawl), so a task reads each of
+    its buckets' files exactly once — the explicit partitioned-join pattern
+    without a sort shuffle.
     """
 
     def fetch_one(g: pd.DataFrame) -> pd.DataFrame:
@@ -372,17 +372,31 @@ def _insert_driver(
 def _insert_ray(
     cand_ds: "ray.data.Dataset", seen_shards, base_seq: int, cfg: CrawlConfig
 ) -> pd.DataFrame:
-    """Distributed insertion over PREPARED candidates: per-key dedup groupby
-    -> seen-filter inside map_batches (actor RPCs from tasks) -> two-pass
+    """Distributed insertion over PREPARED candidates: per-key dedup via
+    hash-partitioned vectorized drop_duplicates (NOT groupby(key).map_groups
+    — per-group dispatch at 10^5+ distinct urls costs ~ms each) ->
+    seen-filter inside map_batches (actor RPCs from tasks) -> two-pass
     bucket-histogram rank for global seq assignment."""
-    prepared = cand_ds
 
-    def first_occurrence(g: pd.DataFrame) -> pd.DataFrame:
+    def add_part(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return b.assign(dedup_part=pd.Series(dtype="int64"))
+        b = b.copy()
+        b["dedup_part"] = (
+            pd.util.hash_array(b["canon_sha1"].to_numpy(object)) % 64
+        ).astype(np.int64)
+        return b
+
+    def first_occurrence_part(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["ord1", "ord2"], kind="mergesort")
-        return g.head(1)
+        return g.drop_duplicates("canon_sha1", keep="first").drop(
+            columns=["dedup_part"]
+        )
 
-    deduped = prepared.groupby("canon_sha1").map_groups(
-        first_occurrence, batch_format="pandas"
+    deduped = (
+        cand_ds.map_batches(add_part, batch_format="pandas")
+        .groupby("dedup_part")
+        .map_groups(first_occurrence_part, batch_format="pandas")
     )
 
     def seen_stage(b: pd.DataFrame) -> pd.DataFrame:
