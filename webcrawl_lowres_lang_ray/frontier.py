@@ -132,12 +132,30 @@ def _admit_driver(df: pd.DataFrame, k: int) -> pd.DataFrame:
 
 
 def _admit_ray(ds: "ray.data.Dataset", k: int) -> pd.DataFrame:
-    def mark(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("seq", kind="mergesort")
-        g["admit"] = np.arange(len(g)) < k
-        return g
+    """Distributed politeness admission: hash-partition by host (all rows of
+    one host in one partition), then a vectorized per-partition pandas
+    groupby-cumcount — not one map_groups dispatch per host (ms each at
+    10^5+ hosts)."""
 
-    out = ds.groupby("host").map_groups(mark, batch_format="pandas")
+    def add_part(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return b.assign(admit_part=pd.Series(dtype="int64"))
+        b = b.copy()
+        b["admit_part"] = (
+            pd.util.hash_array(b["host"].to_numpy(object)) % 64
+        ).astype(np.int64)
+        return b
+
+    def mark_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("seq", kind="mergesort")
+        g["admit"] = g.groupby("host").cumcount() < k
+        return g.drop(columns=["admit_part"])
+
+    out = (
+        ds.map_batches(add_part, batch_format="pandas")
+        .groupby("admit_part")
+        .map_groups(mark_part, batch_format="pandas")
+    )
     return out.to_pandas()
 
 
