@@ -23,7 +23,6 @@ import numpy as np
 import pandas as pd
 
 import ray.data
-from ray.data.aggregate import Sum
 
 _PARTS = 64
 
@@ -157,14 +156,38 @@ def salted_sum(
     (asserted by the SQL gate) — the point is the exchange shape under skew.
     """
 
-    def add_salt(b: pd.DataFrame) -> pd.DataFrame:
+    def salted_partial(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()
         b["__salt"] = np.arange(len(b), dtype=np.int64) % salt_n
-        return b
+        out = (
+            b.groupby([key, "__salt"], sort=False)[value_col].sum().reset_index()
+        ).rename(columns={value_col: "__partial"})
+        # stage-1 reducer routing: (key, salt) — a hot key spreads over
+        # salt_n reducers
+        out["__p1"] = (
+            pd.util.hash_pandas_object(out[[key, "__salt"]], index=False)
+            % _PARTS
+        ).astype(np.int64)
+        return out
 
-    stage1 = (
-        ds.map_batches(add_salt, batch_format="pandas")
-        .groupby([key, "__salt"])
-        .aggregate(Sum(value_col, alias_name="__partial"))
+    def stage1_merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby([key, "__salt"], sort=False)["__partial"].sum().reset_index()
+        out["__p2"] = (
+            pd.util.hash_array(out[key].to_numpy(np.int64)) % _PARTS
+        ).astype(np.int64)
+        return out
+
+    def stage2_merge(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.groupby(key, sort=False)["__partial"].sum()
+            .rename("sum_" + value_col)
+            .reset_index()
+        )
+
+    return (
+        ds.map_batches(salted_partial, batch_format="pandas")
+        .groupby("__p1")
+        .map_groups(stage1_merge, batch_format="pandas")
+        .groupby("__p2")
+        .map_groups(stage2_merge, batch_format="pandas")
     )
-    return stage1.groupby(key).aggregate(Sum("__partial", alias_name="sum_" + value_col))
