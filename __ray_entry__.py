@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_click_view": q.q_asof_click_view,
         "events_sliding_window": q.q_events_sliding_window,
         "user_value_salted": q.q_user_value_salted,
+        "event_value_quantiles": q.q_event_value_quantiles,
         # --- embeddings: ANN / stats / near-dup ---
         "ann_topk": q.q_ann_topk,
         "label_counts": q.q_label_counts,
@@ -111,6 +112,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_click_view": q.SQL_ASOF_CLICK_VIEW,
         "events_sliding_window": q.SQL_EVENTS_SLIDING_WINDOW,
         "user_value_salted": q.SQL_USER_VALUE_SALTED,
+        "event_value_quantiles": q.SQL_EVENT_VALUE_QUANTILES,
         "ann_topk": q.SQL_ANN_TOPK,
         "label_counts": q.SQL_LABEL_COUNTS,
         "embedding_norms": q.SQL_EMBEDDING_NORMS,

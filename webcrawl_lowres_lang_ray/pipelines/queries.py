@@ -797,3 +797,20 @@ def q_user_value_salted(sf_dir: str):
 SQL_USER_VALUE_SALTED = """
 SELECT user_id, round(sum(value), 2) AS sum_value FROM events GROUP BY user_id
 """
+
+
+def q_event_value_quantiles(sf_dir: str):
+    """Exact per-event-type value quantiles (DuckDB quantile_cont parity)."""
+    from ..stages.windows import grouped_quantiles
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    return grouped_quantiles(ev, "event_type", "value")
+
+
+SQL_EVENT_VALUE_QUANTILES = """
+SELECT event_type,
+       round(quantile_cont(value, 0.25), 4) AS q25,
+       round(quantile_cont(value, 0.50), 4) AS q50,
+       round(quantile_cont(value, 0.90), 4) AS q90
+FROM events GROUP BY event_type
+"""

@@ -191,3 +191,34 @@ def salted_sum(
         .groupby("__p2")
         .map_groups(stage2_merge, batch_format="pandas")
     )
+
+
+def grouped_quantiles(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    value_col: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.9),
+    round_dp: int = 4,
+) -> "ray.data.Dataset":
+    """Exact per-group quantiles (linear interpolation — DuckDB
+    quantile_cont semantics, verified equal to numpy 'linear').
+
+    Exact quantiles need each group's full value multiset co-located, so
+    this shuffles values per group — correct for low group cardinality
+    (event types, languages, segments).  For high-cardinality or giant
+    groups the scale path is a mergeable sketch (t-digest / KLL) built as
+    map_batches partials; exact is the oracle the sketch is tested against.
+    """
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        v = g[value_col].to_numpy(np.float64)
+        row = {group_col: g[group_col].iloc[0]}
+        for q in qs:
+            row[f"q{int(q * 100)}"] = round(float(np.quantile(v, q, method="linear")), round_dp)
+        return pd.DataFrame([row])
+
+    return (
+        ds.select_columns([group_col, value_col])
+        .groupby(group_col)
+        .map_groups(per_group, batch_format="pandas")
+    )
