@@ -446,3 +446,81 @@ class TestWindows:
             want["value"].to_numpy(),
             rtol=1e-9,
         )
+
+
+class TestSketches:
+    def test_tdigest_quantiles_close_to_exact(self):
+        from webcrawl_lowres_lang_ray.stages.sketch import TDigest
+
+        rng = np.random.RandomState(21)
+        vals = np.concatenate([rng.randn(20000) * 3 + 10, rng.exponential(5, 20000)])
+        d = TDigest(200)
+        for chunk in np.array_split(vals, 40):
+            d.add(chunk)
+        for q in (0.01, 0.25, 0.5, 0.9, 0.99):
+            exact = np.quantile(vals, q)
+            approx = d.quantile(q)
+            spread = np.quantile(vals, 0.99) - np.quantile(vals, 0.01)
+            assert abs(approx - exact) <= 0.02 * spread, (q, exact, approx)
+
+    def test_tdigest_merge_matches_single(self):
+        from webcrawl_lowres_lang_ray.stages.sketch import TDigest
+
+        rng = np.random.RandomState(22)
+        a, b = rng.randn(5000), rng.randn(5000) + 2
+        m = TDigest(200).add(a).merge(TDigest(200).add(b))
+        allv = np.concatenate([a, b])
+        for q in (0.1, 0.5, 0.9):
+            assert abs(m.quantile(q) - np.quantile(allv, q)) < 0.1
+
+    def test_approx_grouped_quantiles_ds(self):
+        import ray.data as ray_data
+
+        from webcrawl_lowres_lang_ray.stages.sketch import approx_grouped_quantiles
+
+        rng = np.random.RandomState(23)
+        df = pd.DataFrame(
+            {
+                "g": rng.choice(["a", "b"], 30000),
+                "v": rng.uniform(0, 100, 30000),
+            }
+        )
+        chunks = [df.iloc[i : i + 2000].reset_index(drop=True) for i in range(0, len(df), 2000)]
+        got = approx_grouped_quantiles(
+            ray_data.from_pandas(chunks), "g", "v"
+        ).to_pandas().set_index("g")
+        for g, sub in df.groupby("g"):
+            for q, col in ((0.25, "q25"), (0.5, "q50"), (0.9, "q90")):
+                exact = np.quantile(sub["v"], q)
+                assert abs(got.loc[g, col] - exact) <= 2.0, (g, col, exact, got.loc[g, col])
+
+    def test_hll_error_bound(self):
+        from webcrawl_lowres_lang_ray.stages.sketch import HyperLogLog
+
+        rng = np.random.RandomState(24)
+        true_n = 50000
+        h = pd.util.hash_array(np.arange(true_n)).astype(np.uint64)
+        hll = HyperLogLog(12)
+        for chunk in np.array_split(h, 20):
+            hll.add_hashes(chunk)
+        est = hll.estimate()
+        assert abs(est - true_n) / true_n < 0.05, est
+
+    def test_approx_distinct_ds_grouped(self):
+        import ray.data as ray_data
+
+        from webcrawl_lowres_lang_ray.stages.sketch import approx_distinct
+
+        rng = np.random.RandomState(25)
+        df = pd.DataFrame(
+            {
+                "g": rng.choice(["x", "y"], 40000),
+                "k": rng.randint(0, 3000, 40000),
+            }
+        )
+        chunks = [df.iloc[i : i + 4000].reset_index(drop=True) for i in range(0, len(df), 4000)]
+        got = approx_distinct(ray_data.from_pandas(chunks), "k", "g").set_index("g")
+        for g, sub in df.groupby("g"):
+            true = sub["k"].nunique()
+            est = got.loc[g, "approx_distinct"]
+            assert abs(est - true) / true < 0.06, (g, true, est)

@@ -814,3 +814,21 @@ SELECT event_type,
        round(quantile_cont(value, 0.90), 4) AS q90
 FROM events GROUP BY event_type
 """
+
+
+def q_event_value_quantiles_approx(sf_dir: str):
+    """t-digest approximate per-type quantiles — the sketch scale path of
+    q_event_value_quantiles (accuracy pinned by tests/test_stages.py)."""
+    from ..stages.sketch import approx_grouped_quantiles
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    return approx_grouped_quantiles(ev, "event_type", "value")
+
+
+def q_approx_distinct_users(sf_dir: str):
+    """HyperLogLog approximate distinct users per event_type (exchange
+    carries 4KB register arrays, never keys)."""
+    from ..stages.sketch import approx_distinct
+
+    ev = _read(sf_dir, "events", ["event_type", "user_id"])
+    return approx_distinct(ev, "user_id", "event_type")

@@ -1,0 +1,222 @@
+"""Mergeable sketches — the approximate scale path for quantiles and
+distinct counts.
+
+Exact grouped quantiles (stages/windows.py:grouped_quantiles) must co-locate
+each group's full value multiset; exact distinct counts must shuffle every
+key.  At 100 TB both are sketch jobs:
+
+* ``TDigest``      — merging t-digest (Dunning): bounded centroid count,
+                     accurate at the tails.  Built per batch inside
+                     map_batches (the combiner), merged per group — the
+                     exchange carries centroids, never values.
+* ``HyperLogLog``  — dense HLL with 2^p registers; register arrays max-merge,
+                     so per-batch partials combine associatively.
+
+Both are deterministic for a fixed input partitioning given sorted merge
+order; accuracy (not bit-equality) is the contract, pinned by tests against
+the exact oracles.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+
+class TDigest:
+    """Merging t-digest over float64 values (k1 scale function ~ Dunning's
+    clustering by quantile limit)."""
+
+    def __init__(self, compression: float = 200.0):
+        self.compression = compression
+        self.means = np.empty(0, dtype=np.float64)
+        self.weights = np.empty(0, dtype=np.float64)
+
+    def add(self, values: np.ndarray) -> "TDigest":
+        if len(values):
+            self.means = np.concatenate([self.means, values.astype(np.float64)])
+            self.weights = np.concatenate(
+                [self.weights, np.ones(len(values), dtype=np.float64)]
+            )
+            self._compress()
+        return self
+
+    def merge(self, other: "TDigest") -> "TDigest":
+        self.means = np.concatenate([self.means, other.means])
+        self.weights = np.concatenate([self.weights, other.weights])
+        self._compress()
+        return self
+
+    def _compress(self) -> None:
+        if len(self.means) <= self.compression:
+            order = np.argsort(self.means, kind="mergesort")
+            self.means, self.weights = self.means[order], self.weights[order]
+            return
+        order = np.argsort(self.means, kind="mergesort")
+        means, weights = self.means[order], self.weights[order]
+        total = weights.sum()
+        # q-limit boundaries: centroid i may absorb until its cumulative
+        # quantile crosses the next k-boundary (k = compression/2 slices of
+        # the arcsine scale, denser at the tails)
+        k_limit = int(self.compression)
+        out_m, out_w = [], []
+        qa = 0.0
+        cur_m, cur_w = means[0] * weights[0], weights[0]
+        # next quantile boundary via arcsine spacing
+        def limit(q):
+            k = np.ceil(k_limit * (np.arcsin(2 * min(max(q, 0.0), 1.0) - 1) / np.pi + 0.5) + 1e-9)
+            return (np.sin(np.pi * (k / k_limit - 0.5)) + 1) / 2
+
+        bound = limit(qa + cur_w / total)
+        for m, w in zip(means[1:], weights[1:]):
+            if (qa + (cur_w + w) / total) <= bound + 1e-12:
+                cur_m += m * w
+                cur_w += w
+            else:
+                out_m.append(cur_m / cur_w)
+                out_w.append(cur_w)
+                qa += cur_w / total
+                cur_m, cur_w = m * w, w
+                bound = limit(qa + w / total)
+        out_m.append(cur_m / cur_w)
+        out_w.append(cur_w)
+        self.means = np.asarray(out_m)
+        self.weights = np.asarray(out_w)
+
+    def quantile(self, q: float) -> float:
+        if len(self.means) == 0:
+            return float("nan")
+        if len(self.means) == 1:
+            return float(self.means[0])
+        cum = np.cumsum(self.weights) - self.weights / 2
+        target = q * self.weights.sum()
+        return float(np.interp(target, cum, self.means))
+
+    def to_arrays(self) -> tuple[np.ndarray, np.ndarray]:
+        return self.means, self.weights
+
+    @classmethod
+    def from_arrays(cls, means, weights, compression: float = 200.0) -> "TDigest":
+        d = cls(compression)
+        d.means = np.asarray(means, dtype=np.float64)
+        d.weights = np.asarray(weights, dtype=np.float64)
+        return d
+
+
+def approx_grouped_quantiles(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    value_col: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.9),
+    compression: float = 200.0,
+    round_dp: int = 4,
+) -> "ray.data.Dataset":
+    """Per-group approximate quantiles: per-batch t-digests (combiner) ->
+    per-group centroid merge.  The exchange carries O(compression) centroids
+    per group per batch instead of the raw values."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for key, sub in b.groupby(group_col, sort=False):
+            d = TDigest(compression).add(sub[value_col].to_numpy(np.float64))
+            m, w = d.to_arrays()
+            rows.append((key, list(m), list(w)))
+        return pd.DataFrame(rows, columns=[group_col, "c_means", "c_weights"])
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        d = TDigest(compression)
+        for m, w in zip(g["c_means"], g["c_weights"]):
+            d.merge(TDigest.from_arrays(m, w, compression))
+        row = {group_col: g[group_col].iloc[0]}
+        for q in qs:
+            row[f"q{int(q * 100)}"] = round(d.quantile(q), round_dp)
+        return pd.DataFrame([row])
+
+    return (
+        ds.select_columns([group_col, value_col])
+        .map_batches(partial, batch_format="pandas")
+        .groupby(group_col)
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+class HyperLogLog:
+    """Dense HLL over 64-bit hashes, 2^p registers, max-mergeable."""
+
+    def __init__(self, p: int = 12):
+        self.p = p
+        self.m = 1 << p
+        self.registers = np.zeros(self.m, dtype=np.uint8)
+
+    def add_hashes(self, h: np.ndarray) -> "HyperLogLog":
+        if len(h) == 0:
+            return self
+        h = h.astype(np.uint64)
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = (h << np.uint64(self.p)) | np.uint64((1 << self.p) - 1)
+        # rank = leading zeros of remaining bits + 1
+        lz = np.zeros(len(rest), dtype=np.uint8)
+        cur = rest.copy()
+        mask = np.uint64(1 << 63)
+        for r in range(1, 64 - self.p + 2):
+            top = (cur & mask) != 0
+            lz[(lz == 0) & top] = r
+            cur = cur << np.uint64(1)
+        np.maximum.at(self.registers, idx, lz)
+        return self
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        np.maximum(self.registers, other.registers, out=self.registers)
+        return self
+
+    def estimate(self) -> float:
+        m = float(self.m)
+        alpha = 0.7213 / (1 + 1.079 / m)
+        inv = np.power(2.0, -self.registers.astype(np.float64))
+        e = alpha * m * m / inv.sum()
+        zeros = int((self.registers == 0).sum())
+        if e <= 2.5 * m and zeros:
+            e = m * np.log(m / zeros)  # linear counting small-range fix
+        return float(e)
+
+
+def approx_distinct(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    group_col: str | None = None,
+    p: int = 12,
+) -> pd.DataFrame:
+    """Approximate COUNT(DISTINCT key) [per group]: per-batch HLL register
+    arrays (combiner) max-merged — the exchange carries 2^p bytes per group
+    per batch, never keys.  ~1.04/sqrt(2^p) relative error (~1.6% at p=12)."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        if group_col is None:
+            groups = [("", b)]
+        else:
+            groups = list(b.groupby(group_col, sort=False))
+        for key, sub in groups:
+            h = pd.util.hash_array(sub[key_col].to_numpy()).astype(np.uint64)
+            hll = HyperLogLog(p).add_hashes(h)
+            rows.append((key, hll.registers.tobytes()))
+        return pd.DataFrame(rows, columns=["__g", "regs"])
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        hll = HyperLogLog(p)
+        for blob in g["regs"]:
+            o = HyperLogLog(p)
+            o.registers = np.frombuffer(blob, dtype=np.uint8).copy()
+            hll.merge(o)
+        return pd.DataFrame(
+            [{"__g": g["__g"].iloc[0], "approx_distinct": int(round(hll.estimate()))}]
+        )
+
+    out = partials.groupby("__g").map_groups(merge, batch_format="pandas").to_pandas()
+    if group_col is None:
+        return out.drop(columns=["__g"])
+    return out.rename(columns={"__g": group_col}).sort_values(group_col).reset_index(drop=True)
