@@ -77,6 +77,8 @@ FRONTIER_FIELDS = [
     ("bucket", pa.int32()),
     ("query_id", pa.int64()),
     ("engine", pa.string()),
+    ("is_rel", pa.bool_()),
+    ("robots_blocked", pa.bool_()),
 ]
 FRONTIER_SCHEMA = pa.schema(FRONTIER_FIELDS)
 
@@ -266,7 +268,7 @@ def _score_batch(lexicon_ref, cfg: CrawlConfig, wave: int):
     return fn
 
 
-def _wave_task(pages_dir: str, lexicon_ref, cfg: CrawlConfig, wave: int, ledger_dir: str):
+def _wave_task(pages_dir: str, lexicon_ref, cfg: CrawlConfig, wave: int, ledger_dir: str, robots_actors=None):
     """The whole per-bucket wave body as ONE task: partitioned fetch join ->
     extract/score -> write this bucket's ledger partition (resumable layout:
     ledger/wave=N/part-bKKK.parquet, idempotent overwrite) -> explode links ->
@@ -290,7 +292,7 @@ def _wave_task(pages_dir: str, lexicon_ref, cfg: CrawlConfig, wave: int, ledger_
             os.path.join(ledger_dir, f"part-b{bucket:03d}.parquet"),
         )
         cand = _explode_links(wave_df[["seq", "query_id", "links"]])
-        return _prepare_candidates(cand, cfg)
+        return _prepare_candidates(cand, cfg, robots_actors)
 
     def fn(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) == 0:
@@ -318,6 +320,8 @@ def _empty_candidates_df() -> pd.DataFrame:
             "url_hash": pd.Series(dtype="object"),
             "host": pd.Series(dtype="object"),
             "bucket": pd.Series(dtype="int32"),
+            "is_rel": pd.Series(dtype="bool"),
+            "robots_blocked": pd.Series(dtype="bool"),
         }
     )
 
@@ -347,8 +351,15 @@ def _norun_ledger_rows(df: pd.DataFrame, wave: int, relative: np.ndarray, robots
 # candidate insertion (excluded filter -> dedup -> seen -> seq assignment)
 # ---------------------------------------------------------------------------
 
-def _prepare_candidates(df: pd.DataFrame, cfg: CrawlConfig) -> pd.DataFrame:
-    """Vectorized: drop excluded, add canon/sha1/md5/host/bucket columns."""
+def _prepare_candidates(
+    df: pd.DataFrame, cfg: CrawlConfig, robots_actors=None
+) -> pd.DataFrame:
+    """Vectorized: drop excluded, add canon/sha1/md5/host/bucket columns plus
+    the pre-evaluated admission gates (is_rel, robots_blocked).
+
+    Gate precomputation here — inside the distributed wave task — is what
+    keeps the per-wave driver section flat: every candidate is gated exactly
+    once at insertion instead of re-parsed on the driver at admission."""
     if len(df) == 0:
         return _empty_candidates_df()
     urls = df["url"].to_numpy()
@@ -365,6 +376,12 @@ def _prepare_candidates(df: pd.DataFrame, cfg: CrawlConfig) -> pd.DataFrame:
     df["bucket"] = np.array(
         [digest_to_shard(h, cfg.num_url_buckets) for h in sha1], dtype=np.int32
     )
+    rel = relative_mask_batch(urls)
+    df["is_rel"] = rel
+    if cfg.apply_robots and robots_actors:
+        df["robots_blocked"] = robots_blocked_mask(robots_actors, list(urls)) & ~rel
+    else:
+        df["robots_blocked"] = False
     return df
 
 
@@ -384,7 +401,7 @@ def _insert_driver(
     cand = cand.loc[new_mask]
     cand = cand.reset_index(drop=True)
     cand["seq"] = base_seq + np.arange(len(cand), dtype=np.int64)
-    return cand[["seq", "url", "url_hash", "canon_sha1", "host", "bucket", "query_id", "engine"]]
+    return cand[[n for n, _ in FRONTIER_FIELDS]]
 
 
 def _insert_ray(
@@ -450,14 +467,20 @@ def _insert_ray(
     if len(df) == 0:
         return _empty_frontier_df()
     df = df.sort_values("seq", kind="mergesort").reset_index(drop=True)
-    return df[["seq", "url", "url_hash", "canon_sha1", "host", "bucket", "query_id", "engine"]]
+    return df[[n for n, _ in FRONTIER_FIELDS]]
 
 
 def _empty_frontier_df() -> pd.DataFrame:
-    return pd.DataFrame(
-        {name: pd.Series(dtype="object" if t == pa.string() else ("int32" if t == pa.int32() else "int64"))
-         for name, t in FRONTIER_FIELDS}
-    )
+    def dt(t):
+        if t == pa.string():
+            return "object"
+        if t == pa.int32():
+            return "int32"
+        if t == pa.bool_():
+            return "bool"
+        return "int64"
+
+    return pd.DataFrame({name: pd.Series(dtype=dt(t)) for name, t in FRONTIER_FIELDS})
 
 
 def _write_frontier(df: pd.DataFrame, path_dir: str) -> None:
@@ -512,7 +535,9 @@ def run_crawl(
                 "ord2": np.int64(0),
             }
         )
-        pending_df = _insert_driver(_prepare_candidates(cand, cfg), seen_shards, 0, cfg)
+        pending_df = _insert_driver(
+            _prepare_candidates(cand, cfg, robots_actors), seen_shards, 0, cfg
+        )
         next_seq = int(len(pending_df))
         stats.inserted = next_seq
         _write_frontier(pending_df, ckpt.wave_dir(out_dir, "frontier", 0))
@@ -531,14 +556,11 @@ def run_crawl(
         deferred = marked.loc[~marked["admit"]].drop(columns=["admit"])
         sec["admit"] = round(time.time() - wave_t0, 3)
 
-        # ---- 2. relative / robots gates (never fetch) ----
+        # ---- 2. relative / robots gates (precomputed at candidate prep,
+        # inside the distributed wave task — here just column reads) ----
         t_sec = time.time()
-        urls = admitted["url"].to_numpy()
-        rel_mask = relative_mask_batch(urls)
-        if cfg.apply_robots and len(urls):
-            rob_mask = robots_blocked_mask(robots_actors, list(urls)) & ~rel_mask
-        else:
-            rob_mask = np.zeros(len(urls), dtype=bool)
+        rel_mask = admitted["is_rel"].to_numpy(dtype=bool)
+        rob_mask = admitted["robots_blocked"].to_numpy(dtype=bool)
         norun_mask = rel_mask | rob_mask
         norun = admitted.loc[norun_mask]
         to_fetch = admitted.loc[~norun_mask]
@@ -563,7 +585,7 @@ def run_crawl(
         # returns only prepared candidate rows — a single Ray Data execution
         # and a single small driver pull per wave.
         cand_df = _empty_candidates_df()
-        wave_fn = _wave_task(pages_dir, lexicon_ref, cfg, wave, ledger_dir)
+        wave_fn = _wave_task(pages_dir, lexicon_ref, cfg, wave, ledger_dir, robots_actors)
         if len(to_fetch) and len(to_fetch) <= SMALL_WAVE_MAX_ROWS:
             # local fast path: same kernel, no cluster fan-out
             cand_df = pd.concat(
