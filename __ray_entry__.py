@@ -62,6 +62,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_window": q.q_events_sliding_window,
         "user_value_salted": q.q_user_value_salted,
         "event_value_quantiles": q.q_event_value_quantiles,
+        "user_sessions": q.q_user_sessions,
+        "top_events_per_type": q.q_top_events_per_type,
         # --- embeddings: ANN / stats / near-dup ---
         "ann_topk": q.q_ann_topk,
         "label_counts": q.q_label_counts,
@@ -115,6 +117,8 @@ def oracle_sql() -> dict[str, str]:
         "events_sliding_window": q.SQL_EVENTS_SLIDING_WINDOW,
         "user_value_salted": q.SQL_USER_VALUE_SALTED,
         "event_value_quantiles": q.SQL_EVENT_VALUE_QUANTILES,
+        "user_sessions": q.SQL_USER_SESSIONS,
+        "top_events_per_type": q.SQL_TOP_EVENTS_PER_TYPE,
         "ann_topk": q.SQL_ANN_TOPK,
         "label_counts": q.SQL_LABEL_COUNTS,
         "embedding_norms": q.SQL_EMBEDDING_NORMS,

@@ -832,3 +832,45 @@ def q_approx_distinct_users(sf_dir: str):
 
     ev = _read(sf_dir, "events", ["event_type", "user_id"])
     return approx_distinct(ev, "user_id", "event_type")
+
+
+def q_user_sessions(sf_dir: str):
+    """Session windows per user (30-minute inactivity gap)."""
+    from ..stages.windows import sessionize
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    return sessionize(ev, "user_id")
+
+
+SQL_USER_SESSIONS = """
+WITH e AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTES
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_id, user_id,
+       CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_num
+FROM e
+"""
+
+
+def q_top_events_per_type(sf_dir: str):
+    """Top-3 events by value per event_type (grouped top-k / row_number)."""
+    from ..stages.windows import grouped_topk
+
+    ev = _read(sf_dir, "events", ["event_type", "event_id", "value"])
+    return grouped_topk(ev, "event_type", "value", "event_id", k=3)
+
+
+SQL_TOP_EVENTS_PER_TYPE = """
+SELECT event_type, event_id, value FROM (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id) AS rn
+  FROM events
+) WHERE rn <= 3
+"""

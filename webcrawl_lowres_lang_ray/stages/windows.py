@@ -222,3 +222,62 @@ def grouped_quantiles(
         .groupby(group_col)
         .map_groups(per_group, batch_format="pandas")
     )
+
+
+def sessionize(
+    ds: "ray.data.Dataset",
+    key: str,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_minutes: int = 30,
+) -> "ray.data.Dataset":
+    """Session assignment: per key, a new session starts when the gap to the
+    previous event exceeds ``gap_minutes`` (the classic streaming session
+    window, computed batch-style).  Hash-partition by key, then one
+    vectorized pandas pass per partition: sort by (ts, id), per-key cumsum
+    of gap-breaks.  Returns (id, key, session_num), session_num 1-based per
+    key."""
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def sess_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts_col, id_col], kind="mergesort")
+        prev_ts = g.groupby(key, sort=False)[ts_col].shift()
+        new_sess = prev_ts.isna() | ((g[ts_col] - prev_ts) > gap)
+        g = g.assign(session_num=new_sess.astype(np.int64))
+        g["session_num"] = g.groupby(key, sort=False)["session_num"].cumsum()
+        return g[[id_col, key, "session_num"]]
+
+    return (
+        _with_part(ds.select_columns([id_col, key, ts_col]), key)
+        .groupby("__part")
+        .map_groups(sess_part, batch_format="pandas")
+    )
+
+
+def grouped_topk(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    k: int = 3,
+) -> "ray.data.Dataset":
+    """Top-k rows per group by value (row_number() semantics, ties broken by
+    ascending id).  Per-batch partial top-k (combiner: at most k rows per
+    group per batch cross the exchange) -> per-group merge."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[[group_col, id_col, value_col]].sort_values(
+            [group_col, value_col, id_col], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        return b.groupby(group_col, sort=False).head(k)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([value_col, id_col], ascending=[False, True], kind="mergesort")
+        return g.head(k)
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(group_col)
+        .map_groups(merge, batch_format="pandas")
+    )
