@@ -42,56 +42,10 @@ def _combiner_agg(
     spec: list[tuple[str, str | None, str]],
     parts: int = 32,
 ) -> pd.DataFrame:
-    """Grouped aggregation via the combiner pattern: per-batch vectorized
-    pandas partials (the exchange carries one row per key per batch, never
-    raw rows), hash-partitioned vectorized merge.  ray.data's
-    groupby().aggregate sort-shuffles every row and dispatches per group —
-    ~10x slower on wide inputs.
+    """stages/agg.combiner_agg collected to a key-sorted DataFrame."""
+    from ..stages.agg import combiner_agg
 
-    spec: (alias, col, how) with how in sum|count|mean|min|max.
-    """
-
-    def partial(b: pd.DataFrame) -> pd.DataFrame:
-        g = b.groupby(keys, sort=False, observed=True)
-        out = g.size().rename("__cnt").reset_index()
-        gi = out.set_index(keys).index
-        for alias, col, how in spec:
-            if how in ("sum", "mean"):
-                out[f"__s_{alias}"] = g[col].sum().reindex(gi).to_numpy()
-            elif how == "min":
-                out[f"__mn_{alias}"] = g[col].min().reindex(gi).to_numpy()
-            elif how == "max":
-                out[f"__mx_{alias}"] = g[col].max().reindex(gi).to_numpy()
-        out["__part"] = (
-            pd.util.hash_pandas_object(out[keys], index=False) % parts
-        ).astype(np.int64)
-        return out
-
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        gg = g.groupby(keys, sort=False)
-        res = gg["__cnt"].sum().rename("__cnt").reset_index()
-        gi = res.set_index(keys).index
-        for alias, col, how in spec:
-            if how == "sum":
-                res[alias] = gg[f"__s_{alias}"].sum().reindex(gi).to_numpy()
-            elif how == "mean":
-                res[alias] = (
-                    gg[f"__s_{alias}"].sum().reindex(gi) / res["__cnt"].to_numpy()
-                ).to_numpy()
-            elif how == "count":
-                res[alias] = res["__cnt"].to_numpy()
-            elif how == "min":
-                res[alias] = gg[f"__mn_{alias}"].min().reindex(gi).to_numpy()
-            elif how == "max":
-                res[alias] = gg[f"__mx_{alias}"].max().reindex(gi).to_numpy()
-        return res[keys + [a for a, _, _ in spec]]
-
-    out = (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby("__part")
-        .map_groups(merge, batch_format="pandas")
-        .to_pandas()
-    )
+    out = combiner_agg(ds, keys, spec, parts).to_pandas()
     return out.sort_values(keys, kind="mergesort").reset_index(drop=True)
 
 

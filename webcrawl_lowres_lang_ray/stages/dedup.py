@@ -132,9 +132,10 @@ def exact_dedup_stats(
     the one that would be NLP-scored; the rest clone (lrl-crawler.py:421-428).
     """
     hashed = add_content_hash(ds.select_columns([id_col, text_col]), text_col)
-    return (
-        hashed.groupby("content_md5")
-        .aggregate(Min(id_col, alias_name="keeper"), Count(alias_name="n"))
+    from .agg import combiner_agg
+
+    return combiner_agg(
+        hashed, ["content_md5"], [("keeper", id_col, "min"), ("n", None, "count")]
     )
 
 

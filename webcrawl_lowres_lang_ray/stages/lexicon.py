@@ -16,7 +16,7 @@ import pandas as pd
 
 import ray
 import ray.data
-from ray.data.aggregate import Sum
+from .agg import combiner_agg
 
 from ..config import CrawlConfig
 from ..functions.scoring import LangScoringModel
@@ -39,7 +39,10 @@ def token_frequencies_ds(
     partials = ds.select_columns([text_col]).map_batches(
         partial_counts, batch_format="pandas"
     )
-    return partials.groupby("token").aggregate(Sum("count", alias_name="count"))
+    # final merge via the combiner operator (stages/agg.py): the partials
+    # are already one row per token per batch; ray.data's aggregate would
+    # pay per-group dispatch across the whole vocabulary
+    return combiner_agg(partials, ["token"], [("count", "count", "sum")])
 
 
 def merge_lexicons(core: dict[str, int], topup: dict[str, int]) -> dict[str, int]:
