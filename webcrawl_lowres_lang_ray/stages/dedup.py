@@ -30,13 +30,11 @@ bucket is vectorized (triu indices + matrix compare / XOR popcount).
 from __future__ import annotations
 
 import hashlib
-from itertools import combinations
-
 import numpy as np
 import pandas as pd
 
+import ray
 import ray.data
-from ray.data.aggregate import Count, Min
 
 _MERSENNE = (1 << 61) - 1
 _N_PERM = 64
