@@ -524,3 +524,59 @@ class TestSketches:
             true = sub["k"].nunique()
             est = got.loc[g, "approx_distinct"]
             assert abs(est - true) / true < 0.06, (g, true, est)
+
+
+class TestSessionizeTopk:
+    def test_sessionize_gap_semantics(self):
+        import ray.data as ray_data
+
+        from webcrawl_lowres_lang_ray.stages.windows import sessionize
+
+        ts = pd.to_datetime(
+            [
+                "2024-01-01 00:00", "2024-01-01 00:10", "2024-01-01 01:00",  # u1: s1 s1 s2
+                "2024-01-01 00:05", "2024-01-01 00:40", "2024-01-01 00:50",  # u2: s1 s2 s2
+            ]
+        )
+        df = pd.DataFrame(
+            {
+                "event_id": np.arange(6, dtype=np.int64),
+                "user_id": np.array([1, 1, 1, 2, 2, 2], dtype=np.int64),
+                "ts": ts,
+            }
+        )
+        got = (
+            sessionize(ray_data.from_pandas(df), "user_id", gap_minutes=30)
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        assert list(got["session_num"]) == [1, 1, 2, 1, 2, 2]
+
+    def test_grouped_topk_matches_pandas(self):
+        import ray.data as ray_data
+
+        from webcrawl_lowres_lang_ray.stages.windows import grouped_topk
+
+        rng = np.random.RandomState(31)
+        df = pd.DataFrame(
+            {
+                "g": rng.choice(["a", "b", "c"], 5000),
+                "event_id": np.arange(5000, dtype=np.int64),
+                "v": rng.uniform(0, 1, 5000).round(6),
+            }
+        )
+        chunks = [df.iloc[i : i + 500].reset_index(drop=True) for i in range(0, 5000, 500)]
+        got = (
+            grouped_topk(ray_data.from_pandas(chunks), "g", "v", "event_id", k=4)
+            .to_pandas()
+            .sort_values(["g", "v", "event_id"], ascending=[True, False, True])
+            .reset_index(drop=True)
+        )
+        want = (
+            df.sort_values(["g", "v", "event_id"], ascending=[True, False, True])
+            .groupby("g")
+            .head(4)
+            .reset_index(drop=True)
+        )
+        assert list(got["event_id"]) == list(want["event_id"])
