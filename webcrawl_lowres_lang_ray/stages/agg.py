@@ -32,7 +32,27 @@ def combiner_agg(
     spec: list[Spec],
     parts: int = 32,
 ) -> "ray.data.Dataset":
+    def _empty_partial(b: pd.DataFrame) -> pd.DataFrame:
+        # typed empty frame (an all-zero-column block would trip schema
+        # reconciliation warnings in the streaming executor)
+        data = {
+            k: (b[k] if k in b.columns else pd.Series(dtype=object)) for k in keys
+        }
+        data["__cnt"] = pd.Series(dtype="int64")
+        for alias, col, how in spec:
+            vdt = b[col].dtype if (col and col in b.columns) else np.float64
+            if how in ("sum", "mean"):
+                data[f"__s_{alias}"] = pd.Series(dtype=vdt)
+            elif how == "min":
+                data[f"__mn_{alias}"] = pd.Series(dtype=vdt)
+            elif how == "max":
+                data[f"__mx_{alias}"] = pd.Series(dtype=vdt)
+        data["__part"] = pd.Series(dtype="int64")
+        return pd.DataFrame(data)
+
     def partial(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return _empty_partial(b)
         g = b.groupby(keys, sort=False, observed=True)
         out = g.size().rename("__cnt").reset_index()
         gi = out.set_index(keys).index
