@@ -43,15 +43,19 @@ def bigram_words(text: str) -> list[str]:
     return bigrams
 
 
+def _has_digit(w: str) -> bool:
+    """Exact reference semantics (any(c.isdigit()), extract.py:68) with a
+    compiled-regex fast path for ASCII words (the overwhelming majority)."""
+    if w.isascii():
+        return _HAS_DIGIT_RE.search(w) is not None
+    return any(c.isdigit() for c in w)
+
+
 def filter_words(words: list[str], min_char_len: int = 3) -> list[str]:
-    # digit test via compiled \d (C-speed): equals the reference's per-char
-    # isdigit() on all Unicode decimal digits, which is everything the
-    # corpus can contain
-    has_digit = _HAS_DIGIT_RE.search
     return [
         w.lower()
         for w in words
-        if len(w) >= min_char_len and not has_digit(w)
+        if len(w) >= min_char_len and not _has_digit(w)
     ]
 
 
@@ -76,7 +80,6 @@ def tokenize_batch(texts: np.ndarray, min_char_len: int = 3) -> list[list[str]]:
     column.  Used by the lexicon G1 pipeline and the quality stage.
     """
     sub = _PUNCT_RE.sub
-    has_digit = _HAS_DIGIT_RE.search
     out = []
     for t in texts:
         if t is None:
@@ -84,7 +87,7 @@ def tokenize_batch(texts: np.ndarray, min_char_len: int = 3) -> list[list[str]]:
             continue
         toks = sub(" ", t).split()
         out.append(
-            [w.lower() for w in toks if len(w) >= min_char_len and not has_digit(w)]
+            [w.lower() for w in toks if len(w) >= min_char_len and not _has_digit(w)]
         )
     return out
 
