@@ -440,29 +440,54 @@ def _insert_ray(
         digests = [bytes.fromhex(h) for h in b["canon_sha1"]]
         return b.loc[seen_filter_new(seen_shards, digests)]
 
-    survivors = deduped.map_batches(seen_stage, batch_format="pandas")
-    survivors = survivors.map_batches(
-        lambda b: b.assign(rank_bucket=(b["ord1"] // _RANK_BUCKET).astype(np.int64)),
-        batch_format="pandas",
-    ).materialize()
+    def rank_cols(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return b.assign(
+                rank_bucket=pd.Series(dtype="int64"),
+                rank_part=pd.Series(dtype="int64"),
+            )
+        b = b.assign(rank_bucket=(b["ord1"] // _RANK_BUCKET).astype(np.int64))
+        # all rows of one rank_bucket land in one partition (the pattern:
+        # 64 group dispatches total, vectorized pandas inside — NOT one
+        # map_groups per rank bucket, which is ~100ms each at 10^3+ buckets)
+        b["rank_part"] = (
+            pd.util.hash_array(b["rank_bucket"].to_numpy(np.int64)) % 64
+        ).astype(np.int64)
+        return b
 
-    # pass 1: tiny histogram to the driver -> prefix offsets
-    hist = survivors.groupby("rank_bucket").count().to_pandas()
-    if len(hist) == 0:  # every candidate excluded / duplicate / already seen
-        return _empty_frontier_df()
-    hist = hist.sort_values("rank_bucket")
-    offsets = dict(
-        zip(hist["rank_bucket"], np.cumsum(hist["count()"]) - hist["count()"])
+    survivors = (
+        deduped.map_batches(seen_stage, batch_format="pandas")
+        .map_batches(rank_cols, batch_format="pandas")
+        .materialize()
     )
 
-    # pass 2: per-bucket local rank + global offset
-    def assign(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ord1", "ord2"], kind="mergesort")
-        off = offsets[int(g["rank_bucket"].iloc[0])]
-        g["seq"] = base_seq + off + np.arange(len(g), dtype=np.int64)
-        return g
+    # pass 1: per-batch rank-bucket histograms -> tiny driver merge -> prefix
+    # offsets, broadcast back
+    def hist_partial(b: pd.DataFrame) -> pd.DataFrame:
+        vc = b["rank_bucket"].value_counts()
+        return pd.DataFrame({"rank_bucket": vc.index.to_numpy(np.int64),
+                             "n": vc.to_numpy(np.int64)})
 
-    out = survivors.groupby("rank_bucket").map_groups(assign, batch_format="pandas")
+    hist = survivors.map_batches(hist_partial, batch_format="pandas").to_pandas()
+    if len(hist) == 0:  # every candidate excluded / duplicate / already seen
+        return _empty_frontier_df()
+    hist = hist.groupby("rank_bucket")["n"].sum().sort_index()
+    starts = np.cumsum(hist.to_numpy()) - hist.to_numpy()
+    offsets = dict(zip(hist.index.to_numpy(), starts))
+    offsets_ref = ray.put(offsets)
+
+    # pass 2: per-partition vectorized local rank + broadcast global offset
+    def assign_part(g: pd.DataFrame) -> pd.DataFrame:
+        offs = ray.get(offsets_ref)
+        g = g.sort_values(["rank_bucket", "ord1", "ord2"], kind="mergesort")
+        counts = g.groupby("rank_bucket", sort=True).size()
+        seq = np.concatenate(
+            [offs[int(rb)] + np.arange(c, dtype=np.int64) for rb, c in counts.items()]
+        ) if len(counts) else np.empty(0, dtype=np.int64)
+        g["seq"] = base_seq + seq
+        return g.drop(columns=["rank_part"])
+
+    out = survivors.groupby("rank_part").map_groups(assign_part, batch_format="pandas")
     df = out.to_pandas()
     if len(df) == 0:
         return _empty_frontier_df()

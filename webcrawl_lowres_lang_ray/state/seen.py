@@ -91,8 +91,21 @@ class SeenShard:
         self.exact: set[bytes] = set()
         self.cuckoo = CuckooFilter(capacity)
 
+    def _maybe_grow(self, incoming: int) -> None:
+        """Keep the cuckoo under ~80% load: past that, inserts degrade into
+        eviction storms (hundreds of displacement hops per add).  The exact
+        store is the rehash source, so growth is a straight re-add."""
+        cap = self.cuckoo.nbuckets * 4
+        if len(self.exact) + incoming <= 0.8 * cap:
+            return
+        target = max(cap * 2, int((len(self.exact) + incoming) * 2))
+        self.cuckoo = CuckooFilter(target)
+        for d in self.exact:
+            self.cuckoo.add(d)
+
     def contains_and_add(self, digests: list[bytes]) -> np.ndarray:
         """Returns a bool array: True where the digest was NEW (now added)."""
+        self._maybe_grow(len(digests))
         out = np.empty(len(digests), dtype=bool)
         exact = self.exact
         cuckoo = self.cuckoo
