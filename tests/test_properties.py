@@ -27,21 +27,34 @@ class TestCuckooProperties:
         assert all(f.might_contain(k) for k in keys)
 
     @settings(max_examples=20, deadline=None)
-    @given(st.lists(digests, min_size=1, max_size=200, unique=True),
-           st.lists(digests, min_size=1, max_size=200, unique=True))
-    def test_bounded_false_positives(self, members, probes):
+    @given(st.lists(digests, min_size=1, max_size=200, unique=True))
+    def test_bounded_false_positives(self, members):
+        # The FP bound is a *rate*, so probe a large fresh set (>=1000) rather
+        # than whatever handful hypothesis drew: with 16-bit fingerprints and
+        # 2x4 slots the sparse-table fp probability is ~8/2^16 ~ 1.2e-4, so
+        # 0.02 over 1000 probes leaves two orders of magnitude of margin while
+        # still catching any decomposition that ignores part of the digest
+        # (hypothesis supplies adversarial members; probes share prefixes).
         from webcrawl_lowres_lang_ray.state.seen import CuckooFilter
 
         f = CuckooFilter(capacity=1 << 12)
         mset = set(members)
         for k in members:
             f.add(k)
-        fresh = [p for p in probes if p not in mset]
-        if not fresh:
-            return
+        fresh = []
+        base = members[0]
+        i = 0
+        while len(fresh) < 1000:
+            # adversarial probes: share the first 14 bytes with a member,
+            # differ only in the tail — plus plain hashed probes
+            p1 = base[:14] + hashlib.sha1(b"tail%d" % i).digest()[:6]
+            p2 = hashlib.sha1(b"probe%d" % i).digest()
+            for p in (p1, p2):
+                if p not in mset:
+                    fresh.append(p)
+            i += 1
         fp = sum(f.might_contain(p) for p in fresh)
-        # 16-bit fingerprints, sparse table: fp rate must stay tiny
-        assert fp / len(fresh) <= 0.05
+        assert fp / len(fresh) <= 0.02
 
 
 class TestSeenShardLogic:

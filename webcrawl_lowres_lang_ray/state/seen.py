@@ -24,6 +24,8 @@ membership — determinism holds under any actor scheduling.
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
 import ray
 
@@ -43,8 +45,14 @@ class CuckooFilter:
         self._rng = np.random.RandomState(0xC0FFEE)  # deterministic evictions
 
     def _decompose(self, digest: bytes) -> tuple[int, int, int]:
-        fp = (digest[0] | (digest[1] << 8)) or 1
-        i1 = int.from_bytes(digest[2:6], "little") & self.mask
+        # Rehash the FULL digest so fingerprint and bucket index draw on every
+        # input byte: without this, digests sharing a short prefix are
+        # guaranteed mutual false positives (the adversarial inputs the FP-rate
+        # property probes with).  blake2b is keyless-deterministic, so filter
+        # state stays reproducible across processes.
+        h = hashlib.blake2b(digest, digest_size=8).digest()
+        fp = (h[0] | (h[1] << 8)) or 1
+        i1 = int.from_bytes(h[2:6], "little") & self.mask
         i2 = (i1 ^ (fp * 0x5BD1)) & self.mask
         return fp, i1, i2
 
