@@ -27,12 +27,13 @@ from webcrawl_lowres_lang_ray.pipelines import queries as q
 
 
 def entry() -> Any:
-    """Run the flagship crawl at sf0.001 scale; return the ledger."""
-    import ray.data
+    """Run the flagship crawl at sf0.001 scale; return the ledger as a
+    streaming Dataset (pruned-column Parquet read, no driver frame)."""
+    from webcrawl_lowres_lang_ray.frontier import LEDGER_META_COLS
 
     out_dir = cq.crawl_output_dir("/root/testdata/sf0.001")
-    ledger = cq.load_ledger(out_dir).drop(columns=["text"])
-    return ray.data.from_pandas(ledger)
+    cols = [c for c in LEDGER_META_COLS if c != "text"]
+    return cq.ledger_dataset(out_dir, columns=cols)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -69,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_counts": q.q_label_counts,
         "embedding_norms": q.q_embedding_norms,
         "embedding_neardup": q.q_embedding_neardup,
+        "embedding_neardup_lsh": q.q_embedding_neardup_lsh,
         "ann_ivf_topk": q.q_ann_ivf_topk,
         "ngram_jaccard": q.q_ngram_jaccard,
         "token_counts": q.q_token_counts,

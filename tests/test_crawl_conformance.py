@@ -51,6 +51,10 @@ class TestCrawlConformance:
         orc = _oracle_df(tiny_corpus, CFG)
         _assert_ledger_equal(eng, orc)
         assert stats.fetched > 0 and stats.failed > 0  # corpus exercises both
+        # the M5 dispatch runs inside the crawl: non-html doc types appear
+        # (pdf/docx rows route through the extract-returns-None path)
+        assert (eng["doc_type"] == "pdf").any()
+        assert (eng["doc_type"] == "docx").any()
 
     def test_text_bytes_identical_to_golden(self, tiny_corpus, tmp_path):
         import glob
@@ -101,6 +105,84 @@ class TestCrawlConformance:
         _assert_ledger_equal(
             load_ledger(str(tmp_path / "drv")), load_ledger(str(tmp_path / "ray"))
         )
+
+    def test_streamed_waves_keep_frontier_off_driver(self, tiny_corpus, tmp_path, monkeypatch):
+        """With the streamed path forced, the pending frontier must never
+        become a driver frame: _read_frontier is never called inside the
+        crawl, and every Dataset->driver pull stays O(histogram)."""
+        import ray.data
+
+        import webcrawl_lowres_lang_ray.frontier as fr
+
+        monkeypatch.setattr(fr, "DRIVER_PATH_MAX_ROWS", 0)
+
+        def no_read(path):
+            raise AssertionError(f"driver read the frontier: {path}")
+
+        monkeypatch.setattr(fr, "_read_frontier", no_read)
+        orig = ray.data.Dataset.to_pandas
+        cap = 2048  # >> rank-bucket histogram, << any frontier/ledger frame
+
+        def capped(self, *a, **k):
+            df = orig(self, *a, **k)
+            assert len(df) <= cap, f"driver pulled a {len(df)}-row frame"
+            return df
+
+        monkeypatch.setattr(ray.data.Dataset, "to_pandas", capped)
+        stats = fr.run_crawl(tiny_corpus, str(tmp_path / "out"), CFG)
+        assert stats.inserted > 50 and stats.fetched > 0
+
+    def test_priority_reorders_admission(self, tiny_corpus, tmp_path):
+        """Priority frontier hook: under a per-host budget of 1, a
+        higher-priority seed on the same host is fetched in an earlier wave
+        than a lower-seq seed; the oracle agrees bit-for-bit."""
+        import glob
+        import shutil
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from webcrawl_lowres_lang_ray.functions.urltools import host_batch
+
+        corpus = str(tmp_path / "prio_corpus")
+        shutil.copytree(tiny_corpus, corpus)
+        # find one host with >= 2 pages; seed both its urls, the later one
+        # with higher priority
+        urls = []
+        for f in glob.glob(corpus + "/pages/bucket=*.parquet"):
+            urls.extend(pq.read_table(f, columns=["url"])["url"].to_pylist())
+        by_host: dict[str, list[str]] = {}
+        for u in sorted(urls):
+            by_host.setdefault(host_batch(np.array([u], dtype=object))[0], []).append(u)
+        host, pair = next((h, v[:2]) for h, v in sorted(by_host.items()) if len(v) >= 2)
+        seeds = pa.table(
+            {
+                "seq": pa.array([0, 1], type=pa.int64()),
+                "url": pa.array(pair, type=pa.string()),
+                "query_id": pa.array([0, 0], type=pa.int64()),
+                "engine": pa.array(["seed", "seed"], type=pa.string()),
+                "priority": pa.array([0, 5], type=pa.int64()),
+            }
+        )
+        pq.write_table(seeds, corpus + "/seeds.parquet")
+        cfg = CFG.replace(per_host_per_wave=1, apply_robots=False, max_waves=3)
+        run_crawl(corpus, str(tmp_path / "prio_out"), cfg)
+        eng = load_ledger(str(tmp_path / "prio_out"))
+        w = dict(zip(eng["url"], eng["wave"]))
+        assert w[pair[1]] == 0, "high-priority seed must run in wave 0"
+        assert w[pair[0]] > 0, "low-priority same-host seed must defer"
+        _assert_ledger_equal(
+            eng.sort_values("seq").reset_index(drop=True), _oracle_df(corpus, cfg)
+        )
+
+    def test_max_pages_caps_insertion(self, tiny_corpus, tmp_path):
+        """max_pages = global seq budget, identical in engine and oracle."""
+        cfg = CFG.replace(max_pages=40)
+        run_crawl(tiny_corpus, str(tmp_path / "cap"), cfg)
+        eng = load_ledger(str(tmp_path / "cap")).sort_values("seq").reset_index(drop=True)
+        orc = _oracle_df(tiny_corpus, cfg)
+        assert len(eng) == len(orc) <= 40
+        _assert_ledger_equal(eng, orc)
 
     def test_politeness_budget_shapes_waves(self, tiny_corpus, tmp_path):
         s1 = run_crawl(tiny_corpus, str(tmp_path / "k1"), CFG.replace(per_host_per_wave=1))

@@ -83,6 +83,47 @@ class TestMinHash:
         p2 = minhash_lsh_pairs(ds).to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
         pd.testing.assert_frame_equal(p1, p2)
 
+    def test_shuffle_join_verify_equals_broadcast(self):
+        """The scale-path verify (signatures shuffle-joined onto candidate
+        pairs) must produce the same pair set and estimates as the broadcast
+        oracle on a 2k-doc fixture with planted near-dup clusters."""
+        import ray.data
+
+        from webcrawl_lowres_lang_ray.stages.dedup import (
+            minhash_lsh_pairs,
+            minhash_lsh_pairs_broadcast,
+        )
+
+        rng = np.random.RandomState(7)
+        vocab = [f"w{i}" for i in range(500)]
+        rows = []
+        doc_id = 0
+        for c in range(250):  # 250 clusters x (1 base + 0-2 mutations)
+            words = [vocab[i] for i in rng.randint(0, 500, size=30)]
+            base = " ".join(words)
+            rows.append((doc_id, base)); doc_id += 1
+            for _ in range(rng.randint(0, 3)):
+                w = list(words)
+                for _ in range(rng.randint(1, 4)):
+                    w[rng.randint(0, len(w))] = vocab[rng.randint(0, 500)]
+                rows.append((doc_id, " ".join(w))); doc_id += 1
+        filler = [
+            (doc_id + i, " ".join(vocab[j] for j in rng.randint(0, 500, size=30)))
+            for i in range(2000 - len(rows))
+        ]
+        df = pd.DataFrame(rows + filler, columns=["doc_id", "text"])
+        assert len(df) == 2000
+        chunks = [df.iloc[i : i + 100].reset_index(drop=True) for i in range(0, 2000, 100)]
+        ds = ray.data.from_pandas(chunks)
+        key = ["id_a", "id_b"]
+        got = minhash_lsh_pairs(ds, threshold=0.5).to_pandas().sort_values(key).reset_index(drop=True)
+        want = (
+            minhash_lsh_pairs_broadcast(ds, threshold=0.5)
+            .to_pandas().sort_values(key).reset_index(drop=True)
+        )
+        assert len(got) > 50  # planted near-dups were found
+        pd.testing.assert_frame_equal(got[key + ["est_jaccard"]], want[key + ["est_jaccard"]])
+
 
 class TestSimHash:
     def test_near_dup_distance_small(self):
@@ -106,6 +147,31 @@ class TestSimHash:
         assert (0, 1) in found  # identical -> distance 0
 
 
+class TestBootstrapLexicons:
+    def test_unigram_and_bigram_dicts(self, tmp_path):
+        """N8 emits BOTH dicts the reference writes (extract.py:113-120),
+        including the words.pop() bigram quirk (extract.py:44-62)."""
+        import json
+
+        from webcrawl_lowres_lang_ray.stages.lexicon import (
+            bootstrap_lexicons_from_text,
+            write_bootstrap_lexicons,
+        )
+
+        text = "Kia ora! Kia kaha 123 ab."
+        uni, bi = bootstrap_lexicons_from_text(text)
+        assert uni == {"kia": 2, "ora": 1, "kaha": 1}
+        # words = [Kia, ora, Kia, kaha, 123, ab]; pop() -> first bigram pairs
+        # the LAST word with the first: "ab Kia", then the normal chain;
+        # digit-containing bigrams filtered, lowercased
+        assert bi == {"ab kia": 1, "kia ora": 1, "ora kia": 1, "kia kaha": 1}
+        upath, bpath = write_bootstrap_lexicons(text, str(tmp_path / "dicts"), "PUKAPUKA")
+        with open(upath) as f:
+            assert json.load(f) == uni
+        with open(bpath) as f:
+            assert json.load(f) == bi
+
+
 class TestANN:
     def _emb_ds(self, n=400, dim=32, seed=5):
         import ray.data
@@ -114,6 +180,32 @@ class TestANN:
         mat = rng.normal(size=(n, dim))
         df = pd.DataFrame({"vec_id": np.arange(n), "embedding": list(mat)})
         return ray.data.from_pandas(df), mat
+
+    def test_srp_neardup_recall_vs_exact(self):
+        """The shipped SRP-bucketed near-dup must recover >= 0.95 of the
+        exact all-pairs result (clustered embeddings like the testdata
+        table), with zero false pairs (exact cosine on candidates)."""
+        import ray.data
+
+        from webcrawl_lowres_lang_ray.stages.ann import (
+            cosine_neardup_pairs,
+            srp_neardup_pairs,
+        )
+
+        rng = np.random.RandomState(11)
+        dim, n = 32, 600
+        centers = rng.normal(size=(12, dim)) * 1.2
+        mat = np.stack([centers[i % 12] + rng.normal(size=dim) for i in range(n)])
+        df = pd.DataFrame({"vec_id": np.arange(n), "embedding": list(mat)})
+        chunks = [df.iloc[i : i + 100].reset_index(drop=True) for i in range(0, n, 100)]
+        ds = ray.data.from_pandas(chunks)
+        exact = cosine_neardup_pairs(ds, threshold=0.5).to_pandas()
+        got = srp_neardup_pairs(ds, dim=dim, threshold=0.5).to_pandas()
+        se = set(zip(exact["id_a"], exact["id_b"]))
+        sg = set(zip(got["id_a"], got["id_b"]))
+        assert len(se) > 100
+        assert not (sg - se), "SRP emitted a pair the exact oracle lacks"
+        assert len(se & sg) / len(se) >= 0.95
 
     def test_brute_force_matches_numpy(self):
         from webcrawl_lowres_lang_ray.stages.ann import brute_force_topk

@@ -121,6 +121,7 @@ class TestPoliteness:
             {
                 "seq": np.arange(500),
                 "host": [f"h{rng.randint(10)}" for _ in range(500)],
+                "priority": np.int64(0),
             }
         )
         k = 3

@@ -59,6 +59,14 @@ def clear_output(root: str) -> None:
     os.makedirs(root, exist_ok=True)
 
 
+def seen_snapshot_paths(root: str, wave: int, num_shards: int) -> list[str]:
+    """Create the snapshot dir and return per-shard target paths — the shard
+    actors write their own files (driver never holds the blobs)."""
+    d = wave_dir(root, "seen", wave)
+    os.makedirs(d, exist_ok=True)
+    return [os.path.join(d, f"shard-{i:03d}.bin") for i in range(num_shards)]
+
+
 def write_seen_snapshots(root: str, wave: int, blobs: list[bytes]) -> list[str]:
     d = wave_dir(root, "seen", wave)
     os.makedirs(d, exist_ok=True)

@@ -38,7 +38,14 @@ class CrawlConfig:
     # `per_host_per_wave` times per wave.  Same budget => same admission order.
     per_host_per_wave: int = 2
     max_waves: int = 10_000
-    max_pages: int = 0              # 0 = unlimited; else stop admitting past this
+    # 0 = unlimited; else a global insertion budget: only URLs assigned
+    # seq < max_pages enter the frontier/ledger (enforced identically in
+    # oracle.run_oracle and both frontier insertion paths)
+    max_pages: int = 0
+    # priority assigned to discovered links (seeds may carry their own
+    # `priority` column); admission orders by (priority DESC, seq ASC),
+    # so default 0 everywhere == reference FIFO parity
+    link_priority: int = 0
 
     # --- seen-set sharding (north_rule: sharded cuckoo filter, SHA-1 keys) ---
     num_seen_shards: int = 8
@@ -83,4 +90,7 @@ class SynthConfig:
     empty_fraction: float = 0.02   # empty / whitespace-only bodies
     latin1_fraction: float = 0.10  # pages encoded latin-1 (charset sniff path)
     dead_link_fraction: float = 0.06   # hrefs pointing outside the page table
+    pdf_fraction: float = 0.03     # Content-Type: application/pdf rows (M5/M9)
+    docx_fraction: float = 0.015   # msword / ooxml rows (M5/M10)
+    unknown_ct_fraction: float = 0.005  # unknown Content-Type (dropped by M5)
     num_url_buckets: int = 256      # must match CrawlConfig.num_url_buckets

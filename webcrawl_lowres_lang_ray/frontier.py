@@ -8,9 +8,10 @@ num_threads=1 FIFO semantics) with Ray Data execution per wave:
     -> relative-URL skip + robots gate                    [state/robots.py actors]
     -> fetch = partitioned hash join vs the page table
        (pre-partitioned by canonical-SHA-1 bucket); bucket
-       groups LPT-bin-packed into ~4x cluster-CPU tasks    [_fetch_group]
-    -> extract + clean + score + link-extract             [_score_batch, model
-       in one map_batches stage                            cached per worker]
+       groups LPT-bin-packed into ~4x cluster-CPU tasks    [_wave_task]
+    -> doc-type dispatch (M5) + extract + clean + score   [one fused Arrow
+       + link-extract                                      stage, model
+                                                           cached per worker]
     -> ledger partition write  ledger/wave=N/
     -> candidate insertion: excluded-domain filter, within-wave dedup
        (first occurrence by (parent_seq, link_idx)), sharded seen-filter
@@ -23,22 +24,33 @@ insertion rank by ``(parent_seq, link_idx)`` — so the ledger equals the
 single-threaded oracle's bit-for-bit (tests/test_crawl_conformance.py).
 
 Scale notes (the 100 TB story):
-* The frontier lives in per-wave Parquet spill partitions, never on the
-  driver, except that admission and insertion use a driver-local Arrow fast
-  path when the wave is small (< ``driver_path_max_rows``); both paths are
-  implemented and asserted equivalent.  At 10^10-URL scale the Ray path is
-  taken: admission is a host-hash groupby, insertion rank is a two-pass
-  bucket-histogram prefix sum (only the tiny histogram visits the driver).
+* Above ``DRIVER_PATH_MAX_ROWS`` pending rows a wave runs FULLY STREAMED
+  (_run_wave_streamed): the frontier is read as a Dataset, admission
+  partitions write deferred rows and norun ledger rows straight to their
+  next-wave partition files, the fused fetch/score stage consumes zero-copy
+  Arrow batches, and insertion's rank tasks write the new frontier
+  partitions themselves.  Driver traffic per wave: the O(rank-buckets) seq
+  histogram, per-partition counts, and Parquet footers — never a frontier
+  frame (tests/test_crawl_conformance.py pins this with a to_pandas row cap
+  and asserts bit-for-bit ledger equality with the driver fast path, which
+  small waves still take because a cluster fan-out costs more than the
+  work).
 * The page-table side of fetch is only ever read one url-hash bucket at a
   time with an ``url in (...)`` predicate pushed into the Parquet read —
   no stage scans the whole corpus.
-* html bytes flow fetch->score inside one streaming execution and are
-  dropped before any write; the ledger keeps text, hashes and metrics only.
+* html bytes flow fetch->score inside one streaming execution as Arrow
+  binary columns (never pandas object columns) and are dropped before any
+  write; the ledger keeps text, hashes and metrics only.
+* Admission orders by (priority DESC, seq ASC) — the priority-frontier
+  hook; all-default priorities degrade to exact reference FIFO parity.
+* Seen-set checkpoints are written by the shard actors themselves
+  (snapshot_to), so 10^10-key snapshots never route through the driver.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 import time
 from dataclasses import dataclass, field
 
@@ -52,12 +64,18 @@ import ray.data
 from . import checkpoint as ckpt
 from .config import CrawlConfig
 from .functions.hashing import digest_to_shard, md5_batch, sha1_batch
+from .functions.extract_doc import extract_text_auto, sniff_doc_type
 from .functions.html_text import decode_html, extract_links, extract_text_from_html_bytes
 from .functions.scoring import LangScoringModel
 from .functions.urltools import excluded_mask_batch, host_batch, relative_mask_batch, canonicalize_batch
 from .sources.synth import load_lexicon
 from .state.robots import create_robots_actors, robots_blocked_mask
-from .state.seen import create_seen_shards, restore_all, seen_filter_new, snapshot_all
+from .state.seen import (
+    create_seen_shards,
+    restore_all_from,
+    seen_filter_new,
+    snapshot_all_to,
+)
 
 # switch to the distributed admission/insertion path above this many rows
 DRIVER_PATH_MAX_ROWS = 200_000
@@ -79,6 +97,9 @@ FRONTIER_FIELDS = [
     ("engine", pa.string()),
     ("is_rel", pa.bool_()),
     ("robots_blocked", pa.bool_()),
+    # priority frontier hook (north star): admission orders by
+    # (priority DESC, seq ASC); default 0 everywhere == reference FIFO parity
+    ("priority", pa.int64()),
 ]
 FRONTIER_SCHEMA = pa.schema(FRONTIER_FIELDS)
 
@@ -128,88 +149,54 @@ def _get_model(lexicon_ref, cfg: CrawlConfig) -> LangScoringModel:
 # ---------------------------------------------------------------------------
 
 def _admit_driver(df: pd.DataFrame, k: int) -> pd.DataFrame:
-    df = df.sort_values("seq", kind="mergesort").reset_index(drop=True)
+    df = df.sort_values(
+        ["priority", "seq"], ascending=[False, True], kind="mergesort"
+    ).reset_index(drop=True)
     df["admit"] = df.groupby("host").cumcount() < k
     return df
 
 
-def _admit_ray(ds: "ray.data.Dataset", k: int) -> pd.DataFrame:
-    """Distributed politeness admission: hash-partition by host (all rows of
-    one host in one partition), then a vectorized per-partition pandas
-    groupby-cumcount — not one map_groups dispatch per host (ms each at
-    10^5+ hosts)."""
+def _wave_task(pages_dir: str, lexicon_ref, cfg: CrawlConfig, wave: int, ledger_dir: str, robots_actors=None):
+    """The whole per-bucket wave body as ONE task: partitioned fetch join ->
+    extract/score -> write this bucket's ledger partition (resumable layout:
+    ledger/wave=N/part-bKKK.parquet, idempotent overwrite) -> explode links ->
+    prepare candidates (excluded filter, canon/sha1/md5/host/bucket).
 
-    def add_part(b: pd.DataFrame) -> pd.DataFrame:
-        if len(b) == 0:
-            return b.assign(admit_part=pd.Series(dtype="int64"))
-        b = b.copy()
-        b["admit_part"] = (
-            pd.util.hash_array(b["host"].to_numpy(object)) % 64
-        ).astype(np.int64)
-        return b
+    Arrow-native: the batch flows in as a zero-copy pyarrow Table
+    (``batch_format="pyarrow"`` at both call sites), the page-table html
+    bytes go straight from the Parquet read into the scorer, and the ledger
+    partition is written as an Arrow table — the wide binary/text payloads
+    never pass through pandas object columns.  Only the small prepared
+    candidate rows (urls + hashes + ints) come out as a DataFrame.
 
-    def mark_part(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("seq", kind="mergesort")
-        g["admit"] = g.groupby("host").cumcount() < k
-        return g.drop(columns=["admit_part"])
+    Fusing the chain keeps each wave at a single Ray Data execution and a
+    single driver pull of *prepared candidate* rows, which is what makes the
+    wave loop's serial fraction small enough to scale (BASELINE.md scaling
+    criterion)."""
 
-    out = (
-        ds.map_batches(add_part, batch_format="pandas")
-        .groupby("admit_part")
-        .map_groups(mark_part, batch_format="pandas")
-    )
-    return out.to_pandas()
+    def one_bucket(tbl: pa.Table) -> pd.DataFrame:
+        import hashlib
 
-
-def _fetch_group(pages_dir: str):
-    """Partitioned hash join against the page table, one bucket at a time.
-
-    Each call reads the bucket file(s) its rows map to with an
-    `url in (...)` predicate pushed into the Parquet read and left-joins.
-    In the distributed path the wave's rows arrive grouped by bucket
-    (LPT-bin-packed bucket groups, see run_crawl), so a task reads each of
-    its buckets' files exactly once — the explicit partitioned-join pattern
-    without a sort shuffle.
-    """
-
-    def fetch_one(g: pd.DataFrame) -> pd.DataFrame:
-        bucket = int(g["bucket"].iloc[0])
+        bucket = int(tbl.column("bucket")[0].as_py())
+        urls = tbl.column("url").to_pylist()
         path = os.path.join(pages_dir, f"bucket={bucket:03d}.parquet")
-        urls = list(g["url"])
+        web: dict[str, tuple] = {}
         if os.path.exists(path):
-            t = pq.read_table(
-                path, columns=["url", "html"], filters=[("url", "in", urls)]
+            pages = pq.read_table(
+                path,
+                columns=["url", "html", "content_type"],
+                filters=[("url", "in", urls)],
             )
-            pages = pd.DataFrame(
-                {"url": t["url"].to_pylist(), "html": t["html"].to_pylist()}
-            )
-        else:
-            pages = pd.DataFrame({"url": [], "html": []})
-        out = g.merge(pages, on="url", how="left")
-        html = out["html"].to_numpy(dtype=object, copy=True)
-        html[pd.isna(html)] = None  # .where(cond, None) would leave NaN
-        out["html"] = html
-        return out
-
-    def fn(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) == 0:
-            return g.assign(html=np.empty(0, dtype=object))
-        if g["bucket"].nunique() == 1:
-            return fetch_one(g)
-        return pd.concat(
-            [fetch_one(sub.reset_index(drop=True)) for _, sub in g.groupby("bucket", sort=True)],
-            ignore_index=True,
-        )
-
-    return fn
-
-
-def _score_batch(lexicon_ref, cfg: CrawlConfig, wave: int):
-    """Batch fn: extract text, score, extract links. html is dropped here."""
-
-    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            web = {
+                u: (h, ct)
+                for u, h, ct in zip(
+                    pages.column("url").to_pylist(),
+                    pages.column("html").to_pylist(),
+                    pages.column("content_type").to_pylist(),
+                )
+            }
         model = _get_model(lexicon_ref, cfg)
-        n = len(batch)
+        n = len(urls)
         downloaded = np.zeros(n, dtype=bool)
         failed = np.zeros(n, dtype=bool)
         handled = np.zeros(n, dtype=bool)
@@ -222,19 +209,33 @@ def _score_batch(lexicon_ref, cfg: CrawlConfig, wave: int):
         para_count = np.zeros(n, dtype=np.int64)
         para_lrl = np.zeros(n, dtype=np.int64)
         para_perc = np.zeros(n, dtype=np.float64)
-        links = np.empty(n, dtype=object)
+        links: list[list[str]] = [()] * n  # type: ignore[assignment]
 
-        import hashlib
-
-        for i, html in enumerate(batch["html"].to_numpy()):
-            if not isinstance(html, (bytes, bytearray)):  # None/NaN -> fetch miss
-                failed[i] = True
+        for i, u in enumerate(urls):
+            hit = web.get(u)
+            if hit is None or not isinstance(hit[0], (bytes, bytearray)):
+                failed[i] = True  # miss -> failed fetch
                 links[i] = []
                 continue
+            html, ct = hit
             downloaded[i] = True
-            doc_type[i] = "html"
+            dt = sniff_doc_type(ct)
+            doc_type[i] = dt or ""
             file_hash[i] = hashlib.sha256(html).hexdigest()
-            text = extract_text_from_html_bytes(html)
+            if dt == "html":
+                text = extract_text_from_html_bytes(html)
+                links[i] = extract_links(decode_html(html))
+            else:
+                # pdf/docx extraction is import-gated (libs absent in this
+                # sandbox) and unknown types return None — both take the
+                # reference's extract-returns-None path (nlp.py:113-115,
+                # lrl-crawler.py:431-433): score as empty text, no links
+                try:
+                    text = extract_text_auto(html, dt) if dt else None
+                except NotImplementedError:
+                    text = None
+                text = text or ""
+                links[i] = []
             text_col[i] = text
             sr = model.score_text(text)
             handled[i] = True
@@ -244,64 +245,73 @@ def _score_batch(lexicon_ref, cfg: CrawlConfig, wave: int):
             para_lrl[i] = sr.para_count_lrl
             para_perc[i] = sr.para_perc_lrl
             rejected[i] = sr.rejected
-            links[i] = extract_links(decode_html(html))
 
-        out = batch.drop(columns=["html"]).copy()
-        out["wave"] = np.int64(wave)
-        out["downloaded"] = downloaded
-        out["downloaded_failed"] = failed
-        out["handled"] = handled
-        out["skipped_relative"] = False
-        out["robots_blocked"] = False
-        out["doc_type"] = doc_type
-        out["file_hash"] = file_hash
-        out["text"] = text_col
-        out["nlp_full_lang"] = full_lang
-        out["nlp_full_confidence"] = full_conf
-        out["nlp_para_count"] = para_count
-        out["nlp_para_count_lrl"] = para_lrl
-        out["nlp_para_perc_lrl"] = para_perc
-        out["rejected"] = rejected
-        out["links"] = links
-        return out
-
-    return fn
-
-
-def _wave_task(pages_dir: str, lexicon_ref, cfg: CrawlConfig, wave: int, ledger_dir: str, robots_actors=None):
-    """The whole per-bucket wave body as ONE task: partitioned fetch join ->
-    extract/score -> write this bucket's ledger partition (resumable layout:
-    ledger/wave=N/part-bKKK.parquet, idempotent overwrite) -> explode links ->
-    prepare candidates (excluded filter, canon/sha1/md5/host/bucket).
-
-    Fusing the chain keeps each wave at a single Ray Data execution and a
-    single driver pull of *prepared candidate* rows (url + hashes + ints —
-    no html, no text), which is what makes the wave loop's serial fraction
-    small enough to scale (BASELINE.md scaling criterion)."""
-    fetch_fn = _fetch_group(pages_dir)
-    score_fn = _score_batch(lexicon_ref, cfg, wave)
-
-    def one_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        wave_df = score_fn(fetch_fn(g))
-        bucket = int(g["bucket"].iloc[0])
+        ledger_tbl = pa.table(
+            {
+                "seq": tbl.column("seq"),
+                "url": tbl.column("url"),
+                "url_hash": tbl.column("url_hash"),
+                "canon_sha1": tbl.column("canon_sha1"),
+                "host": tbl.column("host"),
+                "query_id": tbl.column("query_id"),
+                "engine": tbl.column("engine"),
+                "wave": pa.array(np.full(n, wave, dtype=np.int64)),
+                "downloaded": pa.array(downloaded),
+                "downloaded_failed": pa.array(failed),
+                "handled": pa.array(handled),
+                "skipped_relative": pa.array(np.zeros(n, dtype=bool)),
+                "robots_blocked": pa.array(np.zeros(n, dtype=bool)),
+                "doc_type": pa.array(doc_type, type=pa.string()),
+                "file_hash": pa.array(file_hash, type=pa.string()),
+                "text": pa.array(text_col, type=pa.string()),
+                "nlp_full_lang": pa.array(full_lang, type=pa.string()),
+                "nlp_full_confidence": pa.array(full_conf),
+                "nlp_para_count": pa.array(para_count),
+                "nlp_para_count_lrl": pa.array(para_lrl),
+                "nlp_para_perc_lrl": pa.array(para_perc),
+                "rejected": pa.array(rejected),
+            }
+        ).select(LEDGER_META_COLS)
         pq.write_table(
-            pa.Table.from_pandas(
-                wave_df.drop(columns=["links"])[LEDGER_META_COLS],
-                preserve_index=False,
-            ),
-            os.path.join(ledger_dir, f"part-b{bucket:03d}.parquet"),
+            ledger_tbl, os.path.join(ledger_dir, f"part-b{bucket:03d}.parquet")
         )
-        cand = _explode_links(wave_df[["seq", "query_id", "links"]])
+        # candidate explode, vectorized: repeat parents by link counts
+        counts = np.array([len(l) for l in links], dtype=np.int64)
+        total = int(counts.sum())
+        starts = np.cumsum(counts) - counts
+        cand = pd.DataFrame(
+            {
+                "url": pd.Series(
+                    [h for l in links for h in l], dtype="object"
+                ),
+                "query_id": np.repeat(tbl.column("query_id").to_numpy(), counts),
+                "engine": pd.Series(["link"] * total, dtype="object"),
+                "ord1": np.repeat(tbl.column("seq").to_numpy(), counts),
+                "ord2": np.arange(total, dtype=np.int64)
+                - np.repeat(starts, counts),
+            }
+        )
         return _prepare_candidates(cand, cfg, robots_actors)
 
-    def fn(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) == 0:
+    def fn(batch) -> pd.DataFrame:
+        if isinstance(batch, pd.DataFrame):  # driver local fast path
+            batch = pa.Table.from_pandas(batch, preserve_index=False)
+        if "fetch_part" in batch.column_names:  # streamed-path partition tag
+            batch = batch.drop_columns(["fetch_part"])
+        if batch.num_rows == 0:
             return _empty_candidates_df()
-        if g["bucket"].nunique() == 1:
-            return one_bucket(g)
+        buckets = batch.column("bucket").to_numpy()
+        if (buckets == buckets[0]).all():
+            return one_bucket(batch)
+        order = np.argsort(buckets, kind="stable")
+        tbl = batch.take(pa.array(order))
+        bvals = buckets[order]
+        bounds = np.flatnonzero(np.r_[True, bvals[1:] != bvals[:-1], True])
         return pd.concat(
-            [one_bucket(sub.reset_index(drop=True))
-             for _, sub in g.groupby("bucket", sort=True)],
+            [
+                one_bucket(tbl.slice(bounds[i], bounds[i + 1] - bounds[i]))
+                for i in range(len(bounds) - 1)
+            ],
             ignore_index=True,
         )
 
@@ -322,6 +332,7 @@ def _empty_candidates_df() -> pd.DataFrame:
             "bucket": pd.Series(dtype="int32"),
             "is_rel": pd.Series(dtype="bool"),
             "robots_blocked": pd.Series(dtype="bool"),
+            "priority": pd.Series(dtype="int64"),
         }
     )
 
@@ -382,6 +393,8 @@ def _prepare_candidates(
         df["robots_blocked"] = robots_blocked_mask(robots_actors, list(urls)) & ~rel
     else:
         df["robots_blocked"] = False
+    if "priority" not in df.columns:  # seeds may carry their own priority
+        df["priority"] = np.int64(cfg.link_priority)
     return df
 
 
@@ -401,17 +414,29 @@ def _insert_driver(
     cand = cand.loc[new_mask]
     cand = cand.reset_index(drop=True)
     cand["seq"] = base_seq + np.arange(len(cand), dtype=np.int64)
+    if cfg.max_pages:  # global insertion budget: only seqs < max_pages exist
+        cand = cand.loc[cand["seq"] < cfg.max_pages]
     return cand[[n for n, _ in FRONTIER_FIELDS]]
 
 
-def _insert_ray(
-    cand_ds: "ray.data.Dataset", seen_shards, base_seq: int, cfg: CrawlConfig
-) -> pd.DataFrame:
+def _insert_streamed(
+    cand_ds: "ray.data.Dataset",
+    seen_shards,
+    base_seq: int,
+    cfg: CrawlConfig,
+    write_dir: str,
+) -> int:
     """Distributed insertion over PREPARED candidates: per-key dedup via
     hash-partitioned vectorized drop_duplicates (NOT groupby(key).map_groups
     — per-group dispatch at 10^5+ distinct urls costs ~ms each) ->
     seen-filter inside map_batches (actor RPCs from tasks) -> two-pass
-    bucket-histogram rank for global seq assignment."""
+    bucket-histogram rank for global seq assignment.
+
+    The surviving rows are written as next-frontier partition files
+    (``insert-pNNN.parquet``, deterministic names => idempotent re-run)
+    directly by the rank tasks — the new frontier rows never visit the
+    driver; only the O(rank-buckets) histogram does.  Returns the number
+    of rows inserted (after the ``max_pages`` seq budget, if set)."""
 
     def add_part(b: pd.DataFrame) -> pd.DataFrame:
         if len(b) == 0:
@@ -470,29 +495,39 @@ def _insert_ray(
 
     hist = survivors.map_batches(hist_partial, batch_format="pandas").to_pandas()
     if len(hist) == 0:  # every candidate excluded / duplicate / already seen
-        return _empty_frontier_df()
+        return 0
     hist = hist.groupby("rank_bucket")["n"].sum().sort_index()
     starts = np.cumsum(hist.to_numpy()) - hist.to_numpy()
     offsets = dict(zip(hist.index.to_numpy(), starts))
     offsets_ref = ray.put(offsets)
+    max_pages = cfg.max_pages
 
-    # pass 2: per-partition vectorized local rank + broadcast global offset
-    def assign_part(g: pd.DataFrame) -> pd.DataFrame:
+    # pass 2: per-partition vectorized local rank + broadcast global offset;
+    # each rank partition writes its own frontier file — no driver pull
+    def assign_write(g: pd.DataFrame) -> pd.DataFrame:
         offs = ray.get(offsets_ref)
+        part = int(g["rank_part"].iloc[0])
         g = g.sort_values(["rank_bucket", "ord1", "ord2"], kind="mergesort")
         counts = g.groupby("rank_bucket", sort=True).size()
         seq = np.concatenate(
             [offs[int(rb)] + np.arange(c, dtype=np.int64) for rb, c in counts.items()]
         ) if len(counts) else np.empty(0, dtype=np.int64)
         g["seq"] = base_seq + seq
-        return g.drop(columns=["rank_part"])
+        if max_pages:
+            g = g.loc[g["seq"] < max_pages]
+        out = g[[n for n, _ in FRONTIER_FIELDS]]
+        pq.write_table(
+            pa.Table.from_pandas(out, schema=FRONTIER_SCHEMA, preserve_index=False),
+            os.path.join(write_dir, f"insert-p{part:03d}.parquet"),
+        )
+        return pd.DataFrame({"n": [np.int64(len(out))]})
 
-    out = survivors.groupby("rank_part").map_groups(assign_part, batch_format="pandas")
-    df = out.to_pandas()
-    if len(df) == 0:
-        return _empty_frontier_df()
-    df = df.sort_values("seq", kind="mergesort").reset_index(drop=True)
-    return df[[n for n, _ in FRONTIER_FIELDS]]
+    ns = (
+        survivors.groupby("rank_part")
+        .map_groups(assign_write, batch_format="pandas")
+        .to_pandas()
+    )
+    return int(ns["n"].sum()) if len(ns) else 0
 
 
 def _empty_frontier_df() -> pd.DataFrame:
@@ -508,10 +543,138 @@ def _empty_frontier_df() -> pd.DataFrame:
     return pd.DataFrame({name: pd.Series(dtype=dt(t)) for name, t in FRONTIER_FIELDS})
 
 
-def _write_frontier(df: pd.DataFrame, path_dir: str) -> None:
+def _clear_dir(path_dir: str) -> None:
+    """Reset a per-wave partition directory: re-running a killed wave must
+    not leave orphan files from the partial attempt (file names can differ
+    between the driver and streamed paths)."""
+    if os.path.isdir(path_dir):
+        shutil.rmtree(path_dir)
     os.makedirs(path_dir, exist_ok=True)
+
+
+def _write_frontier(df: pd.DataFrame, path_dir: str) -> None:
+    _clear_dir(path_dir)
     tbl = pa.Table.from_pandas(df[ [n for n,_ in FRONTIER_FIELDS] ], schema=FRONTIER_SCHEMA, preserve_index=False)
     pq.write_table(tbl, os.path.join(path_dir, "part-0.parquet"))
+
+
+def _frontier_row_count(path_dir: str) -> int:
+    """Pending size from Parquet footers only — no row data read."""
+    n = 0
+    for f in os.listdir(path_dir):
+        if f.endswith(".parquet"):
+            n += pq.read_metadata(os.path.join(path_dir, f)).num_rows
+    return n
+
+
+def _from_pandas_chunked(df: pd.DataFrame, nchunks: int = 64) -> "ray.data.Dataset":
+    """from_pandas of one frame yields ONE block (downstream runs on one
+    core) — chunk first."""
+    if len(df) == 0:
+        return ray.data.from_pandas([df])
+    parts = np.array_split(np.arange(len(df)), min(nchunks, len(df)))
+    return ray.data.from_pandas(
+        [df.iloc[ix].reset_index(drop=True) for ix in parts if len(ix)]
+    )
+
+
+# ---------------------------------------------------------------------------
+# the fully-streamed wave (pending frontier never on the driver)
+# ---------------------------------------------------------------------------
+
+_SHUFFLE_PARTS = 64
+
+
+def _run_wave_streamed(
+    out_dir: str,
+    pages_dir: str,
+    wave: int,
+    cfg: CrawlConfig,
+    lexicon_ref,
+    seen_shards,
+    robots_actors,
+    next_seq: int,
+    score_concurrency: int | None = None,
+) -> tuple[int, int]:
+    """One politeness wave as Datasets end-to-end.  The driver never holds a
+    frontier frame: admission partitions route deferred rows and norun ledger
+    rows straight to their next-wave partition files, to-fetch rows flow into
+    the fused fetch/score/ledger-write stage, and insertion writes the new
+    frontier rows from its rank tasks.  Driver traffic per wave: the
+    O(rank-buckets) seq histogram, per-partition row counts, Parquet footer
+    reads.  Returns (inserted, pending_next)."""
+    frontier_path = ckpt.wave_dir(out_dir, "frontier", wave)
+    next_frontier = ckpt.wave_dir(out_dir, "frontier", wave + 1)
+    ledger_dir = ckpt.wave_dir(out_dir, "ledger", wave)
+    _clear_dir(next_frontier)
+    _clear_dir(ledger_dir)
+
+    k = cfg.per_host_per_wave
+    fields = [n for n, _ in FRONTIER_FIELDS]
+
+    def add_admit_part(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return b.assign(admit_part=pd.Series(dtype="int64"))
+        b = b.copy()
+        b["admit_part"] = (
+            pd.util.hash_array(b["host"].to_numpy(object)) % _SHUFFLE_PARTS
+        ).astype(np.int64)
+        return b
+
+    def admit_route(g: pd.DataFrame) -> pd.DataFrame:
+        """Per host-partition: politeness mark, then route — deferred rows to
+        the next frontier partition, relative/robots rows to a norun ledger
+        partition, to-fetch rows downstream.  All hosts of a row live in this
+        partition, so the per-host budget is exact."""
+        part = int(g["admit_part"].iloc[0])
+        g = g.drop(columns=["admit_part"]).sort_values(
+            ["priority", "seq"], ascending=[False, True], kind="mergesort"
+        )
+        admit = (g.groupby("host").cumcount() < k).to_numpy(bool)
+        deferred = g.loc[~admit]
+        pq.write_table(
+            pa.Table.from_pandas(
+                deferred[fields], schema=FRONTIER_SCHEMA, preserve_index=False
+            ),
+            os.path.join(next_frontier, f"deferred-p{part:03d}.parquet"),
+        )
+        adm = g.loc[admit]
+        rel = adm["is_rel"].to_numpy(bool)
+        rob = adm["robots_blocked"].to_numpy(bool)
+        norun = rel | rob
+        if norun.any():
+            rows = _norun_ledger_rows(adm.loc[norun], wave, rel[norun], rob[norun])
+            pq.write_table(
+                pa.Table.from_pandas(rows, preserve_index=False),
+                os.path.join(ledger_dir, f"norun-p{part:03d}.parquet"),
+            )
+        return adm.loc[~norun]
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    nbins = max(8, min(4 * cpus, cfg.num_url_buckets))
+
+    def add_fetch_part(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return b.assign(fetch_part=pd.Series(dtype="int64"))
+        return b.assign(
+            fetch_part=(b["bucket"].to_numpy(np.int64) % nbins).astype(np.int64)
+        )
+
+    wave_fn = _wave_task(pages_dir, lexicon_ref, cfg, wave, ledger_dir, robots_actors)
+
+    candidates = (
+        ray.data.read_parquet(frontier_path)
+        .map_batches(add_admit_part, batch_format="pandas")
+        .groupby("admit_part")
+        .map_groups(admit_route, batch_format="pandas")
+        .map_batches(add_fetch_part, batch_format="pandas")
+        .groupby("fetch_part")
+        # zero-copy Arrow into the fused fetch/score task (it drops the
+        # fetch_part tag itself)
+        .map_groups(wave_fn, batch_format="pyarrow")
+    )
+    inserted = _insert_streamed(candidates, seen_shards, next_seq, cfg, next_frontier)
+    return inserted, _frontier_row_count(next_frontier)
 
 
 # ---------------------------------------------------------------------------
@@ -541,9 +704,9 @@ def run_crawl(
         wave = manifest["wave"] + 1
         next_seq = manifest["next_seq"]
         stats.inserted = manifest["inserted"]
-        restore_all(seen_shards, ckpt.read_seen_snapshots(manifest["seen_snapshots"]))
-        pending_path = ckpt.wave_dir(out_dir, "frontier", wave)
-        pending_df = _read_frontier(pending_path)
+        restore_all_from(seen_shards, manifest["seen_snapshots"])
+        pending_df = None  # read lazily if the wave takes the driver path
+        pending_count = _frontier_row_count(ckpt.wave_dir(out_dir, "frontier", wave))
     else:
         ckpt.clear_output(out_dir)
         wave = 0
@@ -560,119 +723,143 @@ def run_crawl(
                 "ord2": np.int64(0),
             }
         )
+        if "priority" in seeds.columns:  # optional seed priorities
+            cand["priority"] = seeds["priority"].astype(np.int64)
         pending_df = _insert_driver(
             _prepare_candidates(cand, cfg, robots_actors), seen_shards, 0, cfg
         )
         next_seq = int(len(pending_df))
         stats.inserted = next_seq
+        pending_count = next_seq
         _write_frontier(pending_df, ckpt.wave_dir(out_dir, "frontier", 0))
 
-    while len(pending_df) > 0 and wave < cfg.max_waves:
+    while pending_count > 0 and wave < cfg.max_waves:
         wave_t0 = time.time()
         sec = {}  # per-section timing -> manifest (scaling diagnostics)
-        # ---- 1. politeness admission (seq order, per-host budget) ----
-        if len(pending_df) <= DRIVER_PATH_MAX_ROWS:
+
+        if pending_count > DRIVER_PATH_MAX_ROWS:
+            # ---- fully-streamed wave: frontier never becomes a driver frame
+            pending_df = None
+            inserted, pending_next = _run_wave_streamed(
+                out_dir, pages_dir, wave, cfg, lexicon_ref, seen_shards,
+                robots_actors, next_seq, score_concurrency,
+            )
+            admitted_n = pending_count - (pending_next - inserted)
+            next_seq += inserted
+            stats.inserted += inserted
+            pending_count = pending_next
+            sec["streamed_wave"] = round(time.time() - wave_t0, 3)
+        else:
+            # ---- driver fast path (small wave): same kernels, driver frame
+            if pending_df is None:
+                pending_df = _read_frontier(ckpt.wave_dir(out_dir, "frontier", wave))
+            # 1. politeness admission ((priority, seq) order, per-host budget)
             marked = _admit_driver(pending_df, cfg.per_host_per_wave)
-        else:
-            marked = _admit_ray(
-                ray.data.from_pandas(pending_df), cfg.per_host_per_wave
-            )
-        admitted = marked.loc[marked["admit"]].drop(columns=["admit"])
-        deferred = marked.loc[~marked["admit"]].drop(columns=["admit"])
-        sec["admit"] = round(time.time() - wave_t0, 3)
+            admitted = marked.loc[marked["admit"]].drop(columns=["admit"])
+            deferred = marked.loc[~marked["admit"]].drop(columns=["admit"])
+            admitted_n = int(len(admitted))
+            sec["admit"] = round(time.time() - wave_t0, 3)
 
-        # ---- 2. relative / robots gates (precomputed at candidate prep,
-        # inside the distributed wave task — here just column reads) ----
-        t_sec = time.time()
-        rel_mask = admitted["is_rel"].to_numpy(dtype=bool)
-        rob_mask = admitted["robots_blocked"].to_numpy(dtype=bool)
-        norun_mask = rel_mask | rob_mask
-        norun = admitted.loc[norun_mask]
-        to_fetch = admitted.loc[~norun_mask]
+            # 2. relative / robots gates (precomputed at candidate prep,
+            # inside the distributed wave task — here just column reads)
+            t_sec = time.time()
+            rel_mask = admitted["is_rel"].to_numpy(dtype=bool)
+            rob_mask = admitted["robots_blocked"].to_numpy(dtype=bool)
+            norun_mask = rel_mask | rob_mask
+            norun = admitted.loc[norun_mask]
+            to_fetch = admitted.loc[~norun_mask]
 
-        ledger_dir = ckpt.wave_dir(out_dir, "ledger", wave)
-        os.makedirs(ledger_dir, exist_ok=True)
-        if len(norun):
-            norun_rows = _norun_ledger_rows(
-                norun, wave, rel_mask[norun_mask], rob_mask[norun_mask]
-            )
-            pq.write_table(
-                pa.Table.from_pandas(norun_rows, preserve_index=False),
-                os.path.join(ledger_dir, "norun.parquet"),
-            )
+            ledger_dir = ckpt.wave_dir(out_dir, "ledger", wave)
+            _clear_dir(ledger_dir)
+            if len(norun):
+                norun_rows = _norun_ledger_rows(
+                    norun, wave, rel_mask[norun_mask], rob_mask[norun_mask]
+                )
+                pq.write_table(
+                    pa.Table.from_pandas(norun_rows, preserve_index=False),
+                    os.path.join(ledger_dir, "norun.parquet"),
+                )
 
-        sec["gates"] = round(time.time() - t_sec, 3)
-        t_sec = time.time()
-        # ---- 3. fetch -> extract -> score -> ledger write -> links ----
-        # the whole chain is ONE fused per-bucket task (_wave_task): each
-        # task reads exactly one page-table bucket file (partitioned hash
-        # join, no sort shuffle), writes its own ledger partition, and
-        # returns only prepared candidate rows — a single Ray Data execution
-        # and a single small driver pull per wave.
-        cand_df = _empty_candidates_df()
-        wave_fn = _wave_task(pages_dir, lexicon_ref, cfg, wave, ledger_dir, robots_actors)
-        if len(to_fetch) and len(to_fetch) <= SMALL_WAVE_MAX_ROWS:
-            # local fast path: same kernel, no cluster fan-out
-            cand_df = pd.concat(
-                [
-                    wave_fn(g.reset_index(drop=True))
+            sec["gates"] = round(time.time() - t_sec, 3)
+            t_sec = time.time()
+            # 3. fetch -> extract -> score -> ledger write -> links: ONE fused
+            # per-bucket task (_wave_task); each task reads exactly one page-
+            # table bucket file (partitioned hash join, no sort shuffle),
+            # writes its own ledger partition, returns prepared candidates.
+            cand_df = _empty_candidates_df()
+            wave_fn = _wave_task(pages_dir, lexicon_ref, cfg, wave, ledger_dir, robots_actors)
+            if len(to_fetch) and len(to_fetch) <= SMALL_WAVE_MAX_ROWS:
+                # local fast path: same kernel, no cluster fan-out
+                cand_df = pd.concat(
+                    [
+                        wave_fn(g.reset_index(drop=True))
+                        for _, g in to_fetch.groupby("bucket", sort=True)
+                    ],
+                    ignore_index=True,
+                )
+            elif len(to_fetch):
+                # task granularity is decoupled from the bucket count: bucket
+                # groups are LPT-bin-packed into ~4x cluster CPUs blocks (a
+                # task handles several buckets, still reading one bucket file
+                # each), emitted largest-first so the wave barrier isn't
+                # stretched by a big block landing last.  Hundreds of tiny
+                # tasks would serialize on driver dispatch; a handful of huge
+                # ones would straggle.
+                groups = [
+                    g.reset_index(drop=True)
                     for _, g in to_fetch.groupby("bucket", sort=True)
-                ],
-                ignore_index=True,
-            )
-        elif len(to_fetch):
-            # task granularity is decoupled from the bucket count: bucket
-            # groups are LPT-bin-packed into ~2x cluster CPUs blocks (a task
-            # handles several buckets, still reading one bucket file each),
-            # emitted largest-first so the wave barrier isn't stretched by a
-            # big block landing last.  Hundreds of tiny tasks would serialize
-            # on driver dispatch; a handful of huge ones would straggle.
-            groups = [
-                g.reset_index(drop=True)
-                for _, g in to_fetch.groupby("bucket", sort=True)
-            ]
-            cpus = int(ray.cluster_resources().get("CPU", 8))
-            nbins = max(8, min(4 * cpus, len(groups)))
-            bins: list[list[pd.DataFrame]] = [[] for _ in range(nbins)]
-            sizes = np.zeros(nbins, dtype=np.int64)
-            for g in sorted(groups, key=len, reverse=True):
-                i = int(sizes.argmin())
-                bins[i].append(g)
-                sizes[i] += len(g)
-            order = np.argsort(-sizes)
-            blocks = [
-                pd.concat(bins[i], ignore_index=True) for i in order if bins[i]
-            ]
-            ds = ray.data.from_pandas(blocks)
-            kwargs = {}
-            if score_concurrency:
-                kwargs["concurrency"] = score_concurrency
-            cand_df = ds.map_batches(
-                wave_fn, batch_format="pandas", batch_size=None, **kwargs
-            ).to_pandas()
-        stats.skipped_relative += int(rel_mask.sum())
-        stats.robots_blocked += int(rob_mask.sum())
-        sec["fetch_score"] = round(time.time() - t_sec, 3)
-        t_sec = time.time()
+                ]
+                cpus = int(ray.cluster_resources().get("CPU", 8))
+                nbins = max(8, min(4 * cpus, len(groups)))
+                bins: list[list[pd.DataFrame]] = [[] for _ in range(nbins)]
+                sizes = np.zeros(nbins, dtype=np.int64)
+                for g in sorted(groups, key=len, reverse=True):
+                    i = int(sizes.argmin())
+                    bins[i].append(g)
+                    sizes[i] += len(g)
+                order = np.argsort(-sizes)
+                blocks = [
+                    pd.concat(bins[i], ignore_index=True) for i in order if bins[i]
+                ]
+                ds = ray.data.from_pandas(blocks)
+                kwargs = {}
+                if score_concurrency:
+                    kwargs["concurrency"] = score_concurrency
+                cand_df = ds.map_batches(
+                    wave_fn, batch_format="pyarrow", batch_size=None, **kwargs
+                ).to_pandas()
+            sec["fetch_score"] = round(time.time() - t_sec, 3)
+            t_sec = time.time()
 
-        # ---- 4. candidate insertion ----
-        if len(cand_df) <= DRIVER_PATH_MAX_ROWS:
-            new_rows = _insert_driver(cand_df, seen_shards, next_seq, cfg)
-        else:
-            new_rows = _insert_ray(
-                ray.data.from_pandas(cand_df), seen_shards, next_seq, cfg
-            )
-        next_seq += len(new_rows)
-        stats.inserted += len(new_rows)
-        sec["insert"] = round(time.time() - t_sec, 3)
-        t_sec = time.time()
+            # 4. candidate insertion + next frontier
+            next_dir = ckpt.wave_dir(out_dir, "frontier", wave + 1)
+            if len(cand_df) <= DRIVER_PATH_MAX_ROWS:
+                new_rows = _insert_driver(cand_df, seen_shards, next_seq, cfg)
+                inserted = int(len(new_rows))
+                pending_df = pd.concat(
+                    [deferred, new_rows], ignore_index=True
+                ) if inserted else deferred.reset_index(drop=True)
+                _write_frontier(pending_df, next_dir)
+                pending_count = int(len(pending_df))
+            else:
+                # the link fan-out outgrew the driver: stream the insertion,
+                # frontier goes back to Parquet partitions
+                _write_frontier(deferred, next_dir)
+                inserted = _insert_streamed(
+                    _from_pandas_chunked(cand_df), seen_shards, next_seq, cfg, next_dir
+                )
+                pending_df = None
+                pending_count = _frontier_row_count(next_dir)
+            next_seq += inserted
+            stats.inserted += inserted
+            sec["insert"] = round(time.time() - t_sec, 3)
 
-        # ---- 5. next frontier + checkpoint ----
-        pending_df = pd.concat(
-            [deferred, new_rows], ignore_index=True
-        ) if len(new_rows) else deferred.reset_index(drop=True)
-        _write_frontier(pending_df, ckpt.wave_dir(out_dir, "frontier", wave + 1))
-        snap_paths = ckpt.write_seen_snapshots(out_dir, wave + 1, snapshot_all(seen_shards))
+        # ---- checkpoint (common tail): actor-side seen snapshots + manifest
+        t_sec = time.time()
+        snap_paths = snapshot_all_to(
+            seen_shards,
+            ckpt.seen_snapshot_paths(out_dir, wave + 1, len(seen_shards)),
+        )
         ckpt.write_manifest(
             out_dir,
             wave,
@@ -682,52 +869,41 @@ def run_crawl(
                 "inserted": stats.inserted,
                 "fetched": stats.fetched,
                 "failed": stats.failed,
-                "pending": int(len(pending_df)),
+                "pending": int(pending_count),
                 "seen_snapshots": snap_paths,
                 "wave_sec": round(time.time() - wave_t0, 3),
                 "sections": {**sec, "ckpt": round(time.time() - t_sec, 3)},
             },
         )
         stats.per_wave.append(
-            {"wave": wave, "admitted": int(len(admitted)), "pending": int(len(pending_df)),
+            {"wave": wave, "admitted": int(admitted_n), "pending": int(pending_count),
              "sec": round(time.time() - wave_t0, 3)}
         )
         wave += 1
 
     stats.waves = wave
-    # fetch/fail/reject counters from the ledger partitions (single columnar
-    # pass at the end instead of a driver pull of text per wave)
+    # fetch/fail/reject/gate counters from the ledger partitions (single
+    # columnar pass at the end instead of a driver pull of text per wave)
     import glob
 
     parts = glob.glob(os.path.join(out_dir, "ledger", "wave=*", "*.parquet"))
     import pyarrow.compute as pc
 
     for p in parts:
-        t = pq.read_table(p, columns=["downloaded", "downloaded_failed", "rejected"])
+        t = pq.read_table(
+            p,
+            columns=[
+                "downloaded", "downloaded_failed", "rejected",
+                "skipped_relative", "robots_blocked",
+            ],
+        )
         stats.fetched += int(pc.sum(t["downloaded"]).as_py() or 0)
         stats.failed += int(pc.sum(t["downloaded_failed"]).as_py() or 0)
         stats.rejected += int(pc.sum(t["rejected"]).as_py() or 0)
+        stats.skipped_relative += int(pc.sum(t["skipped_relative"]).as_py() or 0)
+        stats.robots_blocked += int(pc.sum(t["robots_blocked"]).as_py() or 0)
     stats.elapsed_sec = time.time() - t0
     return stats
-
-
-def _explode_links(b: pd.DataFrame) -> pd.DataFrame:
-    parent, qid, url, ordn = [], [], [], []
-    for seq, q, links in zip(b["seq"], b["query_id"], b["links"]):
-        for li, href in enumerate(links):
-            parent.append(seq)
-            qid.append(q)
-            url.append(href)
-            ordn.append(li)
-    return pd.DataFrame(
-        {
-            "url": pd.Series(url, dtype="object"),
-            "query_id": pd.Series(qid, dtype="int64"),
-            "engine": pd.Series(["link"] * len(url), dtype="object"),
-            "ord1": pd.Series(parent, dtype="int64"),
-            "ord2": pd.Series(ordn, dtype="int64"),
-        }
-    )
 
 
 def _read_frontier(path_dir: str) -> pd.DataFrame:

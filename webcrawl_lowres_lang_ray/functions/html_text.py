@@ -38,12 +38,14 @@ _META_CHARSET_RE = re.compile(
     rb"""<meta[^>]+charset\s*=\s*["']?([a-zA-Z0-9_\-]+)""", re.IGNORECASE
 )
 
+# BOM -> a codec that CONSUMES the BOM (UnicodeDammit strips it from the
+# markup; 'utf-16-le' etc. would leave a U+FEFF text node)
 _BOMS = (
     (codecs.BOM_UTF8, "utf-8-sig"),
-    (codecs.BOM_UTF32_LE, "utf-32-le"),
-    (codecs.BOM_UTF32_BE, "utf-32-be"),
-    (codecs.BOM_UTF16_LE, "utf-16-le"),
-    (codecs.BOM_UTF16_BE, "utf-16-be"),
+    (codecs.BOM_UTF32_LE, "utf-32"),
+    (codecs.BOM_UTF32_BE, "utf-32"),
+    (codecs.BOM_UTF16_LE, "utf-16"),
+    (codecs.BOM_UTF16_BE, "utf-16"),
 )
 
 
@@ -73,24 +75,56 @@ def decode_html(data: bytes) -> str:
 
 
 class _TextExtractor(HTMLParser):
-    """Collects text nodes in document order (bs4 .strings equivalent)."""
+    """Collects text nodes in document order (bs4 .strings equivalent).
+
+    Two bs4 behaviors matter for byte-parity on adversarial HTML:
+
+    * bs4 buffers consecutive ``handle_data`` events into ONE
+      NavigableString (``soup.endData`` flushes on every non-data event), so
+      invalid bare ``<`` — which the tokenizer emits as its own data event —
+      must merge with its neighbours, not become a separate stripped chunk.
+    * ``<![CDATA[...]]>`` reaches bs4 as ``unknown_decl('CDATA[...')`` and is
+      stored as a CData string, which get_text() INCLUDES; other unknown
+      declarations become Declaration strings, which it excludes (as are
+      comments, <!DOCTYPE>, and <?pi?>).
+    """
 
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
         self.chunks: list[str] = []
+        self._buf: list[str] = []
+
+    def _flush(self) -> None:
+        if self._buf:
+            self.chunks.append("".join(self._buf))
+            self._buf = []
 
     def handle_data(self, data: str) -> None:
-        self.chunks.append(data)
+        self._buf.append(data)
 
-    # comments, <!DOCTYPE>, <?pi?> produce no text in bs4.get_text()
+    def handle_starttag(self, tag: str, attrs) -> None:
+        self._flush()
+
+    def handle_endtag(self, tag: str) -> None:
+        self._flush()
+
     def handle_comment(self, data: str) -> None:
-        pass
+        self._flush()
 
     def handle_decl(self, decl: str) -> None:
-        pass
+        self._flush()
 
     def handle_pi(self, data: str) -> None:
-        pass
+        self._flush()
+
+    def unknown_decl(self, data: str) -> None:
+        self._flush()
+        if data.startswith("CDATA["):
+            self.chunks.append(data[len("CDATA["):])
+
+    def close(self) -> None:
+        super().close()
+        self._flush()
 
 
 def html_to_text(html: str) -> str:

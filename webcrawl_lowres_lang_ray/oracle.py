@@ -43,6 +43,7 @@ from urllib.parse import urlparse
 import pyarrow.parquet as pq
 
 from .config import CrawlConfig
+from .functions.extract_doc import extract_text_auto, sniff_doc_type
 from .functions.hashing import md5_url, sha1_url, sha256_bytes
 from .functions.html_text import decode_html, extract_links, extract_text_from_html_bytes
 from .functions.scoring import LangScoringModel
@@ -79,23 +80,31 @@ def run_oracle(corpus_dir: str, cfg: CrawlConfig | None = None) -> OracleResult:
     robots = load_robots(corpus_dir) if cfg.apply_robots else {}
     scorer = LangScoringModel(lexicon, cfg)
 
-    # the "web": url -> html bytes
+    # the "web": url -> (html bytes, content type)
     pages_dir = os.path.join(corpus_dir, "pages")
-    web: dict[str, bytes] = {}
+    web: dict[str, tuple] = {}
     for fname in sorted(os.listdir(pages_dir)):
         if fname.endswith(".parquet"):
-            t = pq.read_table(os.path.join(pages_dir, fname), columns=["url", "html"])
-            for u, h in zip(t["url"].to_pylist(), t["html"].to_pylist()):
-                web[u] = h
+            t = pq.read_table(
+                os.path.join(pages_dir, fname),
+                columns=["url", "html", "content_type"],
+            )
+            for u, h, ct in zip(
+                t["url"].to_pylist(), t["html"].to_pylist(),
+                t["content_type"].to_pylist(),
+            ):
+                web[u] = (h, ct)
 
     res = OracleResult()
     pending: list[dict] = []  # rows inserted but not yet resolved
     next_seq = 0
 
-    def insert(url: str, query_id: int, engine: str) -> None:
+    def insert(url: str, query_id: int, engine: str, priority: int = 0) -> None:
         nonlocal next_seq
         if is_excluded(url, cfg.excluded_domains):
             return
+        if cfg.max_pages and next_seq >= cfg.max_pages:
+            return  # global insertion budget exhausted (permanently)
         canon = canonicalize(url)
         key = sha1_url(canon)
         if key in res.seen:
@@ -124,6 +133,7 @@ def run_oracle(corpus_dir: str, cfg: CrawlConfig | None = None) -> OracleResult:
             "nlp_para_count_lrl": 0,
             "nlp_para_perc_lrl": 0.0,
             "rejected": False,
+            "priority": priority,
         }
         next_seq += 1
         res.ledger.append(row)
@@ -132,13 +142,13 @@ def run_oracle(corpus_dir: str, cfg: CrawlConfig | None = None) -> OracleResult:
     # --- seed insertion, in seed seq order ---
     seeds = pq.read_table(os.path.join(corpus_dir, "seeds.parquet"))
     for s in sorted(seeds.to_pylist(), key=lambda r: r["seq"]):
-        insert(s["url"], s["query_id"], s["engine"])
+        insert(s["url"], s["query_id"], s["engine"], int(s.get("priority", 0)))
 
     # --- wave loop ---
     wave = 0
     while pending and wave < cfg.max_waves:
-        # politeness admission: per host, first k by seq
-        pending.sort(key=lambda r: r["seq"])
+        # politeness admission: per host, first k by (priority DESC, seq)
+        pending.sort(key=lambda r: (-r["priority"], r["seq"]))
         budget: dict[str, int] = {}
         admitted: list[dict] = []
         deferred: list[dict] = []
@@ -162,16 +172,26 @@ def run_oracle(corpus_dir: str, cfg: CrawlConfig | None = None) -> OracleResult:
                 row["robots_blocked"] = True
                 row["handled"] = True
                 continue
-            html = web.get(url)
-            if html is None:
+            hit = web.get(url)
+            if hit is None:
                 row["downloaded_failed"] = True
                 continue
+            html, ct = hit
             row["downloaded"] = True
-            row["doc_type"] = "html"
+            dt = sniff_doc_type(ct)
+            row["doc_type"] = dt or ""
             row["file_hash"] = sha256_bytes(html)
 
-            # NLP stage
-            text = extract_text_from_html_bytes(html)
+            # NLP stage (M5 dispatch: pdf/docx import-gated, unknown -> None;
+            # the None path scores as empty text — reference nlp.py:113-115)
+            if dt == "html":
+                text = extract_text_from_html_bytes(html)
+            else:
+                try:
+                    text = extract_text_auto(html, dt) if dt else None
+                except NotImplementedError:
+                    text = None
+                text = text or ""
             row["text"] = text
             sr = scorer.score_text(text)
             row["handled"] = True
@@ -182,13 +202,16 @@ def run_oracle(corpus_dir: str, cfg: CrawlConfig | None = None) -> OracleResult:
             row["nlp_para_perc_lrl"] = sr.para_perc_lrl
             row["rejected"] = sr.rejected
 
-            # discovery: links in document order
-            for li, href in enumerate(extract_links(decode_html(html))):
-                discovered.append((row["seq"], li, href, row["query_id"], "link"))
+            # discovery: links in document order (html only)
+            if dt == "html":
+                for li, href in enumerate(extract_links(decode_html(html))):
+                    discovered.append((row["seq"], li, href, row["query_id"], "link"))
 
         pending = deferred
-        for _pseq, _li, href, qid, eng in discovered:
-            insert(href, qid, eng)
+        # insertion order is (parent seq, link position) — admission order may
+        # differ when priorities reorder the wave, so sort explicitly
+        for _pseq, _li, href, qid, eng in sorted(discovered):
+            insert(href, qid, eng, cfg.link_priority)
         wave += 1
 
     res.waves_run = wave

@@ -53,6 +53,44 @@ def load_ledger(out_dir: str) -> pd.DataFrame:
     return led
 
 
+def ledger_dataset(
+    out_dir: str,
+    columns: list[str] | None = None,
+    include_pending: bool = True,
+) -> "ray.data.Dataset":
+    """The crawl ledger as a streaming Dataset with column pruning pushed
+    into the Parquet read — the 100 TB path (only 3 of the 13 ledger
+    consumers need the text column; none need html).  With include_pending,
+    still-pending frontier rows are unioned in as wave=-1 rows with all
+    flags false (matching frontier.load_ledger's driver-frame semantics)."""
+    import glob
+
+    from ..frontier import LEDGER_META_COLS, _norun_ledger_rows
+
+    parts = sorted(glob.glob(os.path.join(out_dir, "ledger", "wave=*", "*.parquet")))
+    ds = ray.data.read_parquet(parts, columns=columns)
+    if include_pending:
+        fdirs = sorted(glob.glob(os.path.join(out_dir, "frontier", "wave=*")))
+        ffiles = sorted(glob.glob(os.path.join(fdirs[-1], "*.parquet"))) if fdirs else []
+        import pyarrow.parquet as pq
+
+        if ffiles and sum(pq.read_metadata(f).num_rows for f in ffiles):
+            want = columns or LEDGER_META_COLS
+
+            def to_ledger_rows(b: pd.DataFrame) -> pd.DataFrame:
+                rows = _norun_ledger_rows(
+                    b, -1, np.zeros(len(b), dtype=bool), np.zeros(len(b), dtype=bool)
+                )
+                rows["handled"] = False
+                return rows[want]
+
+            pend = ray.data.read_parquet(ffiles).map_batches(
+                to_ledger_rows, batch_format="pandas"
+            )
+            ds = ds.union(pend)
+    return ds
+
+
 def crawl_output_dir(sf_dir: str) -> str:
     corpus = corpus_dir_for_sf(sf_dir)
     key = corpus
@@ -68,82 +106,149 @@ def crawl_output_dir(sf_dir: str) -> str:
     return out
 
 
-def q_crawl_ledger(sf_dir: str) -> pd.DataFrame:
+def q_crawl_ledger(sf_dir: str):
     """The full crawl-state ledger (the reference urls table, sql.py:47-66)."""
-    led = load_ledger(crawl_output_dir(sf_dir))
-    return led.drop(columns=["text"])
+    from ..frontier import LEDGER_META_COLS
+
+    cols = [c for c in LEDGER_META_COLS if c != "text"]
+    return ledger_dataset(crawl_output_dir(sf_dir), columns=cols)
 
 
-def q_crawl_order(sf_dir: str) -> pd.DataFrame:
+def q_crawl_order(sf_dir: str):
     """Crawl ordering: seq -> url -> politeness wave (north-rule invariant)."""
-    led = load_ledger(crawl_output_dir(sf_dir))
-    return led[["seq", "url", "wave"]]
+    return ledger_dataset(crawl_output_dir(sf_dir), columns=["seq", "url", "wave"])
 
 
-def q_crawl_extracted_text(sf_dir: str) -> pd.DataFrame:
+def q_crawl_extracted_text(sf_dir: str):
     """Byte-identical extracted text per fetched url (input_hint invariant)."""
-    led = load_ledger(crawl_output_dir(sf_dir))
-    out = led.loc[led["downloaded"], ["url", "text"]].reset_index(drop=True)
-    out["text_sha256"] = [
-        __import__("hashlib").sha256(t.encode()).hexdigest() for t in out["text"]
-    ]
-    return out.drop(columns=["text"])
+
+    def hash_batch(b: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+
+        b = b.loc[b["downloaded"]]
+        return pd.DataFrame(
+            {
+                "url": b["url"],
+                "text_sha256": [
+                    hashlib.sha256(t.encode()).hexdigest() for t in b["text"]
+                ],
+            }
+        )
+
+    return ledger_dataset(
+        crawl_output_dir(sf_dir),
+        columns=["url", "text", "downloaded"],
+        include_pending=False,
+    ).map_batches(hash_batch, batch_format="pandas")
 
 
-def q_crawl_seen_membership(sf_dir: str) -> pd.DataFrame:
+def q_crawl_seen_membership(sf_dir: str):
     """URL-seen set membership (canonical SHA-1 keys, north-rule invariant)."""
-    led = load_ledger(crawl_output_dir(sf_dir))
-    return pd.DataFrame({"canon_sha1": sorted(led["canon_sha1"])})
+    return ledger_dataset(
+        crawl_output_dir(sf_dir), columns=["canon_sha1"]
+    ).sort("canon_sha1")
 
 
 def q_crawl_stats_report(sf_dir: str) -> pd.DataFrame:
     """The display.stats suite (display.py:7-198) over the crawl ledger:
-    verdict counts, rejection counts, per-host top-10, confidence deciles."""
-    led = load_ledger(crawl_output_dir(sf_dir))
+    verdict counts, rejection counts, per-host top-10, confidence deciles.
+    Every aggregate runs distributed; only the tiny report rows reach the
+    driver."""
+    from ..report import partitioned_key_counts
+
+    led = ledger_dataset(
+        crawl_output_dir(sf_dir),
+        columns=[
+            "downloaded", "downloaded_failed", "rejected", "skipped_relative",
+            "robots_blocked", "nlp_full_lang", "host", "handled",
+            "nlp_full_confidence",
+        ],
+    ).materialize()
     rows: list[tuple[str, str, float]] = []
-    rows.append(("total_urls", "", float(len(led))))
-    rows.append(("downloaded", "", float(led["downloaded"].sum())))
-    rows.append(("failed", "", float(led["downloaded_failed"].sum())))
-    rows.append(("rejected", "", float(led["rejected"].sum())))
-    rows.append(("skipped_relative", "", float(led["skipped_relative"].sum())))
-    rows.append(("robots_blocked", "", float(led["robots_blocked"].sum())))
-    for verdict, n in led["nlp_full_lang"].value_counts().items():
+
+    def flag_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "total_urls": [np.int64(len(b))],
+                "downloaded": [np.int64(b["downloaded"].sum())],
+                "failed": [np.int64(b["downloaded_failed"].sum())],
+                "rejected": [np.int64(b["rejected"].sum())],
+                "skipped_relative": [np.int64(b["skipped_relative"].sum())],
+                "robots_blocked": [np.int64(b["robots_blocked"].sum())],
+            }
+        )
+
+    flags = led.map_batches(flag_partial, batch_format="pandas").to_pandas().sum()
+    for k in ["total_urls", "downloaded", "failed", "rejected",
+              "skipped_relative", "robots_blocked"]:
+        rows.append((k if k != "failed" else "failed", "", float(flags[k])))
+
+    verd = partitioned_key_counts(
+        led.select_columns(["nlp_full_lang"]), "nlp_full_lang"
+    ).to_pandas()
+    for verdict, n in zip(verd["nlp_full_lang"], verd["n"]):
         if verdict:
             rows.append(("verdict", verdict, float(n)))
     # per-domain counts: top 10 (G10, sql.py:884-940)
-    counts = led.loc[led["host"] != "", "host"].value_counts()
-    for host, n in counts.head(10).items():
+    hosts = (
+        partitioned_key_counts(led.select_columns(["host"]), "host")
+        .filter(expr="host != ''")
+        .sort(["n", "host"], descending=[True, False])
+        .limit(10)
+        .to_pandas()
+    )
+    for host, n in zip(hosts["host"], hosts["n"]):
         rows.append(("top_domain", host, float(n)))
-    # confidence deciles (G11, sql.py:943-1044)
-    scored = led.loc[led["handled"] & led["downloaded"], "nlp_full_confidence"]
-    dec = np.clip((scored * 10).astype(int), 0, 9)
-    for b, n in pd.Series(dec).value_counts().sort_index().items():
+
+    # confidence deciles (G11, sql.py:943-1044): one bucketize pass
+    def decile_partial(b: pd.DataFrame) -> pd.DataFrame:
+        scored = b.loc[b["handled"] & b["downloaded"], "nlp_full_confidence"]
+        dec = np.clip((scored * 10).astype(np.int64), 0, 9)
+        vc = pd.Series(dec).value_counts()
+        return pd.DataFrame({"decile": vc.index.to_numpy(np.int64),
+                             "n": vc.to_numpy(np.int64)})
+
+    dec = led.map_batches(decile_partial, batch_format="pandas").to_pandas()
+    for b, n in dec.groupby("decile")["n"].sum().sort_index().items():
         rows.append(("confidence_decile", str(int(b)), float(n)))
-    return pd.DataFrame(rows, columns=["stat", "key", "value"])
+    out = pd.DataFrame(rows, columns=["stat", "key", "value"])
+    # verdict rows follow partition order — canonicalize for rerun determinism
+    return out.sort_values(["stat", "key"], kind="mergesort").reset_index(drop=True)
+
+
+def _fetched_text_ds(sf_dir: str, id_col: bool = True) -> "ray.data.Dataset":
+    """Nonempty fetched texts as a streaming Dataset (columns pruned at the
+    read: seq/text/downloaded only — never the whole ledger row)."""
+
+    def keep_nonempty(b: pd.DataFrame) -> pd.DataFrame:
+        m = b["downloaded"] & (b["text"].str.strip() != "")
+        cols = ["seq", "text"] if id_col else ["text"]
+        return b.loc[m, cols]
+
+    cols = ["seq", "text", "downloaded"] if id_col else ["text", "downloaded"]
+    return ledger_dataset(
+        crawl_output_dir(sf_dir), columns=cols, include_pending=False
+    ).map_batches(keep_nonempty, batch_format="pandas")
 
 
 def q_minhash_neardup(sf_dir: str):
     """MinHash+LSH near-dup pairs over the crawl's fetched texts (real dups
-    exist there by construction: duplicate bodies across urls)."""
+    exist there by construction: duplicate bodies across urls).
+
+    Empty/whitespace docs all share one degenerate signature (a clique that
+    explodes candidate pairs) and are exact-dedup territory — dropped."""
     from ..stages.dedup import minhash_lsh_pairs
 
-    led = load_ledger(crawl_output_dir(sf_dir))
-    # empty/whitespace docs all share one degenerate signature (a clique that
-    # explodes candidate pairs) and are exact-dedup territory — drop them
-    nonempty = led["downloaded"] & (led["text"].str.strip() != "")
-    docs = led.loc[nonempty, ["seq", "text"]].reset_index(drop=True)
-    ds = _from_pandas_blocks(docs)
-    return minhash_lsh_pairs(ds, text_col="text", id_col="seq", threshold=0.8)
+    return minhash_lsh_pairs(
+        _fetched_text_ds(sf_dir), text_col="text", id_col="seq", threshold=0.8
+    )
 
 
 def q_simhash_neardup(sf_dir: str):
     """SimHash near-dup pairs (Hamming <= 3) over the crawl's fetched texts."""
     from ..stages.dedup import simhash_neardup_pairs
 
-    led = load_ledger(crawl_output_dir(sf_dir))
-    nonempty = led["downloaded"] & (led["text"].str.strip() != "")
-    docs = led.loc[nonempty, ["seq", "text"]].reset_index(drop=True)
-    return simhash_neardup_pairs(_from_pandas_blocks(docs), text_col="text", id_col="seq")
+    return simhash_neardup_pairs(_fetched_text_ds(sf_dir), text_col="text", id_col="seq")
 
 
 def q_langid_predict(sf_dir: str):
@@ -221,16 +326,24 @@ def q_query_generation(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(qs)
 
 
-def q_sentence_split(sf_dir: str) -> pd.DataFrame:
-    """N10 (tongan-sentence-splitter.py): sentence counts per fetched doc."""
+def q_sentence_split(sf_dir: str):
+    """N10 (tongan-sentence-splitter.py): sentence counts per fetched doc —
+    a distributed map_batches over the pruned (seq, text) ledger read."""
     from ..functions.sentences import split_sentences_batch
 
-    led = load_ledger(crawl_output_dir(sf_dir))
-    docs = led.loc[led["downloaded"], ["seq", "text"]].reset_index(drop=True)
-    sents = split_sentences_batch(docs["text"])
-    return pd.DataFrame(
-        {"seq": docs["seq"], "n_sentences": [len(s) for s in sents]}
-    )
+    def count_batch(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.loc[b["downloaded"]]
+        sents = split_sentences_batch(b["text"])
+        return pd.DataFrame(
+            {"seq": b["seq"].to_numpy(np.int64),
+             "n_sentences": np.array([len(s) for s in sents], dtype=np.int64)}
+        )
+
+    return ledger_dataset(
+        crawl_output_dir(sf_dir),
+        columns=["seq", "text", "downloaded"],
+        include_pending=False,
+    ).map_batches(count_batch, batch_format="pandas")
 
 
 def q_lexicon_regen(sf_dir: str) -> pd.DataFrame:
@@ -239,11 +352,16 @@ def q_lexicon_regen(sf_dir: str) -> pd.DataFrame:
     from ..stages.lexicon import regenerate_lexicon
 
     corpus = corpus_dir_for_sf(sf_dir)
-    led = load_ledger(crawl_output_dir(sf_dir))
-    docs = led.loc[led["downloaded"] & ~led["rejected"], ["text"]].reset_index(drop=True)
-    grown = regenerate_lexicon(
-        _from_pandas_blocks(docs), load_lexicon(corpus), QUERY_CFG, output_mode="merge"
-    )
+
+    def keep_accepted(b: pd.DataFrame) -> pd.DataFrame:
+        return b.loc[b["downloaded"] & ~b["rejected"], ["text"]]
+
+    docs = ledger_dataset(
+        crawl_output_dir(sf_dir),
+        columns=["text", "downloaded", "rejected"],
+        include_pending=False,
+    ).map_batches(keep_accepted, batch_format="pandas")
+    grown = regenerate_lexicon(docs, load_lexicon(corpus), QUERY_CFG, output_mode="merge")
     out = pd.DataFrame(
         {"token": list(grown.keys()), "count": list(grown.values())}
     ).sort_values("token").reset_index(drop=True)

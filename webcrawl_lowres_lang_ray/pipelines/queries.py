@@ -297,7 +297,7 @@ def q_orders_by_segment(sf_dir: str):
 
     def join(b: pd.DataFrame) -> pd.DataFrame:
         seg = ray.get(seg_map_ref)
-        b["c_mktsegment"] = [seg.get(k, "") for k in b["o_custkey"]]
+        b["c_mktsegment"] = b["o_custkey"].map(seg).fillna("")
         return b[["c_mktsegment", "o_totalprice"]]
 
     out = _combiner_agg(
@@ -337,7 +337,7 @@ def q_customers_without_orders(sf_dir: str):
 
     def anti(b: pd.DataFrame) -> pd.DataFrame:
         h = ray.get(have_ref)
-        return b.loc[[k not in h for k in b["c_custkey"]]]
+        return b.loc[~b["c_custkey"].isin(h)]
 
     return cust.map_batches(anti, batch_format="pandas")
 
@@ -360,7 +360,7 @@ def q_part_revenue_by_brand(sf_dir: str):
 
     def join(b: pd.DataFrame) -> pd.DataFrame:
         brands = ray.get(brand_ref)
-        b["p_brand"] = [brands.get(k, "") for k in b["l_partkey"]]
+        b["p_brand"] = b["l_partkey"].map(brands).fillna("")
         b["revenue"] = b["l_extendedprice"] * (1 - b["l_discount"])
         return b[["p_brand", "revenue"]]
 
@@ -572,12 +572,22 @@ FROM embeddings GROUP BY label
 # ===========================================================================
 
 def q_embedding_neardup(sf_dir: str):
-    """Exact embedding-cosine near-dup pairs (broadcast-block all-pairs;
-    SRP-LSH buckets are the beyond-broadcast scale path)."""
+    """Exact embedding-cosine near-dup pairs (broadcast-block all-pairs —
+    the SQL-checkable oracle; q_embedding_neardup_lsh is the scale path)."""
     from ..stages.ann import cosine_neardup_pairs
 
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     return cosine_neardup_pairs(emb, threshold=0.35)
+
+
+def q_embedding_neardup_lsh(sf_dir: str):
+    """SRP-LSH bucketed near-dup (the shipped scale path: probe-bucket
+    candidates + shuffle-joined exact cosine, nothing broadcast; recall
+    >= 0.95 vs the exact pair set is pinned in tests/test_stages.py)."""
+    from ..stages.ann import srp_neardup_pairs
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return srp_neardup_pairs(emb, dim=64, threshold=0.35)
 
 
 SQL_EMBEDDING_NEARDUP = """
@@ -678,7 +688,9 @@ def q_asof_click_view(sf_dir: str):
     distributed as-of join (hash-partition by user, merge_asof per part)."""
     from ..stages.windows import asof_join_by_key
 
-    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    # one parquet scan: materialize the pruned read, then both sides filter
+    # object-store blocks instead of re-reading the table
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"]).materialize()
     clicks = ev.filter(expr="event_type == 'click'").drop_columns(["event_type"])
     views = ev.filter(expr="event_type == 'view'").drop_columns(["event_type"])
     joined = asof_join_by_key(
@@ -691,7 +703,9 @@ def q_asof_click_view(sf_dir: str):
                 "event_id": b["event_id"].astype("int64"),
                 "user_id": b["user_id"].astype("int64"),
                 "view_event_id": b["event_id_r"].astype("int64"),
-                "gap_sec": (b["ts"] - b["ts_r"]).dt.total_seconds().round(3),
+                "gap_sec": round_half_away(
+                    (b["ts"] - b["ts_r"]).dt.total_seconds().to_numpy(), 3
+                ),
             }
         )
 
@@ -742,7 +756,7 @@ def q_user_value_salted(sf_dir: str):
 
     def fin(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()
-        b["sum_value"] = b["sum_value"].round(2)
+        b["sum_value"] = round_half_away(b["sum_value"].to_numpy(), 2)
         return b
 
     return out.map_batches(fin, batch_format="pandas")

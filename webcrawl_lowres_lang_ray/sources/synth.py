@@ -115,10 +115,24 @@ def _build_pages_chunk(args: tuple[int, int]) -> list[bytes]:
     n_hosts = len(hosts)
     out: list[bytes] = []
     for pid in range(lo, hi):
-        if kinds[pid] != 0:
+        kind = kinds[pid]
+        if kind in (1, 2):  # empty / dup bodies are filled by the caller
             out.append(b"")
             continue
         rng = random.Random(f"{seed}:page:{pid}")
+        if kind in (3, 4, 5):
+            # non-HTML payloads (Content-Type drives the M5 dispatch): real
+            # container magic + deterministic filler bytes.  PyPDF2 /
+            # python-docx are absent in this sandbox, so the crawl routes
+            # these rows through the reference's extract-returns-None path.
+            filler = bytes(rng.randrange(32, 127) for _ in range(rng.randint(200, 800)))
+            if kind == 3:
+                out.append(b"%PDF-1.4\n% synthetic\n" + filler + b"\n%%EOF")
+            elif kind == 4:
+                out.append(b"PK\x03\x04docx-synthetic" + filler)
+            else:
+                out.append(b"\x00\x01BIN" + filler)
+            continue
         latin1 = rng.random() < latin1_fraction
         charset = "iso-8859-1" if latin1 else "utf-8"
         # page weight ~ real crawl text: a few hundred to ~2k words
@@ -168,16 +182,25 @@ def _build_pages_chunk(args: tuple[int, int]) -> list[bytes]:
     return out
 
 
-def _score_chunk(htmls: list[bytes]) -> tuple[list[str], list[str]]:
-    """Golden text + lang for a chunk (same kernels the engine runs)."""
+def _score_chunk(args: tuple[list[bytes], list]) -> tuple[list[str], list[str]]:
+    """Golden text + lang for a chunk (same kernels the engine runs).
+    Non-HTML content types (pdf/docx/unknown) have no extractable text in
+    this sandbox -> golden text '' and lang '<NONE>'."""
+    htmls, cts = args
     ctx = _GEN_CTX
     global _GEN_SCORER
     try:
         scorer = _GEN_SCORER  # noqa: F821
     except NameError:
         globals()["_GEN_SCORER"] = scorer = LangScoringModel(ctx["lexicon"], CrawlConfig())
+    from ..functions.extract_doc import sniff_doc_type
+
     texts, langs = [], []
-    for h in htmls:
+    for h, ct in zip(htmls, cts):
+        if sniff_doc_type(ct) != "html":
+            texts.append("")
+            langs.append("<NONE>")
+            continue
         t = extract_text_from_html_bytes(h)
         texts.append(t)
         res = scorer.score_text(t)
@@ -221,13 +244,19 @@ def generate_corpus(out_dir: str, scfg: SynthConfig, ccfg: CrawlConfig | None = 
     )
     style = nprng.random_sample(n)
     kind_r = nprng.random_sample(n)
-    # kind: 0 normal, 1 empty, 2 dup-of-earlier
+    # kind: 0 normal html, 1 empty, 2 dup-of-earlier, 3 pdf, 4 docx,
+    # 5 unknown content-type
     kinds = np.zeros(n, dtype=np.int8)
-    kinds[kind_r < scfg.empty_fraction + scfg.dup_fraction] = 2
-    kinds[kind_r < scfg.empty_fraction] = 1
+    edges = np.cumsum(
+        [scfg.empty_fraction, scfg.dup_fraction, scfg.pdf_fraction,
+         scfg.docx_fraction, scfg.unknown_ct_fraction]
+    )
+    for code, (lo_e, hi_e) in enumerate(zip(np.r_[0.0, edges[:-1]], edges), start=1):
+        kinds[(kind_r >= lo_e) & (kind_r < hi_e)] = code
     kinds[0] = 0  # a dup needs an earlier page
     empty_variant = nprng.randint(0, 2, size=n)
     dup_target_raw = (nprng.random_sample(n) * np.arange(n)).astype(np.int64)
+    ct_variant = nprng.randint(0, 2, size=n)
 
     urls = []
     for pid in range(n):
@@ -270,8 +299,24 @@ def generate_corpus(out_dir: str, scfg: SynthConfig, ccfg: CrawlConfig | None = 
     empty_bodies = [b"", b"<html><body>   \n\n   </body></html>"]
     for pid in np.nonzero(kinds == 1)[0]:
         htmls[pid] = empty_bodies[empty_variant[pid]]
+
+    # content types: missing header (None -> html per M5) vs explicit, plus
+    # the pdf / docx / unknown rows
+    _HTML_CTS = [None, "text/html; charset=utf-8"]
+    _DOCX_CTS = [
+        "application/msword",
+        "application/vnd.openxmlformats-officedocument.wordprocessingml.document",
+    ]
+    content_types: list[str | None] = [
+        "application/pdf" if kinds[p] == 3
+        else _DOCX_CTS[ct_variant[p]] if kinds[p] == 4
+        else "application/octet-stream" if kinds[p] == 5
+        else _HTML_CTS[ct_variant[p]]
+        for p in range(n)
+    ]
     # dup chains: follow target until a non-dup page; empty targets fall
-    # through to the empty body (still a byte-identical dup pair)
+    # through to the empty body (still a byte-identical dup pair).  The dup
+    # copies BOTH body and content type (a clone is the same response).
     for pid in np.nonzero(kinds == 2)[0]:
         t = int(dup_target_raw[pid])
         hops = 0
@@ -279,9 +324,10 @@ def generate_corpus(out_dir: str, scfg: SynthConfig, ccfg: CrawlConfig | None = 
             t = int(dup_target_raw[t])
             hops += 1
         htmls[pid] = htmls[t]
+        content_types[pid] = content_types[t]
 
     # --- golden text + lang (parallel; same kernels as the engine) ---
-    score_spans = [htmls[lo:hi] for lo, hi in spans]
+    score_spans = [(htmls[lo:hi], content_types[lo:hi]) for lo, hi in spans]
     if n >= 20000:
         with mp.Pool(procs, initializer=_gen_init, initargs=(ctx,)) as pool:
             scored = pool.map(_score_chunk, score_spans)
@@ -303,6 +349,7 @@ def generate_corpus(out_dir: str, scfg: SynthConfig, ccfg: CrawlConfig | None = 
             "url": pa.array(urls, pa.string()),
             "warc_ts": pa.array(warc_ts, pa.timestamp("us")),
             "html": pa.array(htmls, pa.binary()),
+            "content_type": pa.array(content_types, pa.string()),
             "text": pa.array(texts, pa.string()),
             "lang": pa.array(langs, pa.string()),
             "bucket": pa.array(buckets, pa.int32()),
@@ -366,11 +413,27 @@ def generate_corpus(out_dir: str, scfg: SynthConfig, ccfg: CrawlConfig | None = 
         f.write(f"n_pages={n} seed={scfg.seed}\n")
 
 
+def corpus_page_urls(corpus_dir: str) -> list[str]:
+    """All page-table URLs (columnar read of the url column only)."""
+    pages_dir = os.path.join(corpus_dir, "pages")
+    urls: list[str] = []
+    for fname in sorted(os.listdir(pages_dir)):
+        if fname.endswith(".parquet"):
+            urls.extend(
+                pq.read_table(
+                    os.path.join(pages_dir, fname), columns=["url"]
+                )["url"].to_pylist()
+            )
+    return urls
+
+
 _SF_PAGES = {"0.001": 500, "0.01": 5000, "0.1": 300000}
 
 # bump when generation/extraction/scoring semantics change so cached corpora
 # under /tmp are regenerated rather than silently reused
-CORPUS_VERSION = 7
+# v8: html_to_text merges adjacent data events + CDATA (bs4 parity)
+# v9: content_type column + pdf/docx/unknown rows (M5/M9/M10 in the crawl)
+CORPUS_VERSION = 9
 
 
 def corpus_dir_for_sf(sf_dir: str, cache_root: str = "/tmp/wllr_corpus") -> str:

@@ -167,6 +167,133 @@ def srp_lsh_topk(
 
 
 # ---------------------------------------------------------------------------
+# SRP-bucketed embedding near-dup (the scale path)
+# ---------------------------------------------------------------------------
+
+def srp_neardup_pairs(
+    ds: "ray.data.Dataset",
+    dim: int,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+    n_tables: int = 8,
+    seed: int = 99,
+    round_dp: int = 3,
+) -> "ray.data.Dataset":
+    """Approximate embedding-cosine near-dup pairs via SRP-LSH buckets.
+
+    Candidate generation: each vector emits, per table, its ``bits``-bit SRP
+    signature plus every 1-bit flip (``bits``+1 probe rows) — two vectors
+    within Hamming distance 2 in a table then share >= 1 probe bucket, so a
+    table catches a pair with prob P(d<=2) and ``n_tables`` tables multiply
+    recall (8x8-bit tables + 1-bit probes ~ 0.96+ at cos 0.35).  Probe rows
+    carry (id, bucket) ONLY; exact cosine runs after shuffle-joining the
+    normalized vectors onto the DEDUPED candidate pairs (same _attach_sig
+    join as MinHash verify — nothing is broadcast or driver-collected).
+    Exact all-pairs (``cosine_neardup_pairs``) is the small-N oracle; recall
+    vs it is pinned in tests.  Returns (id_a, id_b, cos_sim), id_a < id_b.
+    """
+    from .dedup import _PAIR_PARTITIONS, _attach_sig, _dedup_pairs
+
+    planes = [_srp_planes(dim, bits, t, seed) for t in range(n_tables)]
+    planes_ref = ray.put(planes)
+
+    def norm_vec_stage(batch: pd.DataFrame) -> pd.DataFrame:
+        mat = _batch_matrix(batch, vec_col)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        matn = mat / norms[:, None]
+        return pd.DataFrame(
+            {id_col: batch[id_col].to_numpy(np.int64),
+             "sig": [v.tobytes() for v in matn]}
+        )
+
+    vecs_ds = (
+        ds.select_columns([id_col, vec_col])
+        .map_batches(norm_vec_stage, batch_format="pandas")
+        .materialize()
+    )
+
+    nprobes = bits + 1
+
+    def probe_stage(batch: pd.DataFrame) -> pd.DataFrame:
+        n = len(batch)
+        if n == 0:
+            return pd.DataFrame(
+                {id_col: pd.Series(dtype="int64"),
+                 "bucket": pd.Series(dtype="int64"),
+                 "part": pd.Series(dtype="int64")}
+            )
+        matn = np.frombuffer(b"".join(batch["sig"]), dtype=np.float64).reshape(n, dim)
+        ids = batch[id_col].to_numpy(np.int64)
+        pls = ray.get(planes_ref)
+        out_id, out_bucket = [], []
+        flips = np.concatenate(([0], 1 << np.arange(bits, dtype=np.int64)))
+        for t, pl in enumerate(pls):
+            sig = _signature(matn, pl)
+            probed = sig[:, None] ^ flips[None, :]  # (n, bits+1)
+            out_id.append(np.repeat(ids, nprobes))
+            out_bucket.append((np.int64(t) << np.int64(bits + 1)) | probed.ravel())
+        out = pd.DataFrame(
+            {id_col: np.concatenate(out_id), "bucket": np.concatenate(out_bucket)}
+        )
+        out["part"] = (
+            pd.util.hash_array(out["bucket"].to_numpy(np.int64)) % _PAIR_PARTITIONS
+        ).astype(np.int64)
+        return out
+
+    probes = vecs_ds.map_batches(probe_stage, batch_format="pandas")
+
+    def part_cands(g: pd.DataFrame) -> pd.DataFrame:
+        lo_all, hi_all = [], []
+        for _, sub in g.groupby("bucket", sort=False):
+            c = len(sub)
+            if c < 2:
+                continue
+            ids = sub[id_col].to_numpy(np.int64)
+            iu, ju = np.triu_indices(c, 1)
+            ia, ib = ids[iu], ids[ju]
+            keep = ia != ib
+            lo_all.append(np.minimum(ia[keep], ib[keep]))
+            hi_all.append(np.maximum(ia[keep], ib[keep]))
+        if not lo_all:
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")}
+            )
+        out = pd.DataFrame(
+            {"id_a": np.concatenate(lo_all), "id_b": np.concatenate(hi_all)}
+        )
+        return out.drop_duplicates(["id_a", "id_b"])
+
+    cands = _dedup_pairs(
+        probes.groupby("part").map_groups(part_cands, batch_format="pandas"),
+        ["id_a", "id_b"],
+    )
+    with_a = _attach_sig(cands, vecs_ds, "id_a", ["id_a", "id_b"], "sig_a", id_col)
+    with_ab = _attach_sig(
+        with_a, vecs_ds, "id_b", ["id_a", "id_b", "sig_a"], "sig_b", id_col
+    )
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
+                 "cos_sim": pd.Series(dtype="float64")}
+            )
+        n = len(batch)
+        va = np.frombuffer(b"".join(batch["sig_a"]), dtype=np.float64).reshape(n, dim)
+        vb = np.frombuffer(b"".join(batch["sig_b"]), dtype=np.float64).reshape(n, dim)
+        cos = (va * vb).sum(axis=1)
+        keep = cos >= threshold
+        out = batch.loc[keep, ["id_a", "id_b"]].copy()
+        out["cos_sim"] = round_half_away(cos[keep], round_dp)
+        return out.reset_index(drop=True)
+
+    return with_ab.map_batches(verify, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
 # embedding-cosine near-dup (exact all-pairs) + IVF
 # ---------------------------------------------------------------------------
 

@@ -106,6 +106,38 @@ def regenerate_lexicon(
 
 def bootstrap_lexicon_from_text(text: str) -> dict[str, int]:
     """N8 (extract.py:81-148): seed-document -> unigram frequency dict."""
-    from ..functions.tokenize import filter_words, token_frequencies, unigram_words
+    return bootstrap_lexicons_from_text(text)[0]
 
-    return dict(token_frequencies(filter_words(unigram_words(text), 3)))
+
+def bootstrap_lexicons_from_text(text: str) -> tuple[dict[str, int], dict[str, int]]:
+    """N8, full surface: the reference writes BOTH ``unigram_words_*.json``
+    and ``bigram_words_*.json`` (extract.py:113-120) — unigrams and the
+    pop()-quirk bigrams (extract.py:44-62), each through
+    filter_words(min_char_len=3)."""
+    from ..functions.tokenize import (
+        bigram_words,
+        filter_words,
+        token_frequencies,
+        unigram_words,
+    )
+
+    uni = dict(token_frequencies(filter_words(unigram_words(text), 3)))
+    bi = dict(token_frequencies(filter_words(bigram_words(text), 3)))
+    return uni, bi
+
+
+def write_bootstrap_lexicons(text: str, out_dir: str, lang: str) -> tuple[str, str]:
+    """Write the two bootstrap dicts with the reference's file naming
+    (``dicts/{uni,bi}gram_words_<lang>.json``, extract.py:113-116) and JSON
+    style (ensure_ascii=False, indent=4 — fileutils.py:41-50)."""
+    import os
+
+    from ..sources.lexicon_io import save_to_json
+
+    uni, bi = bootstrap_lexicons_from_text(text)
+    os.makedirs(out_dir, exist_ok=True)
+    upath = os.path.join(out_dir, f"unigram_words_{lang.lower()}.json")
+    bpath = os.path.join(out_dir, f"bigram_words_{lang.lower()}.json")
+    save_to_json(uni, upath)
+    save_to_json(bi, bpath)
+    return upath, bpath

@@ -24,6 +24,8 @@ import pandas as pd
 
 import ray.data
 
+from .textstats import round_half_away
+
 _PARTS = 64
 
 
@@ -127,7 +129,11 @@ def sliding_window_agg(
         out = pd.DataFrame(
             {
                 "n_window": filled["n"].rolling(window_hours, min_periods=1).sum().astype(np.int64),
-                "v_window": filled["v"].rolling(window_hours, min_periods=1).sum().round(2),
+                # round_half_away matches DuckDB round() on exact-tie values;
+                # pandas .round() is half-to-even (latent hash mismatch)
+                "v_window": round_half_away(
+                    filled["v"].rolling(window_hours, min_periods=1).sum().to_numpy(), 2
+                ),
             },
             index=grid,
         )

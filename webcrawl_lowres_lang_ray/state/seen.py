@@ -143,6 +143,22 @@ class SeenShard:
             self.cuckoo.add(d)
         return len(self.exact)
 
+    def snapshot_to(self, path: str) -> str:
+        """Write this shard's snapshot from the actor itself — checkpointing
+        10^10-key shards must not route every blob through the driver."""
+        import os
+
+        blob = self.snapshot()
+        with open(path + ".tmp", "wb") as f:
+            f.write(blob)
+        os.replace(path + ".tmp", path)
+        return path
+
+    def restore_from(self, path: str, key_len: int = 20) -> int:
+        with open(path, "rb") as f:
+            blob = f.read()
+        return self.restore(blob, key_len)
+
 
 def create_seen_shards(num_shards: int, capacity_hint: int = 1 << 16):
     return [
@@ -189,3 +205,12 @@ def snapshot_all(shards) -> list[bytes]:
 
 def restore_all(shards, blobs: list[bytes]) -> list[int]:
     return ray.get([s.restore.remote(b) for s, b in zip(shards, blobs)])
+
+
+def snapshot_all_to(shards, paths: list[str]) -> list[str]:
+    """Actor-side snapshot writes (blobs never visit the driver)."""
+    return ray.get([s.snapshot_to.remote(p) for s, p in zip(shards, paths)])
+
+
+def restore_all_from(shards, paths: list[str]) -> list[int]:
+    return ray.get([s.restore_from.remote(p) for s, p in zip(shards, paths)])
