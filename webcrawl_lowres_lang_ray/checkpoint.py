@@ -67,6 +67,25 @@ def seen_snapshot_paths(root: str, wave: int, num_shards: int) -> list[str]:
     return [os.path.join(d, f"shard-{i:03d}.bin") for i in range(num_shards)]
 
 
+def seen_delta_paths(root: str, upto_wave: int, num_shards: int) -> list[list[str]]:
+    """Every delta file per shard for waves <= upto_wave (snapshots are
+    incremental: restore = union of the deltas; a killed wave's partial
+    delta sits above upto_wave and is excluded)."""
+    base = os.path.join(root, "seen")
+    out: list[list[str]] = [[] for _ in range(num_shards)]
+    if os.path.isdir(base):
+        for d in sorted(os.listdir(base)):
+            if not d.startswith("wave="):
+                continue
+            if int(d.split("=")[1]) > upto_wave:
+                continue
+            for i in range(num_shards):
+                p = os.path.join(base, d, f"shard-{i:03d}.bin")
+                if os.path.exists(p):
+                    out[i].append(p)
+    return out
+
+
 def write_seen_snapshots(root: str, wave: int, blobs: list[bytes]) -> list[str]:
     d = wave_dir(root, "seen", wave)
     os.makedirs(d, exist_ok=True)

@@ -704,7 +704,9 @@ def run_crawl(
         wave = manifest["wave"] + 1
         next_seq = manifest["next_seq"]
         stats.inserted = manifest["inserted"]
-        restore_all_from(seen_shards, manifest["seen_snapshots"])
+        restore_all_from(
+            seen_shards, ckpt.seen_delta_paths(out_dir, wave, len(seen_shards))
+        )
         pending_df = None  # read lazily if the wave takes the driver path
         pending_count = _frontier_row_count(ckpt.wave_dir(out_dir, "frontier", wave))
     else:

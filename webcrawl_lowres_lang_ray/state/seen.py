@@ -98,6 +98,10 @@ class SeenShard:
         self.shard_id = shard_id
         self.exact: set[bytes] = set()
         self.cuckoo = CuckooFilter(capacity)
+        # keys added since the last delta snapshot (incremental checkpoints:
+        # a wave's snapshot cost is O(new keys), not O(total seen) — at
+        # 10^10 keys a full re-serialization per wave would dominate)
+        self._new_since_snapshot: list[bytes] = []
 
     def _maybe_grow(self, incoming: int) -> None:
         """Keep the cuckoo under ~80% load: past that, inserts degrade into
@@ -117,12 +121,14 @@ class SeenShard:
         out = np.empty(len(digests), dtype=bool)
         exact = self.exact
         cuckoo = self.cuckoo
+        new = self._new_since_snapshot
         for i, d in enumerate(digests):
             if cuckoo.might_contain(d) and d in exact:
                 out[i] = False
             else:
                 exact.add(d)
                 cuckoo.add(d)
+                new.append(d)
                 out[i] = True
         return out
 
@@ -143,21 +149,33 @@ class SeenShard:
             self.cuckoo.add(d)
         return len(self.exact)
 
-    def snapshot_to(self, path: str) -> str:
-        """Write this shard's snapshot from the actor itself — checkpointing
-        10^10-key shards must not route every blob through the driver."""
+    def snapshot_delta_to(self, path: str) -> str:
+        """Write the keys added since the previous delta (sorted concat) from
+        the actor itself — incremental, and blobs never visit the driver."""
         import os
 
-        blob = self.snapshot()
+        blob = b"".join(sorted(self._new_since_snapshot))
+        self._new_since_snapshot = []
         with open(path + ".tmp", "wb") as f:
             f.write(blob)
         os.replace(path + ".tmp", path)
         return path
 
-    def restore_from(self, path: str, key_len: int = 20) -> int:
-        with open(path, "rb") as f:
-            blob = f.read()
-        return self.restore(blob, key_len)
+    def restore_from(self, paths: list[str], key_len: int = 20) -> int:
+        """Rebuild from the union of delta files (one per checkpointed wave)."""
+        keys: set[bytes] = set()
+        for path in paths:
+            with open(path, "rb") as f:
+                blob = f.read()
+            keys.update(
+                blob[i : i + key_len] for i in range(0, len(blob), key_len)
+            )
+        self.exact = keys
+        self._new_since_snapshot = []
+        self.cuckoo = CuckooFilter(max(1 << 16, 2 * len(keys)))
+        for d in keys:
+            self.cuckoo.add(d)
+        return len(keys)
 
 
 def create_seen_shards(num_shards: int, capacity_hint: int = 1 << 16):
@@ -208,9 +226,12 @@ def restore_all(shards, blobs: list[bytes]) -> list[int]:
 
 
 def snapshot_all_to(shards, paths: list[str]) -> list[str]:
-    """Actor-side snapshot writes (blobs never visit the driver)."""
-    return ray.get([s.snapshot_to.remote(p) for s, p in zip(shards, paths)])
+    """Actor-side incremental snapshot writes (blobs never on the driver)."""
+    return ray.get([s.snapshot_delta_to.remote(p) for s, p in zip(shards, paths)])
 
 
-def restore_all_from(shards, paths: list[str]) -> list[int]:
-    return ray.get([s.restore_from.remote(p) for s, p in zip(shards, paths)])
+def restore_all_from(shards, per_shard_paths: list[list[str]]) -> list[int]:
+    """per_shard_paths[i] = every delta file for shard i, in any order."""
+    return ray.get(
+        [s.restore_from.remote(ps) for s, ps in zip(shards, per_shard_paths)]
+    )
