@@ -4,13 +4,17 @@ Image/audio/video payloads are treated as opaque ``binary`` columns with a
 ``media_type`` string and a ``meta`` JSON string — the same shape the crawl
 uses for ``html:binary``.  The Ray-side plumbing (schemas, small batch
 sizes for wide rows, actor-pool stage signatures, output layout) is real
-and tested; the actual decode kernels are STUBBED because no image/audio
-libraries exist in this container:
+and tested, and the kernels are real format-by-format
+(functions/media.py):
 
-* ``DecodeStage(fake=True)``  — deterministic fake decoder (shape/duration
-  derived from the payload bytes) so pipelines are testable end-to-end;
-* ``DecodeStage(fake=False)`` — raises NotImplementedError at the decode
-  call, marking exactly where PIL/ffmpeg would plug in.
+* PNG   — full stdlib decode (zlib + unfilter) -> pixel stats, and a real
+          nearest-neighbour thumbnail stage that re-encodes PNG;
+* WAV   — full stdlib PCM16 decode -> rms / duration / sample rate;
+* JPEG/GIF — header parse is real (dimensions/components from the marker
+          stream); pixel decode needs a DCT/LZW stack -> import-gated;
+* video — no stdlib container parser exists: deterministic fake metadata
+          with ``fake=True`` (pipelines stay testable end-to-end), or a
+          NotImplementedError marking exactly where ffmpeg would plug in.
 """
 
 from __future__ import annotations
@@ -21,30 +25,45 @@ import json
 import numpy as np
 import pandas as pd
 
+from ..functions.media import (
+    parse_image_header,
+    png_decode,
+    png_encode,
+    resize_nearest,
+    wav_decode,
+    wav_encode,
+)
+
 MEDIA_SCHEMA_COLS = ["media_id", "media_type", "payload", "meta"]
 
 
 def synth_media_batch(n: int, seed: int = 7) -> pd.DataFrame:
-    """Deterministic fake media rows for tests/benchmarks."""
+    """Deterministic media rows for tests/benchmarks: VALID PNGs and WAVs
+    (the real-kernel paths) plus opaque video payloads (the gated path)."""
     rng = np.random.RandomState(seed)
     rows = []
     for i in range(n):
-        mtype = ["image/png", "audio/wav", "video/mp4"][i % 3]
-        payload = rng.bytes(256 + (i % 5) * 128)
-        rows.append(
-            (i, mtype, payload, json.dumps({"source": f"synth-{i % 4}"}))
-        )
+        kind = i % 3
+        if kind == 0:
+            h, w = int(rng.randint(8, 48)), int(rng.randint(8, 48))
+            img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+            rows.append((i, "image/png", png_encode(img), json.dumps({"source": f"synth-{i % 4}"})))
+        elif kind == 1:
+            dur = int(rng.randint(400, 4000))  # samples at 16 kHz
+            t = np.arange(dur)
+            freq = 100 + int(rng.randint(0, 900))
+            samples = (3000 * np.sin(2 * np.pi * freq * t / 16000)).astype(np.int16)
+            rows.append((i, "audio/wav", wav_encode(samples), json.dumps({"source": f"synth-{i % 4}"})))
+        else:
+            payload = b"\x00\x00\x00\x20ftypisom" + rng.bytes(256 + (i % 5) * 128)
+            rows.append((i, "video/mp4", payload, json.dumps({"source": f"synth-{i % 4}"})))
     return pd.DataFrame(rows, columns=MEDIA_SCHEMA_COLS)
 
 
-def _fake_decode(media_type: str, payload: bytes) -> dict:
-    """Deterministic stand-in for a real decoder: metadata derived from a
-    content digest, so results are stable across processes and runs."""
+def _fake_video_meta(payload: bytes) -> dict:
+    """Deterministic stand-in for a container parser: metadata derived from
+    a content digest, stable across processes and runs."""
     h = hashlib.blake2b(payload, digest_size=8).digest()
-    if media_type.startswith("image/"):
-        return {"width": 64 + h[0] % 192, "height": 64 + h[1] % 192, "channels": 3}
-    if media_type.startswith("audio/"):
-        return {"sample_rate": 16000, "duration_ms": 100 + int.from_bytes(h[2:4], "little") % 5000}
     return {"frames": 10 + h[4] % 290, "fps": 24}
 
 
@@ -57,13 +76,36 @@ class DecodeStage:
     """
 
     def __init__(self, fake: bool = True):
-        self.fake = fake
+        self.fake = fake  # governs only the formats with no stdlib decoder
 
     def _decode(self, media_type: str, payload: bytes) -> dict:
+        if media_type == "image/png":
+            arr = png_decode(payload)
+            gray = arr if arr.ndim == 2 else arr[..., :3].mean(axis=2)
+            return {
+                "width": int(arr.shape[1]), "height": int(arr.shape[0]),
+                "channels": 1 if arr.ndim == 2 else int(arr.shape[2]),
+                "mean_luma": round(float(gray.mean()), 2),
+                "std_luma": round(float(gray.std()), 2),
+            }
+        if media_type.startswith("image/"):
+            hdr = parse_image_header(payload)
+            if hdr is not None:
+                return hdr  # real header; pixel decode gated below
+            raise NotImplementedError(
+                f"pixel decode for {media_type} requires PIL (absent here)"
+            )
+        if media_type == "audio/wav":
+            samples, rate = wav_decode(payload)
+            return {
+                "sample_rate": int(rate),
+                "duration_ms": int(1000 * len(samples) / rate) if rate else 0,
+                "rms": round(float(np.sqrt(np.mean(samples.astype(np.float64) ** 2))), 2),
+            }
         if self.fake:
-            return _fake_decode(media_type, payload)
+            return _fake_video_meta(payload)
         raise NotImplementedError(
-            "real media decoding requires PIL/ffmpeg, absent in this container"
+            f"decoding {media_type} requires ffmpeg, absent in this container"
         )
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
@@ -79,9 +121,41 @@ class DecodeStage:
         return out
 
 
+class ThumbnailStage:
+    """Real image resize: PNG in -> nearest-neighbour thumbnail -> PNG out.
+    Non-PNG rows pass through unresized (thumb == empty, flagged)."""
+
+    def __init__(self, max_side: int = 16):
+        self.max_side = max_side
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        thumbs, ws, hs = [], [], []
+        for mt, p in zip(batch["media_type"], batch["payload"]):
+            if mt != "image/png":
+                thumbs.append(b"")
+                ws.append(0)
+                hs.append(0)
+                continue
+            arr = png_decode(p)
+            h, w = arr.shape[:2]
+            scale = self.max_side / max(h, w)
+            oh, ow = max(1, round(h * scale)), max(1, round(w * scale))
+            thumbs.append(png_encode(resize_nearest(arr, oh, ow)))
+            ws.append(ow)
+            hs.append(oh)
+        return pd.DataFrame(
+            {
+                "media_id": batch["media_id"].to_numpy(np.int64),
+                "thumb": pd.Series(thumbs, dtype=object),
+                "thumb_w": np.array(ws, dtype=np.int64),
+                "thumb_h": np.array(hs, dtype=np.int64),
+            }
+        )
+
+
 class FrameSampleStage:
     """Video frame-sampling plumbing: emits one row per sampled frame index
-    (decode itself stubbed via DecodeStage semantics)."""
+    (container parse stubbed — see _fake_video_meta / the ffmpeg gate)."""
 
     def __init__(self, every_n: int = 10, fake: bool = True):
         self.every_n = every_n
@@ -92,9 +166,11 @@ class FrameSampleStage:
         for mid, mt, p in zip(batch["media_id"], batch["media_type"], batch["payload"]):
             if not mt.startswith("video/"):
                 continue
-            meta = _fake_decode(mt, p) if self.fake else None
-            if meta is None:
+            if not self.fake:
                 raise NotImplementedError("real frame sampling needs ffmpeg")
+            meta = _fake_video_meta(p)
             for f in range(0, meta["frames"], self.every_n):
                 rows.append((int(mid), f))
-        return pd.DataFrame(rows, columns=["media_id", "frame_idx"])
+        return pd.DataFrame(rows, columns=["media_id", "frame_idx"]).astype(
+            {"media_id": "int64", "frame_idx": "int64"}
+        )
