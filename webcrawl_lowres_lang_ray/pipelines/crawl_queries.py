@@ -307,6 +307,28 @@ def q_multimodal_decode(sf_dir: str) -> pd.DataFrame:
     return out.to_pandas().sort_values("media_id").reset_index(drop=True)
 
 
+def q_multimodal_thumbnail(sf_dir: str) -> pd.DataFrame:
+    """Real image pipeline: valid PNG payloads -> stdlib decode ->
+    nearest-neighbour thumbnail -> PNG re-encode (actor pool, small
+    batches for wide rows)."""
+    from ..stages.multimodal import ThumbnailStage, synth_media_batch
+
+    media = ray.data.from_pandas(synth_media_batch(200))
+    out = media.map_batches(
+        ThumbnailStage,
+        fn_constructor_kwargs={"max_side": 12},
+        batch_format="pandas",
+        batch_size=16,
+        concurrency=2,
+    ).to_pandas()
+    out["thumb_bytes"] = out["thumb"].str.len().astype("int64")
+    return (
+        out.drop(columns=["thumb"])
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+
+
 def q_query_generation(sf_dir: str) -> pd.DataFrame:
     """N9 (queries.py:73-106): the 4 query generators + sorted-tuple dedup
     over the corpus lexicon, english_ref excluded, seeded RNG."""
