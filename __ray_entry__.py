@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup_lsh": q.q_embedding_neardup_lsh,
         "ann_ivf_topk": q.q_ann_ivf_topk,
         "ngram_jaccard": q.q_ngram_jaccard,
+        "ngram_jaccard_lsh": q.q_ngram_jaccard_lsh,
         "token_counts": q.q_token_counts,
         # --- crawl engine (rows-only; gated by oracle conformance tests) ---
         "crawl_ledger": cq.q_crawl_ledger,

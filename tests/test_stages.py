@@ -83,6 +83,42 @@ class TestMinHash:
         p2 = minhash_lsh_pairs(ds).to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
         pd.testing.assert_frame_equal(p1, p2)
 
+    def test_ngram_jaccard_lsh_vs_exact(self):
+        """The shipped scale path (LSH candidates + exact shuffle-joined
+        Jaccard) must report the exact Jaccard for every pair it emits, emit
+        no pair the oracle lacks, and recall >= 0.9 at its operating point
+        (32x2 bands ~ threshold 0.5)."""
+        import ray.data
+
+        from webcrawl_lowres_lang_ray.stages.dedup import (
+            ngram_jaccard_allpairs,
+            ngram_jaccard_lsh,
+        )
+
+        rng = np.random.RandomState(17)
+        vocab = [f"w{i}" for i in range(300)]
+        rows, did = [], 0
+        for _c in range(120):
+            words = [vocab[i] for i in rng.randint(0, 300, size=25)]
+            rows.append((did, " ".join(words))); did += 1
+            if rng.random() < 0.5:  # plant a near-dup with a couple of edits
+                w = list(words)
+                for _ in range(rng.randint(1, 3)):
+                    w[rng.randint(0, len(w))] = vocab[rng.randint(0, 300)]
+                rows.append((did, " ".join(w))); did += 1
+        df = pd.DataFrame(rows, columns=["doc_id", "text"])
+        chunks = [df.iloc[i : i + 50].reset_index(drop=True) for i in range(0, len(df), 50)]
+        ds = ray.data.from_pandas(chunks)
+        exact = ngram_jaccard_allpairs(ds, threshold=0.5).to_pandas()
+        got = ngram_jaccard_lsh(ds, threshold=0.5).to_pandas()
+        se = dict(zip(zip(exact["id_a"], exact["id_b"]), exact["jaccard"]))
+        sg = dict(zip(zip(got["id_a"], got["id_b"]), got["jaccard"]))
+        assert len(se) > 30
+        assert not (set(sg) - set(se)), "LSH emitted a pair the oracle lacks"
+        assert len(set(se) & set(sg)) / len(se) >= 0.9
+        for pair, j in sg.items():
+            assert abs(j - se[pair]) < 1e-9  # exact, not estimated
+
     def test_shuffle_join_verify_equals_broadcast(self):
         """The scale-path verify (signatures shuffle-joined onto candidate
         pairs) must produce the same pair set and estimates as the broadcast
@@ -332,11 +368,18 @@ class TestMultimodal:
         ).to_pandas()
         assert len(out) == 30 and "features" in out and "payload" not in out
 
-    def test_real_decode_is_marked_stub(self):
+    def test_gated_formats_are_marked_stub(self):
+        """PNG/WAV decode real (tests/test_media.py); what's left gated:
+        video containers and image formats whose header can't be parsed."""
         from webcrawl_lowres_lang_ray.stages.multimodal import DecodeStage
 
+        stage = DecodeStage(fake=False)
         with pytest.raises(NotImplementedError):
-            DecodeStage(fake=False)._decode("image/png", b"xx")
+            stage._decode("video/mp4", b"\x00\x00\x00 ftypisom")
+        with pytest.raises(NotImplementedError):
+            stage._decode("image/webp", b"RIFFxxxxWEBP")
+        with pytest.raises(ValueError):
+            stage._decode("image/png", b"xx")  # real decoder, real error
 
     def test_frame_sampling(self):
         import ray.data

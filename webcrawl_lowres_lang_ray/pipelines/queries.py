@@ -622,12 +622,22 @@ FROM embeddings e ORDER BY score DESC, e.vec_id LIMIT 10
 
 def q_ngram_jaccard(sf_dir: str):
     """Exact 3-gram Jaccard near-dup pairs over documents (the verification
-    oracle for the MinHash estimate; quadratic — at scale feed LSH candidate
-    pairs through ngram_jaccard instead)."""
+    oracle for the MinHash estimate; quadratic — q_ngram_jaccard_lsh is the
+    shipped scale path)."""
     from ..stages.dedup import ngram_jaccard_allpairs
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     return ngram_jaccard_allpairs(docs, threshold=0.5)
+
+
+def q_ngram_jaccard_lsh(sf_dir: str):
+    """Scale path: MinHash-LSH candidates + EXACT Jaccard on shuffle-joined
+    shingle sets (no broadcast, no driver collection; recall vs the exact
+    oracle pinned in tests/test_stages.py)."""
+    from ..stages.dedup import ngram_jaccard_lsh
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ngram_jaccard_lsh(docs, threshold=0.5)
 
 
 SQL_NGRAM_JACCARD = r"""

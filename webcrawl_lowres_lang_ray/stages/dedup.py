@@ -495,6 +495,74 @@ def _string_shingles(text: str, k: int = 3) -> set[str]:
     return {" ".join(words[i : i + k]) for i in range(len(words) - k + 1)}
 
 
+def ngram_jaccard_lsh(
+    ds: "ray.data.Dataset",
+    threshold: float = 0.5,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bands: int = 32,
+    rows_per_band: int = 2,
+    round_dp: int = 4,
+) -> "ray.data.Dataset":
+    """EXACT n-gram Jaccard >= threshold over MinHash-LSH candidate pairs —
+    the scale path for ngram_jaccard_allpairs (which stays the quadratic
+    small-N oracle).  Candidates come from banded LSH (band-hash rows only
+    on the shuffle); the exact verify shuffle-joins each doc's serialized
+    string-shingle SET onto its candidate pairs (_attach_sig — nothing is
+    broadcast or driver-collected) and computes true Jaccard.  Recall vs
+    the exact oracle at the LSH operating point is pinned in tests.
+    Returns (id_a, id_b, jaccard), id_a < id_b."""
+    a, b = _perm_params(bands * rows_per_band)
+    sigs_ds = _minhash_sigs(ds, text_col, id_col, a, b).materialize()
+    cands = _lsh_candidates(sigs_ds, id_col, bands, rows_per_band)
+
+    def shingle_stage(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                id_col: batch[id_col].to_numpy(np.int64),
+                "sig": [
+                    "\x1f".join(sorted(_string_shingles(t, k))).encode()
+                    for t in batch[text_col]
+                ],
+            }
+        )
+
+    sets_ds = (
+        ds.select_columns([id_col, text_col])
+        .map_batches(shingle_stage, batch_format="pandas")
+        .materialize()
+    )
+    with_a = _attach_sig(cands, sets_ds, "id_a", ["id_a", "id_b"], "sig_a", id_col)
+    with_ab = _attach_sig(
+        with_a, sets_ds, "id_b", ["id_a", "id_b", "sig_a"], "sig_b", id_col
+    )
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
+                 "jaccard": pd.Series(dtype="float64")}
+            )
+        jac = np.empty(len(batch), dtype=np.float64)
+        for i, (sa, sb) in enumerate(zip(batch["sig_a"], batch["sig_b"])):
+            xa = set(sa.decode().split("\x1f")) if sa else set()
+            xb = set(sb.decode().split("\x1f")) if sb else set()
+            if not xa and not xb:
+                jac[i] = 1.0
+            elif not xa or not xb:
+                jac[i] = 0.0
+            else:
+                inter = len(xa & xb)
+                jac[i] = inter / (len(xa) + len(xb) - inter)
+        keep = jac >= threshold
+        out = batch.loc[keep, ["id_a", "id_b"]].copy()
+        out["jaccard"] = np.round(jac[keep], round_dp)
+        return out.reset_index(drop=True)
+
+    return with_ab.map_batches(verify, batch_format="pandas")
+
+
 def ngram_jaccard_allpairs(
     ds: "ray.data.Dataset",
     threshold: float = 0.5,
