@@ -159,9 +159,7 @@ def _hw_ceiling_worker(bidx: int) -> int:
     import pyarrow.parquet as pq
 
     from webcrawl_lowres_lang_ray.config import CrawlConfig
-    from webcrawl_lowres_lang_ray.functions.html_text import (
-        decode_html, extract_links, extract_text_from_html_bytes,
-    )
+    from webcrawl_lowres_lang_ray.functions.html_text import extract_text_and_links
     from webcrawl_lowres_lang_ray.functions.scoring import LangScoringModel
     from webcrawl_lowres_lang_ray.sources.synth import corpus_dir_for_sf, load_lexicon
 
@@ -177,9 +175,8 @@ def _hw_ceiling_worker(bidx: int) -> int:
     n = 0
     for h in t["html"].to_pylist()[:120]:
         hashlib.sha256(h).hexdigest()
-        x = extract_text_from_html_bytes(h)
+        x, _links = extract_text_and_links(h)
         m.score_text(x)
-        extract_links(decode_html(h))
         n += 1
     return n
 

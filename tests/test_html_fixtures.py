@@ -122,3 +122,25 @@ class TestLinksStillExtracted:
     def test_links_document_order(self):
         html = "<a href='/a'>1</a><p><a href=\"http://h/b\">2</a></p><a name=x>3</a>"
         assert extract_links(html) == ["/a", "http://h/b"]
+
+
+class TestFusedExtractor:
+    @pytest.mark.parametrize("name,html,want", CASES, ids=[c[0] for c in CASES])
+    def test_fused_equals_separate_on_adversarial_cases(self, name, html, want):
+        from webcrawl_lowres_lang_ray.functions.html_text import (
+            decode_html,
+            extract_text_and_links,
+        )
+
+        data = html.encode()
+        text, links = extract_text_and_links(data)
+        assert text == want == html_to_text(html)
+        assert links == extract_links(decode_html(data))
+
+    def test_fused_links_and_text_together(self):
+        from webcrawl_lowres_lang_ray.functions.html_text import extract_text_and_links
+
+        html = b"<p>pre <a href='/x'>anchor text</a> post</p><a href='u2'>t2</a>"
+        text, links = extract_text_and_links(html)
+        assert text == "pre\nanchor text\npost\nt2"
+        assert links == ["/x", "u2"]

@@ -65,7 +65,7 @@ from . import checkpoint as ckpt
 from .config import CrawlConfig
 from .functions.hashing import digest_to_shard, md5_batch, sha1_batch
 from .functions.extract_doc import extract_text_auto, sniff_doc_type
-from .functions.html_text import decode_html, extract_links, extract_text_from_html_bytes
+from .functions.html_text import extract_text_and_links
 from .functions.scoring import LangScoringModel
 from .functions.urltools import excluded_mask_batch, host_batch, relative_mask_batch, canonicalize_batch
 from .sources.synth import load_lexicon
@@ -223,8 +223,7 @@ def _wave_task(pages_dir: str, lexicon_ref, cfg: CrawlConfig, wave: int, ledger_
             doc_type[i] = dt or ""
             file_hash[i] = hashlib.sha256(html).hexdigest()
             if dt == "html":
-                text = extract_text_from_html_bytes(html)
-                links[i] = extract_links(decode_html(html))
+                text, links[i] = extract_text_and_links(html)
             else:
                 # pdf/docx extraction is import-gated (libs absent in this
                 # sandbox) and unknown types return None — both take the

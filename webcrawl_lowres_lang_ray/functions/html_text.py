@@ -145,6 +145,39 @@ def extract_text_from_html_bytes(data: bytes) -> str:
     return html_to_text(decode_html(data))
 
 
+class _TextAndLinkExtractor(_TextExtractor):
+    """One tokenizer pass collecting BOTH text nodes and <a href> values —
+    the crawl needs both per fetched page, and parsing dominates the
+    per-page payload; byte-for-byte identical outputs to running
+    html_to_text and extract_links separately (pinned by tests)."""
+
+    def __init__(self) -> None:
+        super().__init__()
+        self.hrefs: list[str] = []
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        self._flush()
+        if tag == "a":
+            for k, v in attrs:
+                if k == "href" and v is not None:
+                    self.hrefs.append(v)
+
+
+def extract_text_and_links(data: bytes) -> tuple[str, list[str]]:
+    """Raw page bytes -> (extracted text, hrefs in document order) in a
+    single decode + single parse (equals extract_text_from_html_bytes +
+    extract_links(decode_html(data)))."""
+    p = _TextAndLinkExtractor()
+    p.feed(decode_html(data))
+    p.close()
+    out = []
+    for chunk in p.chunks:
+        s = chunk.strip()
+        if s:
+            out.append(s)
+    return "\n".join(out), p.hrefs
+
+
 def extract_links(html: str) -> list[str]:
     """All ``<a href=...>`` values in document order (raw, un-normalized).
 

@@ -65,27 +65,52 @@ class NgramLangModel:
         self.index = {g: i for i, g in enumerate(self.grams)}
         self.vec = np.array([profile[g] for g in self.grams], dtype=np.float64)
         self.norm = float(np.sqrt(np.dot(self.vec, self.vec)))
+        # word -> trigram-ID-list memo.  Trigram STRINGS are interned to int
+        # ids once per distinct word (profile trigrams get their profile
+        # index; others a growing out-of-profile id), after which a text's
+        # count vector is one np.unique over the flat id list — no per-gram
+        # Python dict probes in the hot path.  Zipf token streams make the
+        # memo hit rate ~1 (bounded; one per worker process / model).
+        self._word_ids: dict[str, list[int]] = {}
+        self._unk_ids: dict[str, int] = {}
+        self._next_unk = len(self.grams)
+
+    def _ids_for_word(self, w: str) -> list[int]:
+        a = self._word_ids.get(w)
+        if a is not None:
+            return a
+        padded = f" {w} "
+        ids = []
+        index = self.index
+        unk = self._unk_ids
+        for i in range(len(padded) - 2):
+            g = padded[i : i + 3]
+            j = index.get(g)
+            if j is None:
+                j = unk.get(g)
+                if j is None:
+                    j = self._next_unk
+                    unk[g] = j
+                    self._next_unk += 1
+            ids.append(j)
+        if len(self._word_ids) < _WORD_TRIS_MAX:
+            self._word_ids[w] = ids
+        return ids
 
     def confidence(self, text: str) -> float:
-        counts = text_trigram_counts(text)
-        if not counts or self.norm == 0.0:
+        if self.norm == 0.0:
             return 0.0
-        idx = self.index
-        hit_idx = []
-        hit_val = []
-        pnorm_sq = 0.0
-        for g, c in counts.items():
-            pnorm_sq += c * c
-            i = idx.get(g)
-            if i is not None:
-                hit_idx.append(i)
-                hit_val.append(float(c))
-        if pnorm_sq == 0.0 or not hit_idx:
+        words = text.lower().split()
+        if not words:
             return 0.0
-        dot = float(
-            np.dot(
-                np.asarray(hit_val, dtype=np.float64),
-                self.vec[np.asarray(hit_idx, dtype=np.int64)],
-            )
-        )
+        ids: list[int] = []
+        for w in words:
+            ids.extend(self._ids_for_word(w))
+        uids, counts = np.unique(np.array(ids, dtype=np.int64), return_counts=True)
+        cf = counts.astype(np.float64)
+        pnorm_sq = float(cf @ cf)
+        hit = uids < len(self.grams)
+        if pnorm_sq == 0.0 or not hit.any():
+            return 0.0
+        dot = float(cf[hit] @ self.vec[uids[hit]])
         return dot / (math.sqrt(pnorm_sq) * self.norm)

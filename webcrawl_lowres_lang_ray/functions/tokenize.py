@@ -51,12 +51,31 @@ def _has_digit(w: str) -> bool:
     return any(c.isdigit() for c in w)
 
 
+_FILTER_MEMO: dict[str, str | None] = {}
+_FILTER_MEMO_MAX = 1 << 18
+_MISS = object()
+
+
 def filter_words(words: list[str], min_char_len: int = 3) -> list[str]:
-    return [
-        w.lower()
-        for w in words
-        if len(w) >= min_char_len and not _has_digit(w)
-    ]
+    if min_char_len != 3:  # memo is keyed for the default threshold only
+        return [
+            w.lower()
+            for w in words
+            if len(w) >= min_char_len and not _has_digit(w)
+        ]
+    # per-word memo (Zipf streams -> hit rate ~1); pure per-word function,
+    # so results are identical to the uncached comprehension
+    memo = _FILTER_MEMO
+    out = []
+    for w in words:
+        r = memo.get(w, _MISS)
+        if r is _MISS:
+            r = w.lower() if (len(w) >= 3 and not _has_digit(w)) else None
+            if len(memo) < _FILTER_MEMO_MAX:
+                memo[w] = r
+        if r is not None:
+            out.append(r)
+    return out
 
 
 def token_frequencies(tokens: list[str]) -> list[tuple[str, int]]:

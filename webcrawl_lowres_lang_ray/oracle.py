@@ -45,7 +45,7 @@ import pyarrow.parquet as pq
 from .config import CrawlConfig
 from .functions.extract_doc import extract_text_auto, sniff_doc_type
 from .functions.hashing import md5_url, sha1_url, sha256_bytes
-from .functions.html_text import decode_html, extract_links, extract_text_from_html_bytes
+from .functions.html_text import extract_text_and_links
 from .functions.scoring import LangScoringModel
 from .functions.urltools import canonicalize, is_excluded, is_relative
 from .sources.synth import load_lexicon, load_robots
@@ -184,8 +184,9 @@ def run_oracle(corpus_dir: str, cfg: CrawlConfig | None = None) -> OracleResult:
 
             # NLP stage (M5 dispatch: pdf/docx import-gated, unknown -> None;
             # the None path scores as empty text — reference nlp.py:113-115)
+            page_links: list[str] = []
             if dt == "html":
-                text = extract_text_from_html_bytes(html)
+                text, page_links = extract_text_and_links(html)
             else:
                 try:
                     text = extract_text_auto(html, dt) if dt else None
@@ -203,9 +204,8 @@ def run_oracle(corpus_dir: str, cfg: CrawlConfig | None = None) -> OracleResult:
             row["rejected"] = sr.rejected
 
             # discovery: links in document order (html only)
-            if dt == "html":
-                for li, href in enumerate(extract_links(decode_html(html))):
-                    discovered.append((row["seq"], li, href, row["query_id"], "link"))
+            for li, href in enumerate(page_links):
+                discovered.append((row["seq"], li, href, row["query_id"], "link"))
 
         pending = deferred
         # insertion order is (parent seq, link position) — admission order may

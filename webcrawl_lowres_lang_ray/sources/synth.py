@@ -433,7 +433,9 @@ _SF_PAGES = {"0.001": 500, "0.01": 5000, "0.1": 300000}
 # under /tmp are regenerated rather than silently reused
 # v8: html_to_text merges adjacent data events + CDATA (bs4 parity)
 # v9: content_type column + pdf/docx/unknown rows (M5/M9/M10 in the crawl)
-CORPUS_VERSION = 9
+# v10: vectorized trigram confidence (same math, different fp summation
+#      order -> possible ULP-level confidence shifts; goldens regenerate)
+CORPUS_VERSION = 10
 
 
 def corpus_dir_for_sf(sf_dir: str, cache_root: str = "/tmp/wllr_corpus") -> str:
