@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_priority_counts": q.q_order_priority_counts,
         "nation_region_rollup": q.q_nation_region_rollup,
         "asof_click_view": q.q_asof_click_view,
+        "events_range_join": q.q_events_range_join,
         "events_sliding_window": q.q_events_sliding_window,
         "user_value_salted": q.q_user_value_salted,
         "event_value_quantiles": q.q_event_value_quantiles,
@@ -118,6 +119,7 @@ def oracle_sql() -> dict[str, str]:
         "order_priority_counts": q.SQL_ORDER_PRIORITY_COUNTS,
         "nation_region_rollup": q.SQL_NATION_REGION_ROLLUP,
         "asof_click_view": q.SQL_ASOF_CLICK_VIEW,
+        "events_range_join": q.SQL_EVENTS_RANGE_JOIN,
         "events_sliding_window": q.SQL_EVENTS_SLIDING_WINDOW,
         "user_value_salted": q.SQL_USER_VALUE_SALTED,
         "event_value_quantiles": q.SQL_EVENT_VALUE_QUANTILES,

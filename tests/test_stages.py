@@ -183,6 +183,38 @@ class TestSimHash:
         assert (0, 1) in found  # identical -> distance 0
 
 
+class TestRangeJoin:
+    def test_overlapping_intervals_multimatch(self):
+        """An event inside two overlapping windows joins BOTH (one-to-many
+        range join, not bucketization); events outside all windows drop."""
+        import ray.data
+
+        from webcrawl_lowres_lang_ray.stages.windows import range_join_broadcast
+
+        base = pd.Timestamp("2024-03-01")
+        ev = pd.DataFrame(
+            {
+                "event_id": np.arange(4, dtype=np.int64),
+                "ts": [base + pd.Timedelta(hours=h) for h in (1, 7, 9, 40)],
+            }
+        )
+        iv = pd.DataFrame(
+            {
+                "interval_id": np.array([0, 1], dtype=np.int64),
+                "start_ts": [base, base + pd.Timedelta(hours=6)],
+                "end_ts": [base + pd.Timedelta(hours=8), base + pd.Timedelta(hours=14)],
+            }
+        )
+        out = (
+            range_join_broadcast(
+                ray.data.from_pandas(ev), iv, ts_col="ts", carry_cols=("event_id",)
+            )
+            .to_pandas().sort_values(["event_id", "interval_id"])
+        )
+        got = list(zip(out["event_id"], out["interval_id"]))
+        assert got == [(0, 0), (1, 0), (1, 1), (2, 1)]  # hour 7 in both; 40 dropped
+
+
 class TestBootstrapLexicons:
     def test_unigram_and_bigram_dicts(self, tmp_path):
         """N8 emits BOTH dicts the reference writes (extract.py:113-120),

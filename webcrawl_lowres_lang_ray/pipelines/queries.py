@@ -731,6 +731,55 @@ ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
 """
 
 
+def q_events_range_join(sf_dir: str):
+    """Range (interval-containment) join: 40 OVERLAPPING 8-hour campaign
+    windows on a 6-hour stride, anchored at the stream's first day, joined
+    to every event inside them (a genuine one-to-many range join — the
+    broadcast-small-side form, zero shuffle), then a per (interval,
+    event_type) rollup through the combiner."""
+    from ..stages.windows import range_join_broadcast
+
+    ev = _read(sf_dir, "events", ["ts", "event_type", "value"]).materialize()
+    # distributed min(ts): per-batch partials, tiny driver merge
+    mins = ev.map_batches(
+        lambda b: pd.DataFrame({"m": [b["ts"].min()]}), batch_format="pandas"
+    ).to_pandas()
+    day0 = mins["m"].min().floor("D")
+    iv = pd.DataFrame(
+        {
+            "interval_id": np.arange(40, dtype=np.int64),
+            "start_ts": [day0 + pd.Timedelta(hours=6 * i) for i in range(40)],
+            "end_ts": [day0 + pd.Timedelta(hours=6 * i + 8) for i in range(40)],
+        }
+    )
+    joined = range_join_broadcast(
+        ev, iv, ts_col="ts", carry_cols=("event_type", "value")
+    )
+    out = _combiner_agg(
+        joined,
+        ["interval_id", "event_type"],
+        [("n_events", None, "count"), ("sum_value", "value", "sum")],
+    )
+    out["sum_value"] = round_half_away(out["sum_value"], 2)
+    return out
+
+
+SQL_EVENTS_RANGE_JOIN = """
+WITH d AS (SELECT date_trunc('day', min(ts)) AS day0 FROM events),
+iv AS (
+  SELECT i AS interval_id,
+         day0 + to_hours(6 * i) AS start_ts,
+         day0 + to_hours(6 * i + 8) AS end_ts
+  FROM range(0, 40) t(i), d
+)
+SELECT iv.interval_id, e.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(e.value), 2) AS sum_value
+FROM events e JOIN iv ON e.ts >= iv.start_ts AND e.ts < iv.end_ts
+GROUP BY iv.interval_id, e.event_type
+"""
+
+
 def q_events_sliding_window(sf_dir: str):
     """Trailing 3-hour windowed (count, value-sum) per event_type per
     occupied hour (combiner pre-agg + per-group vectorized rolling)."""

@@ -287,3 +287,54 @@ def grouped_topk(
         .groupby(group_col)
         .map_groups(merge, batch_format="pandas")
     )
+
+
+def range_join_broadcast(
+    ds: "ray.data.Dataset",
+    intervals: pd.DataFrame,
+    ts_col: str = "ts",
+    interval_id_col: str = "interval_id",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    carry_cols: tuple[str, ...] = (),
+) -> "ray.data.Dataset":
+    """Range (interval-containment) join: each fact row matches every
+    interval with ``start <= ts < end`` — intervals may OVERLAP, so this is
+    a genuine one-to-many range join, not a bucketization.
+
+    Partitioning assumption: the interval side is SMALL (broadcast via
+    ``ray.put`` once, one vectorized mask per interval per batch — zero
+    shuffle).  For a large interval table the composition flips to
+    sort-both-sides + per-key-range partition ``searchsorted``; this
+    broadcast form is the common case (campaign windows, maintenance
+    windows, SLA periods vs an event stream).
+    """
+    iv = intervals[[interval_id_col, start_col, end_col]].copy()
+    ref = ray.put(
+        (
+            iv[interval_id_col].to_numpy(np.int64),
+            iv[start_col].astype("datetime64[ns]").to_numpy().astype(np.int64),
+            iv[end_col].astype("datetime64[ns]").to_numpy().astype(np.int64),
+        )
+    )
+    carry = list(carry_cols)
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        ids, starts, ends = ray.get(ref)
+        ts = b[ts_col].astype("datetime64[ns]").to_numpy().astype(np.int64)
+        out_frames = []
+        for iid, s, e in zip(ids, starts, ends):
+            m = (ts >= s) & (ts < e)
+            if not m.any():
+                continue
+            sub = b.loc[m, carry].copy() if carry else pd.DataFrame(index=np.flatnonzero(m))
+            sub.insert(0, interval_id_col, np.int64(iid))
+            out_frames.append(sub.reset_index(drop=True))
+        if not out_frames:
+            return pd.DataFrame(
+                {interval_id_col: pd.Series(dtype="int64"),
+                 **{c: b[c].iloc[0:0] for c in carry}}
+            )
+        return pd.concat(out_frames, ignore_index=True)
+
+    return ds.map_batches(fn, batch_format="pandas")
