@@ -53,6 +53,8 @@ def main(argv=None):
     c.add_argument("--resume", action="store_true")
     c.add_argument("--per-host-per-wave", type=int, default=2)
     c.add_argument("--max-waves", type=int, default=10_000)
+    c.add_argument("--max-pages", type=int, default=0,
+                   help="global insertion budget (0 = unlimited)")
     c.add_argument("--no-robots", action="store_true")
 
     r = sub.add_parser("report", help="stats suite over a crawl output dir")
@@ -76,6 +78,7 @@ def main(argv=None):
         cfg = CrawlConfig(
             per_host_per_wave=args.per_host_per_wave,
             max_waves=args.max_waves,
+            max_pages=args.max_pages,
             apply_robots=not args.no_robots,
         )
         stats = run_crawl(corpus, args.out, cfg, resume=args.resume)
