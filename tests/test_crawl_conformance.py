@@ -175,6 +175,15 @@ class TestCrawlConformance:
             eng.sort_values("seq").reset_index(drop=True), _oracle_df(corpus, cfg)
         )
 
+    def test_link_priority_conformance(self, tiny_corpus, tmp_path):
+        """Non-default link_priority (links outrank waiting seeds) must stay
+        bit-for-bit with the oracle — seeds default to priority 0 in BOTH
+        (regression: the engine once backfilled seeds with link_priority)."""
+        cfg = CFG.replace(link_priority=2, max_waves=5)
+        run_crawl(tiny_corpus, str(tmp_path / "lp"), cfg)
+        eng = load_ledger(str(tmp_path / "lp")).sort_values("seq").reset_index(drop=True)
+        _assert_ledger_equal(eng, _oracle_df(tiny_corpus, cfg))
+
     def test_max_pages_caps_insertion(self, tiny_corpus, tmp_path):
         """max_pages = global seq budget, identical in engine and oracle."""
         cfg = CFG.replace(max_pages=40)

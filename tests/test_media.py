@@ -89,6 +89,14 @@ class TestPng:
         hdr = parse_image_header(png_encode(img))
         assert hdr == {"format": "png", "width": 17, "height": 11, "channels": 3, "bit_depth": 8}
 
+    def test_truncated_and_malformed_jpeg_return_none(self):
+        # truncated SOF segment; SOS before SOF; zero-length segment — all
+        # must return None, never raise (a crawled payload can be anything)
+        assert parse_image_header(b"\xFF\xD8\xFF\xC0\x00\x11\x08\x00") is None
+        assert parse_image_header(b"\xFF\xD8\xFF\xDA\x00\x04\x00\x00") is None
+        assert parse_image_header(b"\xFF\xD8\xFF\xE0\x00\x00zz") is None
+        assert parse_image_header(b"\xFF\xD8") is None
+
     def test_jpeg_and_gif_headers(self):
         # minimal JPEG marker stream: SOI, APP0, SOF0(8bit, 30x20, 3 comp)
         jpeg = (b"\xFF\xD8"

@@ -661,6 +661,9 @@ def _run_wave_streamed(
 
     wave_fn = _wave_task(pages_dir, lexicon_ref, cfg, wave, ledger_dir, robots_actors)
 
+    fetch_kwargs = {}
+    if score_concurrency:
+        fetch_kwargs["concurrency"] = score_concurrency
     candidates = (
         ray.data.read_parquet(frontier_path)
         .map_batches(add_admit_part, batch_format="pandas")
@@ -669,8 +672,9 @@ def _run_wave_streamed(
         .map_batches(add_fetch_part, batch_format="pandas")
         .groupby("fetch_part")
         # zero-copy Arrow into the fused fetch/score task (it drops the
-        # fetch_part tag itself)
-        .map_groups(wave_fn, batch_format="pyarrow")
+        # fetch_part tag itself); score_concurrency caps the fetch/score
+        # task pool exactly as on the driver path
+        .map_groups(wave_fn, batch_format="pyarrow", **fetch_kwargs)
     )
     inserted = _insert_streamed(candidates, seen_shards, next_seq, cfg, next_frontier)
     return inserted, _frontier_row_count(next_frontier)
@@ -724,8 +728,13 @@ def run_crawl(
                 "ord2": np.int64(0),
             }
         )
-        if "priority" in seeds.columns:  # optional seed priorities
-            cand["priority"] = seeds["priority"].astype(np.int64)
+        # seeds default to priority 0 (they are not links — cfg.link_priority
+        # must not apply, or engine and oracle diverge for link_priority != 0)
+        cand["priority"] = (
+            seeds["priority"].astype(np.int64)
+            if "priority" in seeds.columns
+            else np.int64(0)
+        )
         pending_df = _insert_driver(
             _prepare_candidates(cand, cfg, robots_actors), seen_shards, 0, cfg
         )

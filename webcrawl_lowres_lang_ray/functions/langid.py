@@ -16,6 +16,7 @@ the distributed engine (both call this module).
 
 from __future__ import annotations
 
+import hashlib
 import math
 from collections import Counter
 
@@ -74,6 +75,11 @@ class NgramLangModel:
         self._word_ids: dict[str, list[int]] = {}
         self._unk_ids: dict[str, int] = {}
         self._next_unk = len(self.grams)
+        # past the cap, out-of-profile trigrams get a deterministic hashed id
+        # instead of interning forever (unbounded per-worker growth on
+        # adversarial text); hashed-id collisions merely merge counts of two
+        # unknown grams — a bounded, deterministic perturbation of pnorm
+        self._unk_cap = 1 << 20
 
     def _ids_for_word(self, w: str) -> list[int]:
         a = self._word_ids.get(w)
@@ -89,9 +95,15 @@ class NgramLangModel:
             if j is None:
                 j = unk.get(g)
                 if j is None:
-                    j = self._next_unk
-                    unk[g] = j
-                    self._next_unk += 1
+                    if len(unk) < self._unk_cap:
+                        j = self._next_unk
+                        unk[g] = j
+                        self._next_unk += 1
+                    else:
+                        h = hashlib.blake2b(g.encode(), digest_size=8).digest()
+                        j = self._unk_cap + len(self.grams) + (
+                            int.from_bytes(h[:4], "little")
+                        )
             ids.append(j)
         if len(self._word_ids) < _WORD_TRIS_MAX:
             self._word_ids[w] = ids

@@ -173,11 +173,19 @@ def parse_image_header(data: bytes) -> dict | None:
                 pos += 1
                 continue
             marker = data[pos + 1]
-            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
-                pos += 2
+            # skip fill bytes, standalone markers (SOI/TEM/RSTn/EOI have no
+            # length field), and stop at start-of-scan / end-of-image
+            if marker in (0xFF, 0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                pos += 2 if marker != 0xFF else 1
                 continue
+            if marker in (0xD9, 0xDA):  # EOI / SOS: no SOF seen
+                return None
             (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+            if seglen < 2:
+                return None  # malformed length — stop rather than loop
             if marker in (0xC0, 0xC1, 0xC2, 0xC3):  # SOF0-3
+                if pos + 10 > len(data):
+                    return None  # truncated SOF segment
                 _prec, h, w, ncomp = struct.unpack(
                     ">BHHB", data[pos + 4 : pos + 10]
                 )

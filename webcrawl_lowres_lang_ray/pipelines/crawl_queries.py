@@ -27,19 +27,6 @@ QUERY_CFG = CrawlConfig(per_host_per_wave=32)
 _RUN_CACHE: dict[str, str] = {}
 
 
-def _from_pandas_blocks(df: pd.DataFrame, rows_per_block: int = 256) -> "ray.data.Dataset":
-    """from_pandas with the frame pre-chunked into blocks — a single-frame
-    from_pandas yields ONE block, serializing every downstream map_batches
-    onto one core."""
-    if len(df) <= rows_per_block:
-        return ray.data.from_pandas(df)
-    chunks = [
-        df.iloc[i : i + rows_per_block].reset_index(drop=True)
-        for i in range(0, len(df), rows_per_block)
-    ]
-    return ray.data.from_pandas(chunks)
-
-
 _LEDGER_CACHE: dict[str, pd.DataFrame] = {}
 
 
@@ -68,7 +55,13 @@ def ledger_dataset(
     from ..frontier import LEDGER_META_COLS, _norun_ledger_rows
 
     parts = sorted(glob.glob(os.path.join(out_dir, "ledger", "wave=*", "*.parquet")))
-    ds = ray.data.read_parquet(parts, columns=columns)
+    if parts:
+        ds = ray.data.read_parquet(parts, columns=columns)
+    else:  # pending-only output (0 waves ran): empty typed ledger
+        empty = pd.DataFrame(
+            {c: pd.Series(dtype="object") for c in (columns or LEDGER_META_COLS)}
+        )
+        ds = ray.data.from_pandas(empty)
     if include_pending:
         fdirs = sorted(glob.glob(os.path.join(out_dir, "frontier", "wave=*")))
         ffiles = sorted(glob.glob(os.path.join(fdirs[-1], "*.parquet"))) if fdirs else []
@@ -181,7 +174,7 @@ def q_crawl_stats_report(sf_dir: str) -> pd.DataFrame:
     flags = led.map_batches(flag_partial, batch_format="pandas").to_pandas().sum()
     for k in ["total_urls", "downloaded", "failed", "rejected",
               "skipped_relative", "robots_blocked"]:
-        rows.append((k if k != "failed" else "failed", "", float(flags[k])))
+        rows.append((k, "", float(flags[k])))
 
     verd = partitioned_key_counts(
         led.select_columns(["nlp_full_lang"]), "nlp_full_lang"

@@ -73,6 +73,16 @@ class SimulatedSearchConnector:
     rate_limit_after_pages: int | None = None
     _pages_served: int = 0
 
+    def _ranked(self, query: str) -> list[str]:
+        # one ranking per (connector, query) — page requests just slice it
+        cache = self.__dict__.setdefault("_rank_cache", {})
+        r = cache.get(query)
+        if r is None:
+            r = cache[query] = sorted(
+                self.urls, key=lambda u: _rank_key(query, u, self.seed)
+            )[: self.max_results]
+        return r
+
     def search(self, query: str, page: int):
         if (
             self.rate_limit_after_pages is not None
@@ -80,11 +90,8 @@ class SimulatedSearchConnector:
         ):
             return RATE_LIMITED
         self._pages_served += 1
-        ranked = sorted(
-            self.urls, key=lambda u: _rank_key(query, u, self.seed)
-        )[: self.max_results]
         lo = (page - 1) * RESULTS_PER_PAGE
-        return ranked[lo : lo + RESULTS_PER_PAGE]
+        return self._ranked(query)[lo : lo + RESULTS_PER_PAGE]
 
 
 @dataclass

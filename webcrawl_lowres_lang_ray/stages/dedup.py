@@ -521,6 +521,9 @@ def ngram_jaccard_lsh(
         return pd.DataFrame(
             {
                 id_col: batch[id_col].to_numpy(np.int64),
+                # \x1f is a safe delimiter: it is Unicode whitespace for
+                # str.split() (shingles are space-joins of split() words, so
+                # none can contain it)
                 "sig": [
                     "\x1f".join(sorted(_string_shingles(t, k))).encode()
                     for t in batch[text_col]
