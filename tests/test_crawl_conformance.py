@@ -193,6 +193,20 @@ class TestCrawlConformance:
         assert len(eng) == len(orc) <= 40
         _assert_ledger_equal(eng, orc)
 
+    def test_ledger_dataset_pending_only_output(self, tiny_corpus, tmp_path):
+        """A crawl stopped before any wave (max_waves=0) leaves a
+        pending-only output; ledger_dataset must still produce the wave=-1
+        rows instead of crashing on the empty partition list."""
+        from webcrawl_lowres_lang_ray.pipelines.crawl_queries import ledger_dataset
+
+        out = str(tmp_path / "pend")
+        run_crawl(tiny_corpus, out, CFG.replace(max_waves=0))
+        ds = ledger_dataset(out, columns=["seq", "url", "wave"])
+        df = ds.to_pandas()
+        assert len(df) > 0 and (df["wave"] == -1).all()
+        full = load_ledger(out)
+        assert len(full) == len(df)
+
     def test_politeness_budget_shapes_waves(self, tiny_corpus, tmp_path):
         s1 = run_crawl(tiny_corpus, str(tmp_path / "k1"), CFG.replace(per_host_per_wave=1))
         s8 = run_crawl(tiny_corpus, str(tmp_path / "k8"), CFG.replace(per_host_per_wave=8))

@@ -24,8 +24,6 @@ membership — determinism holds under any actor scheduling.
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import ray
 
@@ -44,20 +42,45 @@ class CuckooFilter:
         self.count = 0
         self._rng = np.random.RandomState(0xC0FFEE)  # deterministic evictions
 
-    def _decompose(self, digest: bytes) -> tuple[int, int, int]:
-        # Rehash the FULL digest so fingerprint and bucket index draw on every
-        # input byte: without this, digests sharing a short prefix are
-        # guaranteed mutual false positives (the adversarial inputs the FP-rate
-        # property probes with).  blake2b is keyless-deterministic, so filter
-        # state stays reproducible across processes.
-        h = hashlib.blake2b(digest, digest_size=8).digest()
-        fp = (h[0] | (h[1] << 8)) or 1
-        i1 = int.from_bytes(h[2:6], "little") & self.mask
+    @staticmethod
+    def _mix_digests(digests: list[bytes]) -> np.ndarray:
+        """Vectorized full-digest mixer: every one of the 20 bytes feeds the
+        result (digests sharing a short prefix must not become guaranteed
+        mutual false positives — the adversarial inputs the FP-rate property
+        probes with).  Three overlapping uint64 lanes xor-combined through a
+        splitmix64-style finalizer; fixed constants, so filter state is
+        reproducible across processes."""
+        arr = np.frombuffer(b"".join(digests), dtype=np.uint8).reshape(-1, 20)
+        a = arr[:, 0:8].copy().view("<u8").ravel()
+        b = arr[:, 8:16].copy().view("<u8").ravel()
+        c = arr[:, 12:20].copy().view("<u8").ravel()
+
+        def mix(x: np.ndarray) -> np.ndarray:
+            x = x.copy()
+            x ^= x >> np.uint64(33)
+            x *= np.uint64(0xFF51AFD7ED558CCD)
+            x ^= x >> np.uint64(33)
+            x *= np.uint64(0xC4CEB9FE1A85EC53)
+            x ^= x >> np.uint64(33)
+            return x
+
+        return mix(a) ^ mix(b * np.uint64(0x9E3779B97F4A7C15)) ^ mix(
+            c * np.uint64(0xD6E8FEB86659FD93)
+        )
+
+    def _decompose_batch(self, digests: list[bytes]):
+        m = self._mix_digests(digests)
+        fp = (m & np.uint64(0xFFFF)).astype(np.int64)
+        fp[fp == 0] = 1
+        i1 = ((m >> np.uint64(16)).astype(np.int64)) & self.mask
         i2 = (i1 ^ (fp * 0x5BD1)) & self.mask
         return fp, i1, i2
 
-    def add(self, digest: bytes) -> None:
-        fp, i1, i2 = self._decompose(digest)
+    def _decompose(self, digest: bytes) -> tuple[int, int, int]:
+        fp, i1, i2 = self._decompose_batch([digest])
+        return int(fp[0]), int(i1[0]), int(i2[0])
+
+    def _place(self, fp: int, i1: int, i2: int) -> None:
         for idx in (i1, i2):
             row = self.table[idx]
             empty = np.nonzero(row == 0)[0]
@@ -80,6 +103,18 @@ class CuckooFilter:
                 return
         self.stash.add(cur)
         self.count += 1
+
+    def add(self, digest: bytes) -> None:
+        fp, i1, i2 = self._decompose(digest)
+        self._place(fp, i1, i2)
+
+    def add_many(self, digests: list[bytes]) -> None:
+        """Batch insert: one vectorized decomposition, then placements."""
+        if not digests:
+            return
+        fps, i1s, i2s = self._decompose_batch(digests)
+        for k in range(len(digests)):
+            self._place(int(fps[k]), int(i1s[k]), int(i2s[k]))
 
     def might_contain(self, digest: bytes) -> bool:
         fp, i1, i2 = self._decompose(digest)
@@ -112,24 +147,28 @@ class SeenShard:
             return
         target = max(cap * 2, int((len(self.exact) + incoming) * 2))
         self.cuckoo = CuckooFilter(target)
-        for d in self.exact:
-            self.cuckoo.add(d)
+        self.cuckoo.add_many(list(self.exact))
 
     def contains_and_add(self, digests: list[bytes]) -> np.ndarray:
-        """Returns a bool array: True where the digest was NEW (now added)."""
+        """Returns a bool array: True where the digest was NEW (now added).
+
+        The exact set is probed directly (it is in memory here); the cuckoo
+        filter is still MAINTAINED because it is the documented deployment
+        path for a paged exact store — there ``might_contain`` gates the
+        disk probe, and the filter must already hold every key."""
         self._maybe_grow(len(digests))
         out = np.empty(len(digests), dtype=bool)
         exact = self.exact
-        cuckoo = self.cuckoo
-        new = self._new_since_snapshot
+        new_keys: list[bytes] = []
         for i, d in enumerate(digests):
-            if cuckoo.might_contain(d) and d in exact:
+            if d in exact:
                 out[i] = False
             else:
                 exact.add(d)
-                cuckoo.add(d)
-                new.append(d)
+                new_keys.append(d)
                 out[i] = True
+        self._new_since_snapshot.extend(new_keys)
+        self.cuckoo.add_many(new_keys)
         return out
 
     def contains(self, digests: list[bytes]) -> np.ndarray:
@@ -145,8 +184,7 @@ class SeenShard:
     def restore(self, blob: bytes, key_len: int = 20) -> int:
         self.exact = {blob[i : i + key_len] for i in range(0, len(blob), key_len)}
         self.cuckoo = CuckooFilter(max(1 << 16, 2 * len(self.exact)))
-        for d in self.exact:
-            self.cuckoo.add(d)
+        self.cuckoo.add_many(list(self.exact))
         return len(self.exact)
 
     def snapshot_delta_to(self, path: str) -> str:
@@ -173,8 +211,7 @@ class SeenShard:
         self.exact = keys
         self._new_since_snapshot = []
         self.cuckoo = CuckooFilter(max(1 << 16, 2 * len(keys)))
-        for d in keys:
-            self.cuckoo.add(d)
+        self.cuckoo.add_many(list(keys))
         return len(keys)
 
 
