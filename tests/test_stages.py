@@ -240,6 +240,37 @@ class TestBootstrapLexicons:
             assert json.load(f) == bi
 
 
+class TestBootstrapRegistry:
+    def test_multi_language_loop(self, tmp_path):
+        """extract_udhr loop parity: per-language seed docs -> per-language
+        dict pairs; 'All' vs one language; unsupported type errors."""
+        import json
+
+        import pytest as _pytest
+
+        from webcrawl_lowres_lang_ray.stages.lexicon import bootstrap_from_registry
+
+        (tmp_path / "mi.txt").write_text("Kia ora kia kaha")
+        (tmp_path / "to.txt").write_text("Malo e lelei malo")
+        reg = {
+            "Maori": {"path": str(tmp_path / "mi.txt")},
+            "Tongan": {"path": str(tmp_path / "to.txt")},
+        }
+        outs = bootstrap_from_registry(reg, str(tmp_path / "dicts"))
+        assert set(outs) == {"Maori", "Tongan"}
+        with open(outs["Maori"][0]) as f:
+            assert json.load(f) == {"kia": 2, "ora": 1, "kaha": 1}
+        only = bootstrap_from_registry(reg, str(tmp_path / "d2"), only="Tongan")
+        assert set(only) == {"Tongan"}
+        with _pytest.raises(KeyError):
+            bootstrap_from_registry(reg, str(tmp_path / "d3"), only="Klingon")
+        (tmp_path / "x.docx").write_text("nope")
+        with _pytest.raises(ValueError):
+            bootstrap_from_registry(
+                {"X": {"path": str(tmp_path / "x.docx")}}, str(tmp_path / "d4")
+            )
+
+
 class TestANN:
     def _emb_ds(self, n=400, dim=32, seed=5):
         import ray.data

@@ -126,6 +126,41 @@ def bootstrap_lexicons_from_text(text: str) -> tuple[dict[str, int], dict[str, i
     return uni, bi
 
 
+def bootstrap_from_registry(
+    languages: dict[str, dict], out_dir: str, only: str = "All"
+) -> dict[str, tuple[str, str]]:
+    """The reference's multi-language UDHR bootstrap loop (extract_udhr,
+    extract.py:83-148): for each configured language — or just ``only`` —
+    read its seed document and write both frequency dicts.  Registry shape
+    mirrors config.json:66-104: ``{"Maori": {"path": ".../udhr_mi.txt"},
+    ...}``.  ``.txt`` seeds are read directly; ``.pdf`` seeds dispatch to
+    the import-gated PDF extractor (extract.py:17-32 pdfminer path);
+    anything else is the reference's unsupported-type error."""
+    from ..functions.extract_doc import extract_pdf_bytes
+
+    outs: dict[str, tuple[str, str]] = {}
+    found = False
+    for lang, item in languages.items():
+        if only != "All" and only != lang:
+            continue
+        found = True
+        path = item["path"]
+        if path.endswith(".txt"):
+            with open(path, encoding="utf-8") as f:
+                text = f.read()
+        elif path.endswith(".pdf"):
+            with open(path, "rb") as f:
+                text = extract_pdf_bytes(f.read())
+        else:
+            raise ValueError(
+                f"unsupported seed file type for {path}: only pdf and txt"
+            )
+        outs[lang] = write_bootstrap_lexicons(text, out_dir, lang)
+    if not found:
+        raise KeyError(f"language {only!r} not in registry")
+    return outs
+
+
 def write_bootstrap_lexicons(text: str, out_dir: str, lang: str) -> tuple[str, str]:
     """Write the two bootstrap dicts with the reference's file naming
     (``dicts/{uni,bi}gram_words_<lang>.json``, extract.py:113-116) and JSON
