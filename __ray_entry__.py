@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_norms": q.q_embedding_norms,
         "embedding_neardup": q.q_embedding_neardup,
         "embedding_neardup_lsh": q.q_embedding_neardup_lsh,
+        "doc_embed_neardup": q.q_doc_embed_neardup,
         "ann_ivf_topk": q.q_ann_ivf_topk,
         "ngram_jaccard": q.q_ngram_jaccard,
         "ngram_jaccard_lsh": q.q_ngram_jaccard_lsh,

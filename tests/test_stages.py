@@ -306,6 +306,55 @@ class TestANN:
         assert not (sg - se), "SRP emitted a pair the exact oracle lacks"
         assert len(se & sg) / len(se) >= 0.95
 
+    def test_hashing_embed_pipeline_recall(self):
+        """Text -> hash-embed -> SRP near-dup end to end: deterministic
+        vectors (unit norm, duplicate texts at cosine 1.0) and recall
+        >= 0.95 vs the exact all-pairs oracle on the same vectors."""
+        import ray.data
+
+        from webcrawl_lowres_lang_ray.functions.embed import (
+            HashingEmbedStage,
+            hashing_embed,
+        )
+        from webcrawl_lowres_lang_ray.stages.ann import (
+            cosine_neardup_pairs,
+            srp_neardup_pairs,
+        )
+
+        v1, v2 = hashing_embed("kupu tahi rua"), hashing_embed("kupu tahi rua")
+        np.testing.assert_array_equal(v1, v2)
+        assert abs(np.linalg.norm(v1) - 1.0) < 1e-12
+
+        rng = np.random.RandomState(23)
+        import itertools
+
+        # letter-only vocab: tokenize_filtered drops digit-bearing words
+        vocab = ["".join(p) for p in itertools.product("abcdefghij", repeat=3)][:200]
+        rows, did = [], 0
+        for _ in range(150):
+            words = [vocab[i] for i in rng.randint(0, 200, size=40)]
+            rows.append((did, " ".join(words))); did += 1
+            if rng.random() < 0.4:  # near-dup: a few token edits
+                w = list(words)
+                for _ in range(rng.randint(1, 4)):
+                    w[rng.randint(0, len(w))] = vocab[rng.randint(0, 200)]
+                rows.append((did, " ".join(w))); did += 1
+        df = pd.DataFrame(rows, columns=["doc_id", "text"])
+        ds = ray.data.from_pandas(
+            [df.iloc[i : i + 50].reset_index(drop=True) for i in range(0, len(df), 50)]
+        )
+        emb = ds.map_batches(
+            HashingEmbedStage, fn_constructor_kwargs={"dim": 128},
+            batch_format="pandas", batch_size=64, concurrency=2,
+        ).drop_columns(["text"]).materialize()
+        exact = cosine_neardup_pairs(emb, threshold=0.85, id_col="doc_id").to_pandas()
+        got = srp_neardup_pairs(emb, dim=128, threshold=0.85, id_col="doc_id").to_pandas()
+        se = set(zip(exact["id_a"], exact["id_b"]))
+        sg = set(zip(got["id_a"], got["id_b"]))
+        assert len(se) > 20
+        assert not (sg - se)
+        assert len(se & sg) / len(se) >= 0.95
+
     def test_brute_force_matches_numpy(self):
         from webcrawl_lowres_lang_ray.stages.ann import brute_force_topk
 

@@ -580,6 +580,29 @@ def q_embedding_neardup(sf_dir: str):
     return cosine_neardup_pairs(emb, threshold=0.35)
 
 
+def q_doc_embed_neardup(sf_dir: str):
+    """Text -> embedding bridge: hash-embed the documents table (feature
+    hashing, no model state) and find near-dup pairs through the SRP-LSH
+    scale path — the end-to-end 'embed raw text, dedup by cosine' pipeline
+    a training-data curation run needs.  Rows-only (the hashing vectorizer
+    has no SQL form); recall vs the exact all-pairs oracle on the same
+    embedded vectors is pinned in tests/test_stages.py."""
+    from ..functions.embed import HashingEmbedStage
+    from ..stages.ann import srp_neardup_pairs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    emb = docs.map_batches(
+        HashingEmbedStage,
+        fn_constructor_kwargs={"text_col": "text", "dim": 256},
+        batch_format="pandas",
+        batch_size=256,
+        concurrency=2,
+    ).drop_columns(["text"])
+    return srp_neardup_pairs(
+        emb, dim=256, threshold=0.9, id_col="doc_id", vec_col="embedding"
+    )
+
+
 def q_embedding_neardup_lsh(sf_dir: str):
     """SRP-LSH bucketed near-dup (the shipped scale path: probe-bucket
     candidates + shuffle-joined exact cosine, nothing broadcast; recall
