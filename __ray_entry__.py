@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sentence_split": cq.q_sentence_split,
         "event_value_quantiles_approx": q.q_event_value_quantiles_approx,
         "approx_distinct_users": q.q_approx_distinct_users,
+        "approx_top_users": q.q_approx_top_users,
     }
 
 

@@ -741,6 +741,35 @@ class TestSketches:
                 exact = np.quantile(sub["v"], q)
                 assert abs(got.loc[g, col] - exact) <= 2.0, (g, col, exact, got.loc[g, col])
 
+    def test_cms_heavy_hitters_vs_exact(self):
+        """CMS one-sided guarantee (estimate >= true count) and top-k
+        recovery on a Zipf stream split across many batches."""
+        import ray.data
+
+        from webcrawl_lowres_lang_ray.stages.sketch import (
+            CountMinSketch,
+            approx_heavy_hitters,
+        )
+
+        rng = np.random.RandomState(31)
+        # zipf over 2000 keys, 60k rows, spread over 30 blocks
+        keys = np.array([f"k{int(i)}" for i in rng.zipf(1.3, size=60000) % 2000])
+        df = pd.DataFrame({"user_id": keys})
+        ds = ray.data.from_pandas(
+            [df.iloc[i : i + 2000].reset_index(drop=True) for i in range(0, len(df), 2000)]
+        )
+        got = approx_heavy_hitters(ds, "user_id", k=10)
+        exact = df["user_id"].value_counts()
+        # one-sided: approx >= exact for every reported key
+        for key, est in zip(got["user_id"], got["approx_count"]):
+            assert est >= exact[key]
+        # the true top-10 are recovered (candidate union over 30 batches)
+        assert set(exact.head(10).index) <= set(got["user_id"])
+        # point-estimate sanity on a standalone sketch
+        cms = CountMinSketch().add_keys(np.array(["a", "a", "b"], dtype=object))
+        est = cms.estimate(np.array(["a", "b", "zz"], dtype=object))
+        assert est[0] >= 2 and est[1] >= 1 and est[2] >= 0
+
     def test_hll_error_bound(self):
         from webcrawl_lowres_lang_ray.stages.sketch import HyperLogLog
 

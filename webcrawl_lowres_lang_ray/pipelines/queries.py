@@ -580,6 +580,16 @@ def q_embedding_neardup(sf_dir: str):
     return cosine_neardup_pairs(emb, threshold=0.35)
 
 
+def q_approx_top_users(sf_dir: str) -> pd.DataFrame:
+    """Count-Min heavy hitters: approximate top-10 users by event count.
+    The exchange carries fixed-size sketches + per-batch candidates, never
+    rows (rows-only; CMS one-sided accuracy pinned in tests)."""
+    from ..stages.sketch import approx_heavy_hitters
+
+    ev = _read(sf_dir, "events", ["user_id"])
+    return approx_heavy_hitters(ev, "user_id", k=10)
+
+
 def q_doc_embed_neardup(sf_dir: str):
     """Text -> embedding bridge: hash-embed the documents table (feature
     hashing, no model state) and find near-dup pairs through the SRP-LSH

@@ -220,3 +220,87 @@ def approx_distinct(
     if group_col is None:
         return out.drop(columns=["__g"])
     return out.rename(columns={"__g": group_col}).sort_values(group_col).reset_index(drop=True)
+
+
+class CountMinSketch:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005): ``depth`` rows of
+    ``width`` counters; point estimate = min over rows (never underestimates).
+    Rows use independent seeded SipHash keys via pd.util.hash_array on
+    salted keys — deterministic across processes.  Cell-wise ADD-mergeable,
+    so per-batch partials combine associatively."""
+
+    def __init__(self, width: int = 2048, depth: int = 4):
+        self.width = width
+        self.depth = depth
+        self.table = np.zeros((depth, width), dtype=np.int64)
+
+    def add_keys(self, keys: np.ndarray, counts: np.ndarray | None = None) -> "CountMinSketch":
+        if len(keys) == 0:
+            return self
+        if counts is None:
+            counts = np.ones(len(keys), dtype=np.int64)
+        for r in range(self.depth):
+            salted = np.array([f"{r}\x1f{k}" for k in keys], dtype=object)
+            idx = (pd.util.hash_array(salted) % np.uint64(self.width)).astype(np.int64)
+            np.add.at(self.table[r], idx, counts)
+        return self
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        self.table += other.table
+        return self
+
+    def estimate(self, keys: np.ndarray) -> np.ndarray:
+        if len(keys) == 0:
+            return np.zeros(0, dtype=np.int64)
+        est = np.full(len(keys), np.iinfo(np.int64).max, dtype=np.int64)
+        for r in range(self.depth):
+            salted = np.array([f"{r}\x1f{k}" for k in keys], dtype=object)
+            idx = (pd.util.hash_array(salted) % np.uint64(self.width)).astype(np.int64)
+            np.minimum(est, self.table[r][idx], out=est)
+        return est
+
+
+def approx_heavy_hitters(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    k: int = 10,
+    width: int = 2048,
+    depth: int = 4,
+) -> pd.DataFrame:
+    """Approximate top-k keys by frequency: per-batch (CMS partial +
+    local-top-k candidate set) — the exchange carries depth*width counters
+    and <= k candidate keys per batch, never raw rows.  Candidates are
+    re-estimated against the MERGED sketch, so a key that is top-k globally
+    but not in any single batch can be missed only if it is also outside
+    every batch's local top-3k (the standard candidate-union caveat,
+    documented); CMS never underestimates, so ranking errors are one-sided.
+    Returns (key, approx_count) sorted by (-count, key)."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        keys = b[key_col].to_numpy(object)
+        cms = CountMinSketch(width, depth).add_keys(keys)
+        vc = pd.Series(keys).value_counts().head(3 * k)
+        return pd.DataFrame(
+            {
+                "sketch": [cms.table.tobytes()],
+                "cands": ["\x1f".join(str(x) for x in vc.index)],
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    merged = CountMinSketch(width, depth)
+    cands: set[str] = set()
+    for blob, cs in zip(parts["sketch"], parts["cands"]):
+        o = CountMinSketch(width, depth)
+        o.table = np.frombuffer(blob, dtype=np.int64).reshape(depth, width).copy()
+        merged.merge(o)
+        if cs:
+            cands.update(cs.split("\x1f"))
+    cand_arr = np.array(sorted(cands), dtype=object)
+    est = merged.estimate(cand_arr)
+    out = pd.DataFrame({key_col: cand_arr, "approx_count": est})
+    return (
+        out.sort_values(["approx_count", key_col], ascending=[False, True], kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+    )
