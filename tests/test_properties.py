@@ -151,3 +151,82 @@ class TestDigestProperties:
         hll = HyperLogLog(11).add_hashes(h)
         est = hll.estimate()
         assert 0.75 * n <= est <= 1.25 * n
+
+
+class TestCmsProperties:
+    @settings(max_examples=30, deadline=None)
+    @given(st.lists(st.text(alphabet="abcde", min_size=1, max_size=4),
+                    min_size=1, max_size=400))
+    def test_estimate_never_underestimates(self, keys):
+        from webcrawl_lowres_lang_ray.stages.sketch import CountMinSketch
+
+        import collections
+
+        arr = np.array(keys, dtype=object)
+        cms = CountMinSketch(width=64, depth=3).add_keys(arr)
+        true = collections.Counter(keys)
+        uniq = np.array(sorted(true), dtype=object)
+        est = cms.estimate(uniq)
+        for k, e in zip(uniq, est):
+            assert e >= true[k]
+
+    @settings(max_examples=20, deadline=None)
+    @given(st.lists(st.text(alphabet="abc", min_size=1, max_size=3),
+                    min_size=2, max_size=200))
+    def test_merge_equals_single_sketch(self, keys):
+        from webcrawl_lowres_lang_ray.stages.sketch import CountMinSketch
+
+        arr = np.array(keys, dtype=object)
+        half = len(arr) // 2
+        a = CountMinSketch(width=32, depth=2).add_keys(arr[:half])
+        b = CountMinSketch(width=32, depth=2).add_keys(arr[half:])
+        whole = CountMinSketch(width=32, depth=2).add_keys(arr)
+        np.testing.assert_array_equal(a.merge(b).table, whole.table)
+
+
+class TestHashingEmbedProperties:
+    @settings(max_examples=60, deadline=None)
+    @given(st.text(alphabet="abcdefgh ", min_size=0, max_size=120))
+    def test_unit_norm_or_zero_and_deterministic(self, text):
+        from webcrawl_lowres_lang_ray.functions.embed import hashing_embed
+
+        v1, v2 = hashing_embed(text, 64), hashing_embed(text, 64)
+        np.testing.assert_array_equal(v1, v2)
+        n = np.linalg.norm(v1)
+        assert abs(n - 1.0) < 1e-9 or n == 0.0
+
+
+class TestRangeJoinProperties:
+    @settings(max_examples=25, deadline=None)
+    @given(st.lists(st.integers(min_value=0, max_value=200), min_size=1, max_size=60),
+           st.lists(st.tuples(st.integers(min_value=0, max_value=200),
+                              st.integers(min_value=1, max_value=40)),
+                    min_size=1, max_size=8))
+    def test_matches_bruteforce_interval_check(self, hours, spans):
+        import pandas as pd
+        import ray.data
+
+        from webcrawl_lowres_lang_ray.stages.windows import range_join_broadcast
+
+        base = pd.Timestamp("2024-05-01")
+        ev = pd.DataFrame(
+            {"event_id": np.arange(len(hours), dtype=np.int64),
+             "ts": [base + pd.Timedelta(hours=h) for h in hours]}
+        )
+        iv = pd.DataFrame(
+            {"interval_id": np.arange(len(spans), dtype=np.int64),
+             "start_ts": [base + pd.Timedelta(hours=s) for s, _ in spans],
+             "end_ts": [base + pd.Timedelta(hours=s + w) for s, w in spans]}
+        )
+        pdf = range_join_broadcast(
+            ray.data.from_pandas(ev), iv, ts_col="ts", carry_cols=("event_id",)
+        ).to_pandas()
+        # an all-empty result loses its pandas columns through to_pandas
+        got = set(zip(pdf["event_id"], pdf["interval_id"])) if len(pdf) else set()
+        want = {
+            (e, i)
+            for e, h in zip(ev["event_id"], hours)
+            for i, (s, w) in enumerate(spans)
+            if s <= h < s + w
+        }
+        assert got == want
