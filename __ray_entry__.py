@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard": q.q_ngram_jaccard,
         "ngram_jaccard_lsh": q.q_ngram_jaccard_lsh,
         "token_counts": q.q_token_counts,
+        "doc_stratified_sample": q.q_doc_stratified_sample,
         # --- crawl engine (rows-only; gated by oracle conformance tests) ---
         "crawl_ledger": cq.q_crawl_ledger,
         "crawl_order": cq.q_crawl_order,
@@ -134,4 +135,5 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": q.SQL_ANN_IVF_TOPK,
         "ngram_jaccard": q.SQL_NGRAM_JACCARD,
         "token_counts": q.SQL_TOKEN_COUNTS,
+        "doc_stratified_sample": q.SQL_DOC_STRATIFIED_SAMPLE,
     }

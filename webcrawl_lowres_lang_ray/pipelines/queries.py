@@ -528,6 +528,48 @@ FROM embeddings e ORDER BY score DESC, e.vec_id LIMIT 10
 """
 
 
+def q_doc_stratified_sample(sf_dir: str):
+    """Deterministic stratified sampling for training-data curation: 10
+    documents per language, ranked by md5(doc_id) — a seeded-hash sample an
+    independent SQL engine reproduces exactly (unlike RNG sampling).  Runs
+    as the grouped-top-k combiner: each batch emits at most k rows per
+    stratum, the merge keeps the global k — the exchange never carries more
+    than k x strata x batches rows."""
+    import hashlib as _hashlib
+
+    k = 10
+    docs = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def rank_partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[["doc_id", "lang"]].copy()
+        b["rk"] = [
+            _hashlib.md5(str(int(i)).encode()).hexdigest() for i in b["doc_id"]
+        ]
+        b = b.sort_values(["lang", "rk"], kind="mergesort")
+        return b.groupby("lang", sort=False).head(k)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values("rk", kind="mergesort").head(k)
+
+    out = (
+        docs.map_batches(rank_partial, batch_format="pandas")
+        .groupby("lang")
+        .map_groups(merge, batch_format="pandas")
+    )
+    return out.drop_columns(["rk"])
+
+
+SQL_DOC_STRATIFIED_SAMPLE = """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR))
+         ) AS rn
+  FROM documents
+) WHERE rn <= 10
+"""
+
+
 def q_label_counts(sf_dir: str):
     out = (
         _read(sf_dir, "embeddings", ["label"])
