@@ -75,6 +75,125 @@ class TestSeenShards:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestPagedSeenStore:
+    """The disk-paged exact store: after a delta snapshot, an actor's exact
+    keys live ONLY in sorted on-disk runs (memmapped, cuckoo-gated probes);
+    RAM holds just the keys added since.  Membership answers never change."""
+
+    def test_paging_bounds_ram_and_keeps_membership(self, tmp_path):
+        import ray
+
+        from webcrawl_lowres_lang_ray.state.seen import (
+            create_seen_shards,
+            seen_filter_new,
+            snapshot_all_to,
+        )
+
+        shards = create_seen_shards(3)
+        wave1 = [_digest(i) for i in range(500)]
+        assert seen_filter_new(shards, wave1).all()
+        snapshot_all_to(
+            shards, [str(tmp_path / f"d1-{s}.bin") for s in range(3)]
+        )
+        # the paged-store bound: zero exact keys in actor RAM after paging
+        assert sum(ray.get([s.ram_key_count.remote() for s in shards])) == 0
+        assert sum(ray.get([s.run_count.remote() for s in shards])) >= 1
+        # membership is exact across the run files: members all present,
+        # a disjoint probe set all absent (cuckoo FPs must be confirmed away)
+        assert not seen_filter_new(shards, wave1).any()
+        probes = [_digest(i) for i in range(10_000, 12_000)]
+        assert seen_filter_new(shards, probes).all()  # marks wave2 seen
+        snapshot_all_to(
+            shards, [str(tmp_path / f"d2-{s}.bin") for s in range(3)]
+        )
+        assert sum(ray.get([s.ram_key_count.remote() for s in shards])) == 0
+        # spans both runs + fresh keys in one batch
+        mixed = wave1[::7] + probes[::5] + [_digest(i) for i in range(20_000, 20_050)]
+        got = seen_filter_new(shards, mixed)
+        expect = np.array(
+            [False] * len(wave1[::7]) + [False] * len(probes[::5]) + [True] * 50
+        )
+        assert (got == expect).all()
+        assert sum(ray.get([s.size.remote() for s in shards])) == 2550
+
+    def test_probe_readonly_add_idempotent(self):
+        import ray
+
+        from webcrawl_lowres_lang_ray.state.seen import (
+            create_seen_shards,
+            seen_add,
+            seen_probe_new,
+        )
+
+        shards = create_seen_shards(2)
+        keys = [_digest(i) for i in range(300)]
+        # probe mutates nothing: repeated probes return identical verdicts
+        assert seen_probe_new(shards, keys).all()
+        assert seen_probe_new(shards, keys).all()
+        assert sum(ray.get([s.size.remote() for s in shards])) == 0
+        # add is an idempotent set union (task-retry safety)
+        assert seen_add(shards, keys) == 300
+        assert seen_add(shards, keys) == 0
+        assert sum(ray.get([s.size.remote() for s in shards])) == 300
+        assert not seen_probe_new(shards, keys).any()
+
+    def test_restore_from_is_paged(self, tmp_path):
+        import ray
+
+        from webcrawl_lowres_lang_ray.state.seen import (
+            create_seen_shards,
+            restore_all_from,
+            seen_filter_new,
+            snapshot_all_to,
+        )
+
+        shards = create_seen_shards(2)
+        keys = [_digest(i) for i in range(400)]
+        seen_filter_new(shards, keys)
+        paths = [str(tmp_path / f"d-{s}.bin") for s in range(2)]
+        snapshot_all_to(shards, paths)
+        fresh = create_seen_shards(2)
+        restore_all_from(fresh, [[p] for p in paths])
+        # restored exact authority is the memmapped run, not actor RAM
+        assert sum(ray.get([s.ram_key_count.remote() for s in fresh])) == 0
+        assert not seen_filter_new(fresh, keys).any()
+        assert seen_filter_new(fresh, [_digest(9_999_999)]).all()
+
+    def test_budget_dropped_candidates_recrawlable(self):
+        """oracle.py:106-112 order: the max_pages budget drops a candidate
+        BEFORE seen-marking, so a raised-budget resume re-crawls it."""
+        import pandas as pd
+
+        from webcrawl_lowres_lang_ray.config import CrawlConfig
+        from webcrawl_lowres_lang_ray.frontier import (
+            _insert_driver,
+            _prepare_candidates,
+        )
+        from webcrawl_lowres_lang_ray.state.seen import create_seen_shards
+
+        cand = pd.DataFrame(
+            {
+                "url": [f"http://site{i}.example.com/p" for i in range(20)],
+                "query_id": np.int64(0),
+                "engine": "test",
+                "ord1": np.arange(20, dtype=np.int64),
+                "ord2": np.int64(0),
+                "priority": np.int64(0),
+            }
+        )
+        shards = create_seen_shards(2)
+        cfg = CrawlConfig(max_pages=8, apply_robots=False)
+        first = _insert_driver(_prepare_candidates(cand, cfg), shards, 0, cfg)
+        assert len(first) == 8
+        # resume with a raised budget: the 12 dropped rows were never
+        # seen-marked, so they insert now; the 8 inserted ones stay deduped
+        cfg2 = CrawlConfig(max_pages=0, apply_robots=False)
+        second = _insert_driver(_prepare_candidates(cand, cfg2), shards, 8, cfg2)
+        assert len(second) == 12
+        assert set(second["url"]) == set(cand["url"]) - set(first["url"])
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestRobotsCache:
     def test_caching_and_blocking(self, small_corpus):
         import os

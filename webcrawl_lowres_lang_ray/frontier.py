@@ -63,7 +63,7 @@ import ray.data
 
 from . import checkpoint as ckpt
 from .config import CrawlConfig
-from .functions.hashing import digest_to_shard, md5_batch, sha1_batch
+from .functions.hashing import hex_to_digests, md5_batch, sha1_batch, shard_batch
 from .functions.extract_doc import extract_text_auto, sniff_doc_type
 from .functions.html_text import extract_text_and_links
 from .functions.scoring import LangScoringModel
@@ -73,7 +73,8 @@ from .state.robots import create_robots_actors, robots_blocked_mask
 from .state.seen import (
     create_seen_shards,
     restore_all_from,
-    seen_filter_new,
+    seen_add,
+    seen_probe_new,
     snapshot_all_to,
 )
 
@@ -383,9 +384,7 @@ def _prepare_candidates(
     df["canon_sha1"] = sha1
     df["url_hash"] = md5_batch(urls)
     df["host"] = host_batch(urls)
-    df["bucket"] = np.array(
-        [digest_to_shard(h, cfg.num_url_buckets) for h in sha1], dtype=np.int32
-    )
+    df["bucket"] = shard_batch(sha1, cfg.num_url_buckets)
     rel = relative_mask_batch(urls)
     df["is_rel"] = rel
     if cfg.apply_robots and robots_actors:
@@ -400,21 +399,26 @@ def _prepare_candidates(
 def _insert_driver(
     cand: pd.DataFrame, seen_shards, base_seq: int, cfg: CrawlConfig
 ) -> pd.DataFrame:
-    """Driver insertion path: dedup + seen-filter + seq over PREPARED
+    """Driver insertion path: dedup + seen-probe + seq over PREPARED
     candidates (columns of _empty_candidates_df; prep happens inside the
-    distributed wave task)."""
+    distributed wave task).
+
+    Seen-marking happens AFTER the ``max_pages`` budget, matching the
+    oracle's order (oracle.py:106-112: budget return precedes seen.add) —
+    a budget-dropped candidate is re-crawlable on a raised-budget resume."""
     if len(cand) == 0:
         return _empty_frontier_df()
     # within-wave dedup: first occurrence by (ord1, ord2)
     cand = cand.sort_values(["ord1", "ord2"], kind="mergesort")
     cand = cand.drop_duplicates(subset=["canon_sha1"], keep="first")
-    digests = [bytes.fromhex(h) for h in cand["canon_sha1"]]
-    new_mask = seen_filter_new(seen_shards, digests)
+    new_mask = seen_probe_new(seen_shards, hex_to_digests(cand["canon_sha1"].to_numpy()))
     cand = cand.loc[new_mask]
     cand = cand.reset_index(drop=True)
     cand["seq"] = base_seq + np.arange(len(cand), dtype=np.int64)
     if cfg.max_pages:  # global insertion budget: only seqs < max_pages exist
         cand = cand.loc[cand["seq"] < cfg.max_pages]
+    if len(cand):
+        seen_add(seen_shards, hex_to_digests(cand["canon_sha1"].to_numpy()))
     return cand[[n for n, _ in FRONTIER_FIELDS]]
 
 
@@ -459,10 +463,14 @@ def _insert_streamed(
     )
 
     def seen_stage(b: pd.DataFrame) -> pd.DataFrame:
+        # READ-ONLY probe: a Ray task retry re-probes and gets the same
+        # verdicts (no state mutated from a retryable task).  Keys register
+        # later, in assign_write, only for rows that actually insert — which
+        # also matches the oracle's max_pages order (budget before seen.add).
         if len(b) == 0:
             return b
-        digests = [bytes.fromhex(h) for h in b["canon_sha1"]]
-        return b.loc[seen_filter_new(seen_shards, digests)]
+        digests = hex_to_digests(b["canon_sha1"].to_numpy())
+        return b.loc[seen_probe_new(seen_shards, digests)]
 
     def rank_cols(b: pd.DataFrame) -> pd.DataFrame:
         if len(b) == 0:
@@ -519,6 +527,12 @@ def _insert_streamed(
             pa.Table.from_pandas(out, schema=FRONTIER_SCHEMA, preserve_index=False),
             os.path.join(write_dir, f"insert-p{part:03d}.parquet"),
         )
+        if len(out):
+            # register ONLY rows that actually inserted (post-budget) — the
+            # retry-safe half of the probe/add split: add_blob is an
+            # idempotent set union, and the file rewrite above is
+            # deterministic, so a retried task cannot corrupt state.
+            seen_add(seen_shards, hex_to_digests(out["canon_sha1"].to_numpy()))
         return pd.DataFrame({"n": [np.int64(len(out))]})
 
     ns = (

@@ -66,7 +66,25 @@ def digest_to_shard(hex_digest: str, num_shards: int) -> int:
     return int(hex_digest[:8], 16) % num_shards
 
 
+def hex_to_digests(hex_digests) -> np.ndarray:
+    """A column of 40-char hex digests -> (n, 20) uint8 matrix, via ONE
+    ``bytes.fromhex`` over the joined column (no per-row Python)."""
+    if len(hex_digests) == 0:
+        return np.zeros((0, 20), dtype=np.uint8)
+    return np.frombuffer(
+        bytes.fromhex("".join(hex_digests)), dtype=np.uint8
+    ).reshape(-1, 20)
+
+
+def bucket_of_digests(mat: np.ndarray, num_shards: int) -> np.ndarray:
+    """Vectorized ``digest_to_shard`` over an (n, 20) digest matrix: the
+    first 8 hex chars == the big-endian leading 4 bytes."""
+    if not len(mat):
+        return np.zeros(0, dtype=np.int32)
+    return (
+        mat[:, :4].copy().view(">u4").ravel() % np.uint32(num_shards)
+    ).astype(np.int32)
+
+
 def shard_batch(hex_digests, num_shards: int) -> np.ndarray:
-    return np.array(
-        [int(h[:8], 16) % num_shards for h in hex_digests], dtype=np.int32
-    )
+    return bucket_of_digests(hex_to_digests(hex_digests), num_shards)

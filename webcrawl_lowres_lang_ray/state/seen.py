@@ -1,4 +1,4 @@
-"""Sharded URL-seen set — cuckoo-filter actors with an exact confirm store.
+"""Sharded URL-seen set — cuckoo-filter actors over a DISK-PAGED exact store.
 
 The reference's URL-seen check is a SQLite ``url_hash IN (...)`` existence
 probe before insert (sql.py:180-189, used by insert_urls_many
@@ -8,26 +8,59 @@ canonical-URL keys):
 
 * ``CuckooFilter`` — a real partial-key cuckoo filter (numpy table,
   4-slot buckets, 16-bit fingerprints): answers "definitely new" without
-  touching the exact store.  At 10^10-URL scale the filter (~4.5 bytes/key)
-  stays in RAM while the exact store pages from disk; in this sandbox the
-  exact store is an in-memory set and the filter is the documented,
-  property-tested scale path (no false negatives; bounded false positives).
-* ``SeenShard`` — actor owning one shard: ``contains_and_add`` is atomic per
-  shard (the reference's check-then-insert race, SURVEY.md §4, cannot
-  happen), ``snapshot``/``restore`` serialize the exact key set for
-  per-partition checkpoint lineage (north rule).
+  touching the exact store.  No false negatives; bounded false positives
+  (property-tested).
+* ``SeenShard`` — actor owning one shard.  The exact authority is PAGED:
+  - ``recent``: the in-RAM key set holds ONLY keys added since the last
+    delta snapshot (one politeness wave's worth);
+  - ``runs``: every earlier key lives in sorted immutable run files on disk
+    (the per-wave delta snapshots double as the runs), mapped with
+    ``np.memmap`` so the OS page cache decides residency.  A probe touches
+    a run only when the cuckoo filter says "maybe" — at the north rule's
+    10^10-URL scale the filter (~4.5 bytes/key) stays in RAM while the
+    ~200 GB of exact keys stay on disk, and the filter's ~1e-4 FP rate
+    means ~one binary search per 10^4 genuinely-new keys.
 
-The crawl inserts each candidate digest at most once per wave (candidates
+Retry-safe protocol (streamed insertion path, frontier._insert_streamed):
+``probe_new`` is READ-ONLY, so a Ray task retry that re-probes returns the
+same verdicts; keys are registered via ``add_blob`` only from the seq-assign
+tasks for rows that actually inserted (idempotent: re-adding a key is a set
+union).  This also matches the oracle's ``max_pages`` semantics
+(oracle.py:102-112): a candidate dropped by the insertion budget is never
+seen-marked, so raising the budget on resume re-crawls it.
+
+The crawl probes each candidate digest at most once per wave (candidates
 are pre-deduplicated within the wave), so RPC arrival order cannot affect
 membership — determinism holds under any actor scheduling.
 """
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import ray
 
 _EVICTION_LIMIT = 500
+KEY_LEN = 20
+_V20 = np.dtype("V20")
+
+
+def as_digest_matrix(digests) -> np.ndarray:
+    """Normalize digests to an (n, 20) uint8 matrix.
+
+    Accepts a list of 20-byte keys, a V20 numpy array, or an (n, 20) uint8
+    matrix (returned as-is).  Hex-string columns are converted upstream by
+    ``functions.hashing.hex_to_digests`` (one ``bytes.fromhex`` for the whole
+    column — no per-row Python)."""
+    if isinstance(digests, np.ndarray):
+        if digests.dtype == np.uint8:
+            return digests.reshape(-1, KEY_LEN)
+        if digests.dtype == _V20:
+            return digests.view(np.uint8).reshape(-1, KEY_LEN)
+    if isinstance(digests, (bytes, bytearray, memoryview)):
+        return np.frombuffer(digests, dtype=np.uint8).reshape(-1, KEY_LEN)
+    return np.frombuffer(b"".join(digests), dtype=np.uint8).reshape(-1, KEY_LEN)
 
 
 class CuckooFilter:
@@ -43,14 +76,14 @@ class CuckooFilter:
         self._rng = np.random.RandomState(0xC0FFEE)  # deterministic evictions
 
     @staticmethod
-    def _mix_digests(digests: list[bytes]) -> np.ndarray:
+    def _mix_digests(digests) -> np.ndarray:
         """Vectorized full-digest mixer: every one of the 20 bytes feeds the
         result (digests sharing a short prefix must not become guaranteed
         mutual false positives — the adversarial inputs the FP-rate property
         probes with).  Three overlapping uint64 lanes xor-combined through a
         splitmix64-style finalizer; fixed constants, so filter state is
         reproducible across processes."""
-        arr = np.frombuffer(b"".join(digests), dtype=np.uint8).reshape(-1, 20)
+        arr = as_digest_matrix(digests)
         a = arr[:, 0:8].copy().view("<u8").ravel()
         b = arr[:, 8:16].copy().view("<u8").ravel()
         c = arr[:, 12:20].copy().view("<u8").ravel()
@@ -68,7 +101,7 @@ class CuckooFilter:
             c * np.uint64(0xD6E8FEB86659FD93)
         )
 
-    def _decompose_batch(self, digests: list[bytes]):
+    def _decompose_batch(self, digests):
         m = self._mix_digests(digests)
         fp = (m & np.uint64(0xFFFF)).astype(np.int64)
         fp[fp == 0] = 1
@@ -108,12 +141,13 @@ class CuckooFilter:
         fp, i1, i2 = self._decompose(digest)
         self._place(fp, i1, i2)
 
-    def add_many(self, digests: list[bytes]) -> None:
+    def add_many(self, digests) -> None:
         """Batch insert: one vectorized decomposition, then placements."""
-        if not digests:
+        mat = as_digest_matrix(digests)
+        if not len(mat):
             return
-        fps, i1s, i2s = self._decompose_batch(digests)
-        for k in range(len(digests)):
+        fps, i1s, i2s = self._decompose_batch(mat)
+        for k in range(len(mat)):
             self._place(int(fps[k]), int(i1s[k]), int(i2s[k]))
 
     def might_contain(self, digest: bytes) -> bool:
@@ -124,95 +158,200 @@ class CuckooFilter:
             or fp in self.stash
         )
 
+    def might_contain_many(self, digests) -> np.ndarray:
+        """Vectorized membership: one table gather per bucket choice."""
+        mat = as_digest_matrix(digests)
+        if not len(mat):
+            return np.zeros(0, dtype=bool)
+        fp, i1, i2 = self._decompose_batch(mat)
+        hit = (self.table[i1] == fp[:, None]).any(axis=1)
+        hit |= (self.table[i2] == fp[:, None]).any(axis=1)
+        if self.stash:
+            hit |= np.isin(fp, np.fromiter(self.stash, dtype=np.int64))
+        return hit
+
+
+def _load_run(path: str) -> np.ndarray | None:
+    """A run file as a memory-mapped sorted V20 array (disk-paged: the OS
+    page cache owns residency; a probe faults in only the touched pages)."""
+    size = os.path.getsize(path)
+    if size == 0:
+        return None
+    return np.memmap(path, dtype=_V20, mode="r")
+
 
 @ray.remote(num_cpus=0)  # lightweight RPC state actor: microsecond lookups, no compute slot
 class SeenShard:
-    """One shard of the URL-seen set (exact authority + cuckoo fast path)."""
+    """One shard of the URL-seen set (cuckoo gate + paged exact authority).
+
+    RAM holds the cuckoo filter plus only the keys added since the last
+    delta snapshot (``recent``); every older key lives in a sorted on-disk
+    run (the snapshot deltas themselves).  ``probe_new`` is read-only;
+    ``add_blob`` is idempotent — together the retry-safe protocol the
+    streamed insertion path relies on."""
 
     def __init__(self, shard_id: int, capacity: int = 1 << 16):
         self.shard_id = shard_id
-        self.exact: set[bytes] = set()
+        self.recent: set[bytes] = set()
+        self.runs: list[np.ndarray] = []
+        self._run_paths: list[str] = []
+        self._nrun_keys = 0
         self.cuckoo = CuckooFilter(capacity)
-        # keys added since the last delta snapshot (incremental checkpoints:
-        # a wave's snapshot cost is O(new keys), not O(total seen) — at
-        # 10^10 keys a full re-serialization per wave would dominate)
-        self._new_since_snapshot: list[bytes] = []
+
+    # -- internals ----------------------------------------------------------
+
+    def _present_mask(self, keys: np.ndarray) -> np.ndarray:
+        """True where the key IS already seen.  Exact: the cuckoo gate has no
+        false negatives, so only its "maybe" rows pay a run binary-search /
+        recent-set probe."""
+        n = len(keys)
+        present = np.zeros(n, dtype=bool)
+        maybe = self.cuckoo.might_contain_many(keys)
+        if not maybe.any():
+            return present
+        sub = keys.view(_V20).ravel()[maybe]
+        hit = np.zeros(len(sub), dtype=bool)
+        for run in self.runs:
+            miss = np.flatnonzero(~hit)
+            if not len(miss):
+                break
+            q = sub[miss]
+            idx = np.searchsorted(run, q)
+            idxc = np.minimum(idx, len(run) - 1)
+            found = (idx < len(run)) & (run[idxc] == q)
+            hit[miss[found]] = True
+        if self.recent:
+            recent = self.recent
+            for j in np.flatnonzero(~hit):
+                if sub[j].tobytes() in recent:
+                    hit[j] = True
+        present[np.flatnonzero(maybe)] = hit
+        return present
+
+    def _register_new(self, keys: np.ndarray) -> None:
+        mat = keys.reshape(-1, KEY_LEN)
+        self._maybe_grow(len(mat))
+        blob = mat.tobytes()
+        self.recent.update(
+            blob[i : i + KEY_LEN] for i in range(0, len(blob), KEY_LEN)
+        )
+        self.cuckoo.add_many(mat)
 
     def _maybe_grow(self, incoming: int) -> None:
         """Keep the cuckoo under ~80% load: past that, inserts degrade into
-        eviction storms (hundreds of displacement hops per add).  The exact
-        store is the rehash source, so growth is a straight re-add."""
+        eviction storms (hundreds of displacement hops per add).  Rehash
+        re-adds every run (sequential scan of the memmaps) plus the recent
+        set — O(total keys), amortized geometric."""
+        total = self._nrun_keys + len(self.recent)
         cap = self.cuckoo.nbuckets * 4
-        if len(self.exact) + incoming <= 0.8 * cap:
+        if total + incoming <= 0.8 * cap:
             return
-        target = max(cap * 2, int((len(self.exact) + incoming) * 2))
+        target = max(cap * 2, int((total + incoming) * 2))
         self.cuckoo = CuckooFilter(target)
-        self.cuckoo.add_many(list(self.exact))
+        for run in self.runs:
+            self.cuckoo.add_many(np.asarray(run))
+        if self.recent:
+            self.cuckoo.add_many(sorted(self.recent))
 
-    def contains_and_add(self, digests: list[bytes]) -> np.ndarray:
-        """Returns a bool array: True where the digest was NEW (now added).
+    # -- retry-safe split API (blob in, mask out) ---------------------------
 
-        The exact set is probed directly (it is in memory here); the cuckoo
-        filter is still MAINTAINED because it is the documented deployment
-        path for a paged exact store — there ``might_contain`` gates the
-        disk probe, and the filter must already hold every key."""
-        self._maybe_grow(len(digests))
-        out = np.empty(len(digests), dtype=bool)
-        exact = self.exact
-        new_keys: list[bytes] = []
-        for i, d in enumerate(digests):
-            if d in exact:
-                out[i] = False
-            else:
-                exact.add(d)
-                new_keys.append(d)
-                out[i] = True
-        self._new_since_snapshot.extend(new_keys)
-        self.cuckoo.add_many(new_keys)
-        return out
+    def probe_new(self, blob: bytes) -> np.ndarray:
+        """READ-ONLY: True where the digest is NOT yet seen.  Safe under Ray
+        task retry — a re-executed probe returns the original verdicts."""
+        keys = np.frombuffer(blob, dtype=np.uint8).reshape(-1, KEY_LEN)
+        return ~self._present_mask(keys)
 
-    def contains(self, digests: list[bytes]) -> np.ndarray:
-        return np.array([d in self.exact for d in digests], dtype=bool)
+    def add_blob(self, blob: bytes) -> int:
+        """Register digests as seen.  Idempotent: re-adding is a set union,
+        so a retried caller cannot corrupt state.  Returns keys newly added."""
+        keys = np.frombuffer(blob, dtype=np.uint8).reshape(-1, KEY_LEN)
+        fresh = ~self._present_mask(keys)
+        if fresh.any():
+            self._register_new(keys[fresh])
+        return int(fresh.sum())
+
+    # -- legacy combined API (tests / small driver-side batches) ------------
+
+    def contains_and_add(self, digests) -> np.ndarray:
+        """Atomic probe+add: True where the digest was NEW (now added)."""
+        keys = as_digest_matrix(digests)
+        present = self._present_mask(keys)
+        new = ~present
+        if new.any():
+            self._register_new(keys[new])
+        return new
+
+    def contains(self, digests) -> np.ndarray:
+        return self._present_mask(as_digest_matrix(digests))
 
     def size(self) -> int:
-        return len(self.exact)
+        return self._nrun_keys + len(self.recent)
+
+    def ram_key_count(self) -> int:
+        """Exact keys currently held in actor RAM (the paged-store bound:
+        only keys added since the last delta snapshot)."""
+        return len(self.recent)
+
+    def run_count(self) -> int:
+        return len(self.runs)
+
+    # -- snapshots (full-blob legacy + incremental paged) -------------------
 
     def snapshot(self) -> bytes:
-        """Deterministic serialization of the exact key set (sorted concat)."""
-        return b"".join(sorted(self.exact))
+        """Deterministic serialization of the full exact key set (sorted
+        concat, merged across runs + recent)."""
+        parts = [np.asarray(run) for run in self.runs]
+        if self.recent:
+            parts.append(np.frombuffer(b"".join(sorted(self.recent)), dtype=_V20))
+        if not parts:
+            return b""
+        return np.sort(np.concatenate(parts)).tobytes()
 
-    def restore(self, blob: bytes, key_len: int = 20) -> int:
-        self.exact = {blob[i : i + key_len] for i in range(0, len(blob), key_len)}
-        self.cuckoo = CuckooFilter(max(1 << 16, 2 * len(self.exact)))
-        self.cuckoo.add_many(list(self.exact))
-        return len(self.exact)
+    def restore(self, blob: bytes, key_len: int = KEY_LEN) -> int:
+        arr = np.sort(np.frombuffer(blob, dtype=np.dtype(f"V{key_len}")))
+        self.recent = set()
+        self.runs = [arr] if len(arr) else []
+        self._run_paths = []
+        self._nrun_keys = len(arr)
+        self.cuckoo = CuckooFilter(max(1 << 16, 2 * len(arr)))
+        self.cuckoo.add_many(arr.view(np.uint8).reshape(-1, key_len))
+        return len(arr)
 
     def snapshot_delta_to(self, path: str) -> str:
         """Write the keys added since the previous delta (sorted concat) from
-        the actor itself — incremental, and blobs never visit the driver."""
-        import os
-
-        blob = b"".join(sorted(self._new_since_snapshot))
-        self._new_since_snapshot = []
+        the actor itself — incremental, blobs never visit the driver — then
+        PAGE THEM OUT: the delta file becomes a sorted on-disk run and the
+        RAM copy is dropped.  After this call the actor's exact-key RAM is
+        empty; membership answers are unchanged (cuckoo gate -> run probe)."""
+        blob = b"".join(sorted(self.recent))
         with open(path + ".tmp", "wb") as f:
             f.write(blob)
         os.replace(path + ".tmp", path)
+        if blob:
+            run = _load_run(path)
+            self.runs.append(run)
+            self._run_paths.append(path)
+            self._nrun_keys += len(run)
+        self.recent = set()
         return path
 
-    def restore_from(self, paths: list[str], key_len: int = 20) -> int:
-        """Rebuild from the union of delta files (one per checkpointed wave)."""
-        keys: set[bytes] = set()
+    def restore_from(self, paths: list[str], key_len: int = KEY_LEN) -> int:
+        """Rebuild from delta files (one per checkpointed wave): each becomes
+        a paged run; the cuckoo filter is rebuilt by one sequential scan."""
+        self.recent = set()
+        self.runs = []
+        self._run_paths = []
+        self._nrun_keys = 0
         for path in paths:
-            with open(path, "rb") as f:
-                blob = f.read()
-            keys.update(
-                blob[i : i + key_len] for i in range(0, len(blob), key_len)
-            )
-        self.exact = keys
-        self._new_since_snapshot = []
-        self.cuckoo = CuckooFilter(max(1 << 16, 2 * len(keys)))
-        self.cuckoo.add_many(list(keys))
-        return len(keys)
+            run = _load_run(path)
+            if run is not None:
+                self.runs.append(run)
+                self._run_paths.append(path)
+                self._nrun_keys += len(run)
+        self.cuckoo = CuckooFilter(max(1 << 16, 2 * self._nrun_keys))
+        for run in self.runs:
+            self.cuckoo.add_many(np.asarray(run))
+        return self._nrun_keys
 
 
 def create_seen_shards(num_shards: int, capacity_hint: int = 1 << 16):
@@ -228,29 +367,56 @@ def shard_of_digest(digest: bytes, num_shards: int) -> int:
     return int.from_bytes(digest[-4:], "little") % num_shards
 
 
-def seen_filter_new(shards, digests: list[bytes]) -> np.ndarray:
-    """Batch contains_and_add across shards; True where digest was new.
+def matrix_shard_ids(mat: np.ndarray, num_shards: int) -> np.ndarray:
+    """Vectorized ``shard_of_digest`` over an (n, 20) digest matrix."""
+    return (
+        mat[:, -4:].copy().view("<u4").ravel() % np.uint32(num_shards)
+    ).astype(np.int64)
+
+
+def _shard_blobs(digests, num_shards: int):
+    """Group a digest batch by owning shard; one contiguous bytes blob per
+    shard (the RPC payload — no per-row Python, no list-of-bytes pickling)."""
+    mat = as_digest_matrix(digests)
+    sid = matrix_shard_ids(mat, num_shards)
+    out = []
+    for s in range(num_shards):
+        idxs = np.flatnonzero(sid == s)
+        if len(idxs):
+            out.append((s, idxs, mat[idxs].tobytes()))
+    return mat, out
+
+
+def seen_probe_new(shards, digests) -> np.ndarray:
+    """READ-ONLY batch probe across shards; True where the digest is unseen.
+    Safe to call from retryable Ray Data tasks (no state mutation)."""
+    mat, groups = _shard_blobs(digests, len(shards))
+    out = np.zeros(len(mat), dtype=bool)
+    futures = [shards[s].probe_new.remote(blob) for s, _, blob in groups]
+    for (_, idxs, _), res in zip(groups, ray.get(futures)):
+        out[idxs] = res
+    return out
+
+
+def seen_add(shards, digests) -> int:
+    """Idempotent batch add across shards (keys that actually inserted)."""
+    _, groups = _shard_blobs(digests, len(shards))
+    return sum(ray.get([shards[s].add_blob.remote(blob) for s, _, blob in groups]))
+
+
+def seen_filter_new(shards, digests) -> np.ndarray:
+    """Atomic batch contains_and_add across shards; True where digest was new.
 
     Each digest must appear at most once in ``digests`` (callers pre-dedup
     within the batch/wave) — this keeps the result independent of shard RPC
-    ordering.
+    ordering.  Driver-side convenience; the streamed path uses the
+    probe/add split instead (retry-safety + max_pages semantics).
     """
-    n = len(digests)
-    if n == 0:
-        return np.zeros(0, dtype=bool)
-    num_shards = len(shards)
-    by_shard: list[list[int]] = [[] for _ in range(num_shards)]
-    for i, d in enumerate(digests):
-        by_shard[shard_of_digest(d, num_shards)].append(i)
-    futures = []
-    idx_lists = []
-    for s, idxs in enumerate(by_shard):
-        if idxs:
-            futures.append(shards[s].contains_and_add.remote([digests[i] for i in idxs]))
-            idx_lists.append(idxs)
-    out = np.zeros(n, dtype=bool)
-    for idxs, res in zip(idx_lists, ray.get(futures)):
-        out[np.asarray(idxs, dtype=np.int64)] = res
+    mat, groups = _shard_blobs(digests, len(shards))
+    out = np.zeros(len(mat), dtype=bool)
+    futures = [shards[s].contains_and_add.remote(blob) for s, _, blob in groups]
+    for (_, idxs, _), res in zip(groups, ray.get(futures)):
+        out[idxs] = res
     return out
 
 
@@ -263,7 +429,8 @@ def restore_all(shards, blobs: list[bytes]) -> list[int]:
 
 
 def snapshot_all_to(shards, paths: list[str]) -> list[str]:
-    """Actor-side incremental snapshot writes (blobs never on the driver)."""
+    """Actor-side incremental snapshot writes (blobs never on the driver);
+    each shard pages its RAM keys out to the new run file."""
     return ray.get([s.snapshot_delta_to.remote(p) for s, p in zip(shards, paths)])
 
 
