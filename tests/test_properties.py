@@ -170,6 +170,24 @@ class TestCmsProperties:
         for k, e in zip(uniq, est):
             assert e >= true[k]
 
+    @settings(max_examples=30, deadline=None)
+    @given(st.lists(st.integers(min_value=-(2**40), max_value=2**40),
+                    min_size=1, max_size=400))
+    def test_int_keys_never_underestimate(self, keys):
+        # int64 keys hash through pd.util.hash_array's int fast path — the
+        # dtype the events.user_id column actually has
+        from webcrawl_lowres_lang_ray.stages.sketch import CountMinSketch
+
+        import collections
+
+        arr = np.array(keys, dtype=np.int64)
+        cms = CountMinSketch(width=64, depth=3).add_keys(arr)
+        true = collections.Counter(keys)
+        uniq = np.array(sorted(true), dtype=np.int64)
+        est = cms.estimate(uniq)
+        for k, e in zip(uniq, est):
+            assert e >= true[k]
+
     @settings(max_examples=20, deadline=None)
     @given(st.lists(st.text(alphabet="abc", min_size=1, max_size=3),
                     min_size=2, max_size=200))

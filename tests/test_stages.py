@@ -770,6 +770,27 @@ class TestSketches:
         est = cms.estimate(np.array(["a", "b", "zz"], dtype=object))
         assert est[0] >= 2 and est[1] >= 1 and est[2] >= 0
 
+    def test_cms_heavy_hitters_int_keys_keep_dtype(self):
+        """int64 key columns (events.user_id) come back as int64, ranked
+        numerically — candidates ride the exchange as arrow list<int64>,
+        never stringified."""
+        import ray.data
+
+        from webcrawl_lowres_lang_ray.stages.sketch import approx_heavy_hitters
+
+        rng = np.random.RandomState(7)
+        ids = (rng.zipf(1.4, size=40000).astype(np.int64) % 500) + 1
+        df = pd.DataFrame({"user_id": ids})
+        ds = ray.data.from_pandas(
+            [df.iloc[i : i + 4000].reset_index(drop=True) for i in range(0, len(df), 4000)]
+        )
+        got = approx_heavy_hitters(ds, "user_id", k=10)
+        assert got["user_id"].dtype == np.int64
+        exact = df["user_id"].value_counts()
+        for key, est in zip(got["user_id"], got["approx_count"]):
+            assert est >= exact[key]
+        assert set(exact.head(10).index) <= set(got["user_id"])
+
     def test_hll_error_bound(self):
         from webcrawl_lowres_lang_ray.stages.sketch import HyperLogLog
 

@@ -95,17 +95,24 @@ def main(argv=None):
             print(df.to_string(index=False))
     elif args.cmd == "regen-lexicon":
         import pandas as pd
-        import ray.data
 
-        from .frontier import load_ledger
+        from .pipelines.crawl_queries import ledger_dataset
         from .sources.synth import load_lexicon
         from .stages.lexicon import regenerate_lexicon
         from .config import CrawlConfig
 
-        led = load_ledger(args.out)
-        docs = led.loc[led["downloaded"] & ~led["rejected"], ["text"]].reset_index(drop=True)
+        # pruned streaming read (text + 2 flags only) — the ledger is never
+        # a driver frame, matching the 100 TB path
+        docs = ledger_dataset(
+            args.out,
+            columns=["text", "downloaded", "rejected"],
+            include_pending=False,
+        ).map_batches(
+            lambda b: b.loc[b["downloaded"] & ~b["rejected"], ["text"]],
+            batch_format="pandas",
+        )
         grown = regenerate_lexicon(
-            ray.data.from_pandas(docs), load_lexicon(args.corpus), CrawlConfig(),
+            docs, load_lexicon(args.corpus), CrawlConfig(),
             algorithm=args.algorithm, output_mode=args.output_mode,
         )
         print(json.dumps({"tokens": len(grown), "total_count": sum(grown.values())}))

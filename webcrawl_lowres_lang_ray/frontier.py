@@ -112,6 +112,26 @@ LEDGER_META_COLS = [
     "nlp_para_count_lrl", "nlp_para_perc_lrl", "rejected",
 ]
 
+LEDGER_DTYPES = {
+    "seq": "int64", "url": "object", "url_hash": "object",
+    "canon_sha1": "object", "host": "object", "query_id": "int64",
+    "engine": "object", "wave": "int64", "downloaded": "bool",
+    "downloaded_failed": "bool", "handled": "bool",
+    "skipped_relative": "bool", "robots_blocked": "bool",
+    "doc_type": "object", "file_hash": "object", "text": "object",
+    "nlp_full_lang": "object", "nlp_full_confidence": "float64",
+    "nlp_para_count": "int64", "nlp_para_count_lrl": "int64",
+    "nlp_para_perc_lrl": "float64", "rejected": "bool",
+}
+
+
+def empty_ledger_df(columns: list[str] | None = None) -> pd.DataFrame:
+    """Zero-row ledger frame with the REAL column dtypes (a 0-wave crawl
+    must not hand consumers an all-object schema)."""
+    return pd.DataFrame(
+        {c: pd.Series(dtype=LEDGER_DTYPES[c]) for c in (columns or LEDGER_META_COLS)}
+    )
+
 
 @dataclass
 class CrawlStats:
@@ -954,7 +974,7 @@ def load_ledger(out_dir: str, include_pending: bool = True) -> pd.DataFrame:
         # multithreaded C++ scan across the many per-bucket partition files
         ledger = pads.dataset(parts, format="parquet").to_table().to_pandas()
     else:
-        ledger = pd.DataFrame(columns=LEDGER_META_COLS)
+        ledger = empty_ledger_df()
     if include_pending:
         fdirs = sorted(glob.glob(os.path.join(out_dir, "frontier", "wave=*")))
         if fdirs:
@@ -965,6 +985,12 @@ def load_ledger(out_dir: str, include_pending: bool = True) -> pd.DataFrame:
                 )
                 rows["handled"] = False
                 rows["wave"] = np.int64(-1)
-                ledger = pd.concat([ledger, rows], ignore_index=True)
+                # skip empty frames in the concat (pandas deprecation: empty
+                # entries would otherwise influence result dtypes)
+                ledger = (
+                    pd.concat([ledger, rows], ignore_index=True)
+                    if len(ledger)
+                    else rows
+                )
     ledger = ledger.sort_values("seq", kind="mergesort").reset_index(drop=True)
     return ledger[LEDGER_META_COLS]

@@ -73,13 +73,14 @@ class NgramLangModel:
         # Python dict probes in the hot path.  Zipf token streams make the
         # memo hit rate ~1 (bounded; one per worker process / model).
         self._word_ids: dict[str, list[int]] = {}
+        # out-of-profile trigrams ALWAYS get a deterministic hashed id (the
+        # dict is purely a bounded per-worker cache of that hash) — the id a
+        # gram receives is independent of the worker's processing history,
+        # so a document scores identically wherever the task lands.  Hashed
+        # collisions (32-bit space) merely merge counts of two unknown grams
+        # — a deterministic, same-everywhere perturbation of pnorm.
         self._unk_ids: dict[str, int] = {}
-        self._next_unk = len(self.grams)
-        # past the cap, out-of-profile trigrams get a deterministic hashed id
-        # instead of interning forever (unbounded per-worker growth on
-        # adversarial text); hashed-id collisions merely merge counts of two
-        # unknown grams — a bounded, deterministic perturbation of pnorm
-        self._unk_cap = 1 << 20
+        self._unk_cache_cap = 1 << 20
 
     def _ids_for_word(self, w: str) -> list[int]:
         a = self._word_ids.get(w)
@@ -95,15 +96,10 @@ class NgramLangModel:
             if j is None:
                 j = unk.get(g)
                 if j is None:
-                    if len(unk) < self._unk_cap:
-                        j = self._next_unk
+                    h = hashlib.blake2b(g.encode(), digest_size=4).digest()
+                    j = len(self.grams) + int.from_bytes(h, "little")
+                    if len(unk) < self._unk_cache_cap:
                         unk[g] = j
-                        self._next_unk += 1
-                    else:
-                        h = hashlib.blake2b(g.encode(), digest_size=8).digest()
-                        j = self._unk_cap + len(self.grams) + (
-                            int.from_bytes(h[:4], "little")
-                        )
             ids.append(j)
         if len(self._word_ids) < _WORD_TRIS_MAX:
             self._word_ids[w] = ids

@@ -27,19 +27,6 @@ QUERY_CFG = CrawlConfig(per_host_per_wave=32)
 _RUN_CACHE: dict[str, str] = {}
 
 
-_LEDGER_CACHE: dict[str, pd.DataFrame] = {}
-
-
-def load_ledger(out_dir: str) -> pd.DataFrame:
-    """Cached ledger load — every query callable reads the same crawl run."""
-    from ..frontier import load_ledger as _load
-
-    led = _LEDGER_CACHE.get(out_dir)
-    if led is None:
-        led = _LEDGER_CACHE[out_dir] = _load(out_dir)
-    return led
-
-
 def ledger_dataset(
     out_dir: str,
     columns: list[str] | None = None,
@@ -52,16 +39,13 @@ def ledger_dataset(
     flags false (matching frontier.load_ledger's driver-frame semantics)."""
     import glob
 
-    from ..frontier import LEDGER_META_COLS, _norun_ledger_rows
+    from ..frontier import LEDGER_META_COLS, _norun_ledger_rows, empty_ledger_df
 
     parts = sorted(glob.glob(os.path.join(out_dir, "ledger", "wave=*", "*.parquet")))
     if parts:
         ds = ray.data.read_parquet(parts, columns=columns)
-    else:  # pending-only output (0 waves ran): empty typed ledger
-        empty = pd.DataFrame(
-            {c: pd.Series(dtype="object") for c in (columns or LEDGER_META_COLS)}
-        )
-        ds = ray.data.from_pandas(empty)
+    else:  # pending-only output (0 waves ran): zero-row ledger, REAL dtypes
+        ds = ray.data.from_pandas(empty_ledger_df(columns))
     if include_pending:
         fdirs = sorted(glob.glob(os.path.join(out_dir, "frontier", "wave=*")))
         ffiles = sorted(glob.glob(os.path.join(fdirs[-1], "*.parquet"))) if fdirs else []

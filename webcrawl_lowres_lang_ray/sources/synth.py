@@ -435,7 +435,9 @@ _SF_PAGES = {"0.001": 500, "0.01": 5000, "0.1": 300000}
 # v9: content_type column + pdf/docx/unknown rows (M5/M9/M10 in the crawl)
 # v10: vectorized trigram confidence (same math, different fp summation
 #      order -> possible ULP-level confidence shifts; goldens regenerate)
-CORPUS_VERSION = 10
+# v11: history-independent hashed ids for out-of-profile trigrams (unknown-
+#      gram 32-bit hash collisions can merge pnorm counts; goldens regenerate)
+CORPUS_VERSION = 11
 
 
 def corpus_dir_for_sf(sf_dir: str, cache_root: str = "/tmp/wllr_corpus") -> str:

@@ -225,24 +225,40 @@ def approx_distinct(
 class CountMinSketch:
     """Count-Min sketch (Cormode & Muthukrishnan 2005): ``depth`` rows of
     ``width`` counters; point estimate = min over rows (never underestimates).
-    Rows use independent seeded SipHash keys via pd.util.hash_array on
-    salted keys — deterministic across processes.  Cell-wise ADD-mergeable,
-    so per-batch partials combine associatively."""
+    Keys are hashed ONCE with pd.util.hash_array (SipHash, fixed key —
+    process-stable); each depth row derives its index by mixing that uint64
+    through a splitmix64 finalizer with a per-row constant — fully
+    vectorized, no per-row Python.  Cell-wise ADD-mergeable, so per-batch
+    partials combine associatively."""
 
     def __init__(self, width: int = 2048, depth: int = 4):
         self.width = width
         self.depth = depth
         self.table = np.zeros((depth, width), dtype=np.int64)
 
+    def _row_indexes(self, keys: np.ndarray) -> np.ndarray:
+        """(depth, n) int64 table indexes from one base hash per key."""
+        base = pd.util.hash_array(np.asarray(keys))
+        out = np.empty((self.depth, len(base)), dtype=np.int64)
+        for r in range(self.depth):
+            # row constant reduced mod 2^64 in Python ints (a numpy scalar
+            # multiply would raise an overflow warning; array ops wrap)
+            z = base + np.uint64((0x9E3779B97F4A7C15 * (r + 1)) & 0xFFFFFFFFFFFFFFFF)
+            z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            out[r] = ((z ^ (z >> np.uint64(31))) % np.uint64(self.width)).astype(
+                np.int64
+            )
+        return out
+
     def add_keys(self, keys: np.ndarray, counts: np.ndarray | None = None) -> "CountMinSketch":
         if len(keys) == 0:
             return self
         if counts is None:
             counts = np.ones(len(keys), dtype=np.int64)
+        idx = self._row_indexes(keys)
         for r in range(self.depth):
-            salted = np.array([f"{r}\x1f{k}" for k in keys], dtype=object)
-            idx = (pd.util.hash_array(salted) % np.uint64(self.width)).astype(np.int64)
-            np.add.at(self.table[r], idx, counts)
+            np.add.at(self.table[r], idx[r], counts)
         return self
 
     def merge(self, other: "CountMinSketch") -> "CountMinSketch":
@@ -252,11 +268,10 @@ class CountMinSketch:
     def estimate(self, keys: np.ndarray) -> np.ndarray:
         if len(keys) == 0:
             return np.zeros(0, dtype=np.int64)
+        idx = self._row_indexes(keys)
         est = np.full(len(keys), np.iinfo(np.int64).max, dtype=np.int64)
         for r in range(self.depth):
-            salted = np.array([f"{r}\x1f{k}" for k in keys], dtype=object)
-            idx = (pd.util.hash_array(salted) % np.uint64(self.width)).astype(np.int64)
-            np.minimum(est, self.table[r][idx], out=est)
+            np.minimum(est, self.table[r][idx[r]], out=est)
         return est
 
 
@@ -277,26 +292,32 @@ def approx_heavy_hitters(
     Returns (key, approx_count) sorted by (-count, key)."""
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
-        keys = b[key_col].to_numpy(object)
+        keys = b[key_col].to_numpy()
         cms = CountMinSketch(width, depth).add_keys(keys)
-        vc = pd.Series(keys).value_counts().head(3 * k)
+        vc = b[key_col].value_counts().head(3 * k)
+        # candidates ride as a LIST cell (arrow list column), so the key
+        # dtype survives the exchange — int64 user ids stay int64, no str()
         return pd.DataFrame(
             {
                 "sketch": [cms.table.tobytes()],
-                "cands": ["\x1f".join(str(x) for x in vc.index)],
+                "cands": [vc.index.to_numpy()],
             }
         )
 
     parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
     merged = CountMinSketch(width, depth)
-    cands: set[str] = set()
+    cand_lists = []
     for blob, cs in zip(parts["sketch"], parts["cands"]):
         o = CountMinSketch(width, depth)
         o.table = np.frombuffer(blob, dtype=np.int64).reshape(depth, width).copy()
         merged.merge(o)
-        if cs:
-            cands.update(cs.split("\x1f"))
-    cand_arr = np.array(sorted(cands), dtype=object)
+        if len(cs):
+            cand_lists.append(np.asarray(cs))
+    if not cand_lists:
+        return pd.DataFrame({key_col: [], "approx_count": []})
+    cand_arr = np.unique(np.concatenate(cand_lists))
+    # estimate() must hash the candidates with the dtype the partials used
+    # (pd.util.hash_array is dtype-sensitive); np.unique/concatenate keep it
     est = merged.estimate(cand_arr)
     out = pd.DataFrame({key_col: cand_arr, "approx_count": est})
     return (
