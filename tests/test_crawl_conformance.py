@@ -51,10 +51,13 @@ class TestCrawlConformance:
         orc = _oracle_df(tiny_corpus, CFG)
         _assert_ledger_equal(eng, orc)
         assert stats.fetched > 0 and stats.failed > 0  # corpus exercises both
-        # the M5 dispatch runs inside the crawl: non-html doc types appear
-        # (pdf/docx rows route through the extract-returns-None path)
-        assert (eng["doc_type"] == "pdf").any()
-        assert (eng["doc_type"] == "docx").any()
+        # the M5 dispatch runs inside the crawl: non-html doc types appear,
+        # and the stdlib pdfmini/docxmini kernels extract REAL text from
+        # them (regression gate: M9/M10 must not fall back to the None path)
+        pdf_rows = eng.loc[(eng["doc_type"] == "pdf") & eng["downloaded"]]
+        docx_rows = eng.loc[(eng["doc_type"] == "docx") & eng["downloaded"]]
+        assert len(pdf_rows) > 0 and (pdf_rows["text"].str.len() > 0).any()
+        assert len(docx_rows) > 0 and (docx_rows["text"].str.len() > 0).any()
 
     def test_text_bytes_identical_to_golden(self, tiny_corpus, tmp_path):
         import glob

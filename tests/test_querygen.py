@@ -68,12 +68,17 @@ class TestDocTypeDispatch:
         ) == "docx"
         assert sniff_doc_type("image/png") is None
 
-    def test_html_real_pdf_docx_stubbed(self):
+    def test_html_real_pdf_docx_stdlib_kernels(self):
         assert extract_text_auto(b"<p>hi</p>", "html") == "hi"
-        with pytest.raises(NotImplementedError):
-            extract_text_auto(b"%PDF-", "pdf")
-        with pytest.raises(NotImplementedError):
-            extract_text_auto(b"PK", "docx")
+        # PyPDF2/python-docx absent -> pdfmini/docxmini kernels: real text
+        # for valid payloads, "" (total) for unparseable bytes
+        from webcrawl_lowres_lang_ray.functions.docxmini import build_docx
+        from webcrawl_lowres_lang_ray.functions.pdfmini import build_pdf
+
+        assert extract_text_auto(build_pdf(["hi pdf"]), "pdf") == "hi pdf"
+        assert extract_text_auto(build_docx(["hi docx"]), "docx") == "hi docx"
+        assert extract_text_auto(b"%PDF-", "pdf") == ""
+        assert extract_text_auto(b"PK", "docx") == ""
         assert extract_text_auto(b"x", "weird") is None
 
 

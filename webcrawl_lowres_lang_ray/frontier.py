@@ -246,10 +246,12 @@ def _wave_task(pages_dir: str, lexicon_ref, cfg: CrawlConfig, wave: int, ledger_
             if dt == "html":
                 text, links[i] = extract_text_and_links(html)
             else:
-                # pdf/docx extraction is import-gated (libs absent in this
-                # sandbox) and unknown types return None — both take the
+                # pdf/docx extract through PyPDF2/python-docx when importable,
+                # else the stdlib pdfmini/docxmini kernels (real text for the
+                # Flate/OOXML subset).  Unknown types return None — the
                 # reference's extract-returns-None path (nlp.py:113-115,
-                # lrl-crawler.py:431-433): score as empty text, no links
+                # lrl-crawler.py:431-433): score as empty text.  Non-html
+                # rows contribute no links either way.
                 try:
                     text = extract_text_auto(html, dt) if dt else None
                 except NotImplementedError:

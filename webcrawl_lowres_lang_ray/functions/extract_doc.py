@@ -2,11 +2,13 @@
 nlp.py:90-115).
 
 * html  — real (functions/html_text.py, the byte-identical invariant path);
-* pdf   — PyPDF2 page-loop semantics (nlp.py:100-109); PyPDF2 is absent in
-          this container, so gated behind an import-try: raises
-          NotImplementedError with a clear marker if unavailable;
-* docx  — python-docx paragraphs joined with " " (nlp.py:110-112); same
-          import gate;
+* pdf   — PyPDF2 page-loop semantics (nlp.py:100-109) when PyPDF2 is
+          importable; otherwise the stdlib Flate/literal-string kernel in
+          functions/pdfmini.py (real extraction for the PDF subset the
+          pipeline produces; documented divergences in that module);
+* docx  — python-docx paragraphs joined with " " (nlp.py:110-112) when
+          importable; otherwise the stdlib OOXML kernel in
+          functions/docxmini.py (same join semantics via zipfile + etree);
 * other — returns None (the reference prints and returns None,
           nlp.py:113-115), which the rejection policy maps to
           "no extracted text" (lrl-crawler.py:431-433).
@@ -22,11 +24,10 @@ from .html_text import extract_text_from_html_bytes
 def extract_pdf_bytes(data: bytes) -> str:
     try:
         import PyPDF2  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "pdf extraction requires PyPDF2 (absent in this container); "
-            "reference semantics: nlp.py:100-109 page loop"
-        ) from e
+    except ImportError:
+        from .pdfmini import extract_pdf_text
+
+        return extract_pdf_text(data)
     reader = PyPDF2.PdfReader(io.BytesIO(data))
     text = ""
     for page in reader.pages:
@@ -37,11 +38,10 @@ def extract_pdf_bytes(data: bytes) -> str:
 def extract_docx_bytes(data: bytes) -> str:
     try:
         import docx  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "docx extraction requires python-docx (absent in this container); "
-            "reference semantics: nlp.py:110-112 paragraph join"
-        ) from e
+    except ImportError:
+        from .docxmini import extract_docx_text
+
+        return extract_docx_text(data)
     d = docx.Document(io.BytesIO(data))
     return " ".join(p.text for p in d.paragraphs)
 

@@ -182,8 +182,9 @@ def run_oracle(corpus_dir: str, cfg: CrawlConfig | None = None) -> OracleResult:
             row["doc_type"] = dt or ""
             row["file_hash"] = sha256_bytes(html)
 
-            # NLP stage (M5 dispatch: pdf/docx import-gated, unknown -> None;
-            # the None path scores as empty text — reference nlp.py:113-115)
+            # NLP stage (M5 dispatch: pdf/docx via the real stdlib kernels
+            # when PyPDF2/python-docx are absent; unknown -> None, scored as
+            # empty text — reference nlp.py:113-115)
             page_links: list[str] = []
             if dt == "html":
                 text, page_links = extract_text_and_links(html)

@@ -120,18 +120,31 @@ def _build_pages_chunk(args: tuple[int, int]) -> list[bytes]:
             out.append(b"")
             continue
         rng = random.Random(f"{seed}:page:{pid}")
-        if kind in (3, 4, 5):
-            # non-HTML payloads (Content-Type drives the M5 dispatch): real
-            # container magic + deterministic filler bytes.  PyPDF2 /
-            # python-docx are absent in this sandbox, so the crawl routes
-            # these rows through the reference's extract-returns-None path.
+        if kind == 5:
+            # unknown Content-Type: real-looking binary filler; M5 maps the
+            # type to None and the crawl takes the extract-returns-None path
             filler = bytes(rng.randrange(32, 127) for _ in range(rng.randint(200, 800)))
+            out.append(b"\x00\x01BIN" + filler)
+            continue
+        if kind in (3, 4):
+            # REAL pdf/docx payloads (functions/pdfmini, functions/docxmini):
+            # valid containers whose text the stdlib kernels extract, so M9/
+            # M10 rows carry golden text through the crawl instead of ""
+            from ..functions.docxmini import build_docx
+            from ..functions.pdfmini import build_pdf
+
+            n_paras = rng.randint(2, 6)
+            paras = []
+            for _ in range(n_paras):
+                wc = rng.randint(20, 80)
+                if rng.random() < 0.45:
+                    paras.append(_lrl_para(rng, lex_words, lex_weights, wc))
+                else:
+                    paras.append(_en_para(rng, wc))
             if kind == 3:
-                out.append(b"%PDF-1.4\n% synthetic\n" + filler + b"\n%%EOF")
-            elif kind == 4:
-                out.append(b"PK\x03\x04docx-synthetic" + filler)
+                out.append(build_pdf(paras, compress=rng.random() < 0.8))
             else:
-                out.append(b"\x00\x01BIN" + filler)
+                out.append(build_docx(paras))
             continue
         latin1 = rng.random() < latin1_fraction
         charset = "iso-8859-1" if latin1 else "utf-8"
@@ -184,8 +197,9 @@ def _build_pages_chunk(args: tuple[int, int]) -> list[bytes]:
 
 def _score_chunk(args: tuple[list[bytes], list]) -> tuple[list[str], list[str]]:
     """Golden text + lang for a chunk (same kernels the engine runs).
-    Non-HTML content types (pdf/docx/unknown) have no extractable text in
-    this sandbox -> golden text '' and lang '<NONE>'."""
+    pdf/docx rows extract through the stdlib kernels (pdfmini/docxmini);
+    unknown content types have no extractor -> golden text '' and
+    lang '<NONE>'."""
     htmls, cts = args
     ctx = _GEN_CTX
     global _GEN_SCORER
@@ -193,16 +207,22 @@ def _score_chunk(args: tuple[list[bytes], list]) -> tuple[list[str], list[str]]:
         scorer = _GEN_SCORER  # noqa: F821
     except NameError:
         globals()["_GEN_SCORER"] = scorer = LangScoringModel(ctx["lexicon"], CrawlConfig())
-    from ..functions.extract_doc import sniff_doc_type
+    from ..functions.extract_doc import extract_text_auto, sniff_doc_type
 
     texts, langs = [], []
     for h, ct in zip(htmls, cts):
-        if sniff_doc_type(ct) != "html":
-            texts.append("")
+        dt = sniff_doc_type(ct)
+        if dt == "html":
+            t = extract_text_from_html_bytes(h)
+        else:
+            try:
+                t = (extract_text_auto(h, dt) if dt else None) or ""
+            except NotImplementedError:
+                t = ""
+        texts.append(t)
+        if not t and dt != "html":
             langs.append("<NONE>")
             continue
-        t = extract_text_from_html_bytes(h)
-        texts.append(t)
         res = scorer.score_text(t)
         langs.append(res.full_lang if res.full_lang is not None else "<NONE>")
     return texts, langs
@@ -437,7 +457,9 @@ _SF_PAGES = {"0.001": 500, "0.01": 5000, "0.1": 300000}
 #      order -> possible ULP-level confidence shifts; goldens regenerate)
 # v11: history-independent hashed ids for out-of-profile trigrams (unknown-
 #      gram 32-bit hash collisions can merge pnorm counts; goldens regenerate)
-CORPUS_VERSION = 11
+# v12: pdf/docx rows are REAL payloads (pdfmini/docxmini kernels) with
+#      extractable golden text; M9/M10 no longer take the None path
+CORPUS_VERSION = 12
 
 
 def corpus_dir_for_sf(sf_dir: str, cache_root: str = "/tmp/wllr_corpus") -> str:
