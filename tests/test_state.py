@@ -248,3 +248,48 @@ class TestPoliteness:
         hb = HostBudget(k)
         expect = hb.admit_order(list(zip(marked["seq"], marked["host"])))
         assert list(marked["admit"]) == expect
+
+
+class TestMapGroupsBlockIntegrity:
+    def test_group_never_splits_under_small_block_cap(self, ray_session):
+        """Pins the Ray invariant the streamed wave relies on: admission sets
+        target_max_block_size=1MB (frontier.py _run_wave_streamed) so hot
+        partitions split into several fetch/score tasks — but a groupby key
+        group must STILL arrive at map_groups in one piece (politeness
+        budgets are computed per whole host group).  A ~5 MB single group
+        under a 1 MB cap must reach the UDF as exactly one call."""
+        import pandas as pd
+        import ray as _ray
+
+        ctx = _ray.data.DataContext.get_current()
+        prev = ctx.target_max_block_size
+        ctx.target_max_block_size = 1 << 20
+        try:
+            n = 50_000
+            df = pd.DataFrame(
+                {
+                    "g": np.r_[
+                        np.zeros(n, dtype=np.int64), np.ones(1000, dtype=np.int64)
+                    ],
+                    "payload": ["x" * 100] * (n + 1000),
+                }
+            )
+            parts = np.array_split(np.arange(len(df)), 8)
+            ds = _ray.data.from_pandas([df.iloc[ix] for ix in parts])
+
+            def fn(g: pd.DataFrame) -> pd.DataFrame:
+                return pd.DataFrame(
+                    {"g": [int(g["g"].iloc[0])], "rows": [len(g)]}
+                )
+
+            out = (
+                ds.groupby("g")
+                .map_groups(fn, batch_format="pandas")
+                .to_pandas()
+                .sort_values("g")
+                .reset_index(drop=True)
+            )
+            assert list(out["g"]) == [0, 1]
+            assert list(out["rows"]) == [n, 1000]
+        finally:
+            ctx.target_max_block_size = prev

@@ -49,7 +49,7 @@ class CrawlConfig:
 
     # --- seen-set sharding (north_rule: sharded cuckoo filter, SHA-1 keys) ---
     num_seen_shards: int = 8
-    # --- fetch-join bucketing (pages table partitioned by url-hash bucket) ---
+    # --- fetch-join bucketing (pages table partitioned by host-hash bucket) ---
     num_url_buckets: int = 256
 
     apply_robots: bool = True

@@ -7,8 +7,9 @@ num_threads=1 FIFO semantics) with Ray Data execution per wave:
     -> politeness admission   groupby(host) head-k by seq [state/politeness.py]
     -> relative-URL skip + robots gate                    [state/robots.py actors]
     -> fetch = partitioned hash join vs the page table
-       (pre-partitioned by canonical-SHA-1 bucket); bucket
-       groups LPT-bin-packed into ~4x cluster-CPU tasks    [_wave_task]
+       (pre-partitioned by HOST-hash bucket — the crawl's
+       single partitioning key); bucket groups LPT-bin-
+       packed into ~4x cluster-CPU tasks                   [_wave_task]
     -> doc-type dispatch (M5) + extract + clean + score   [one fused Arrow
        + link-extract                                      stage, model
                                                            cached per worker]
@@ -35,7 +36,7 @@ Scale notes (the 100 TB story):
   and asserts bit-for-bit ledger equality with the driver fast path, which
   small waves still take because a cluster fan-out costs more than the
   work).
-* The page-table side of fetch is only ever read one url-hash bucket at a
+* The page-table side of fetch is only ever read one host-hash bucket at a
   time with an ``url in (...)`` predicate pushed into the Parquet read —
   no stage scans the whole corpus.
 * html bytes flow fetch->score inside one streaming execution as Arrow
@@ -63,7 +64,12 @@ import ray.data
 
 from . import checkpoint as ckpt
 from .config import CrawlConfig
-from .functions.hashing import hex_to_digests, md5_batch, sha1_batch, shard_batch
+from .functions.hashing import (
+    hex_to_digests,
+    host_bucket_batch,
+    md5_batch,
+    sha1_batch,
+)
 from .functions.extract_doc import extract_text_auto, sniff_doc_type
 from .functions.html_text import extract_text_and_links
 from .functions.scoring import LangScoringModel
@@ -72,6 +78,7 @@ from .sources.synth import load_lexicon
 from .state.robots import create_robots_actors, robots_blocked_mask
 from .state.seen import (
     create_seen_shards,
+    matrix_shard_ids,
     restore_all_from,
     seen_add,
     seen_probe_new,
@@ -294,8 +301,14 @@ def _wave_task(pages_dir: str, lexicon_ref, cfg: CrawlConfig, wave: int, ledger_
                 "rejected": pa.array(rejected),
             }
         ).select(LEDGER_META_COLS)
+        # filename carries the slice's min seq: on the streamed path a
+        # bucket's rows may arrive split across blocks, and two disjoint
+        # slices always have distinct minima — so names never collide and a
+        # retried task deterministically rewrites exactly its own file
+        min_seq = int(tbl.column("seq").to_numpy().min())
         pq.write_table(
-            ledger_tbl, os.path.join(ledger_dir, f"part-b{bucket:03d}.parquet")
+            ledger_tbl,
+            os.path.join(ledger_dir, f"part-b{bucket:03d}-s{min_seq:09d}.parquet"),
         )
         # candidate explode, vectorized: repeat parents by link counts
         counts = np.array([len(l) for l in links], dtype=np.int64)
@@ -406,7 +419,7 @@ def _prepare_candidates(
     df["canon_sha1"] = sha1
     df["url_hash"] = md5_batch(urls)
     df["host"] = host_batch(urls)
-    df["bucket"] = shard_batch(sha1, cfg.num_url_buckets)
+    df["bucket"] = host_bucket_batch(df["host"].to_numpy(), cfg.num_url_buckets)
     rel = relative_mask_batch(urls)
     df["is_rel"] = rel
     if cfg.apply_robots and robots_actors:
@@ -450,70 +463,82 @@ def _insert_streamed(
     base_seq: int,
     cfg: CrawlConfig,
     write_dir: str,
+    sections: dict | None = None,
 ) -> int:
-    """Distributed insertion over PREPARED candidates: per-key dedup via
-    hash-partitioned vectorized drop_duplicates (NOT groupby(key).map_groups
-    — per-group dispatch at 10^5+ distinct urls costs ~ms each) ->
-    seen-filter inside map_batches (actor RPCs from tasks) -> two-pass
-    bucket-histogram rank for global seq assignment.
+    """Distributed insertion over PREPARED candidates, one shuffle: candidates
+    are partitioned by a SHARD-AFFINE digest key, and each partition task then
+    runs the whole chain vectorized — within-wave first-occurrence dedup (via
+    hash-partitioned drop_duplicates, NOT groupby(key).map_groups — per-group
+    dispatch at 10^5+ distinct urls costs ~ms each), the READ-ONLY seen probe
+    (each partition owns exactly ONE seen shard, so the probe is a single
+    actor RPC instead of an all-shards fan-out per batch), and the rank
+    columns for seq assignment.
 
     The surviving rows are written as next-frontier partition files
     (``insert-pNNN.parquet``, deterministic names => idempotent re-run)
     directly by the rank tasks — the new frontier rows never visit the
     driver; only the O(rank-buckets) histogram does.  Returns the number
     of rows inserted (after the ``max_pages`` seq budget, if set)."""
+    num_shards = len(seen_shards)
+    # sub-split each shard's keyspace so partition count stays ~64 even with
+    # few shards; partition p talks to shard p // sub_m only
+    sub_m = max(1, 64 // num_shards)
 
     def add_part(b: pd.DataFrame) -> pd.DataFrame:
         if len(b) == 0:
             return b.assign(dedup_part=pd.Series(dtype="int64"))
         b = b.copy()
-        b["dedup_part"] = (
-            pd.util.hash_array(b["canon_sha1"].to_numpy(object)) % 64
-        ).astype(np.int64)
+        mat = hex_to_digests(b["canon_sha1"].to_numpy())
+        sid = matrix_shard_ids(mat, num_shards)
+        # bytes 12:16 sub-split — independent of both the shard-routing bytes
+        # (trailing 4) and the cuckoo bucket bytes (leading)
+        sub = mat[:, 12:16].copy().view("<u4").ravel() % np.uint32(sub_m)
+        b["dedup_part"] = (sid * sub_m + sub).astype(np.int64)
         return b
 
-    def first_occurrence_part(g: pd.DataFrame) -> pd.DataFrame:
+    def dedup_probe_rank(g: pd.DataFrame) -> pd.DataFrame:
+        part = int(g["dedup_part"].iloc[0])
         g = g.sort_values(["ord1", "ord2"], kind="mergesort")
-        return g.drop_duplicates("canon_sha1", keep="first").drop(
+        g = g.drop_duplicates("canon_sha1", keep="first").drop(
             columns=["dedup_part"]
         )
-
-    deduped = (
-        cand_ds.map_batches(add_part, batch_format="pandas")
-        .groupby("dedup_part")
-        .map_groups(first_occurrence_part, batch_format="pandas")
-    )
-
-    def seen_stage(b: pd.DataFrame) -> pd.DataFrame:
-        # READ-ONLY probe: a Ray task retry re-probes and gets the same
-        # verdicts (no state mutated from a retryable task).  Keys register
-        # later, in assign_write, only for rows that actually insert — which
-        # also matches the oracle's max_pages order (budget before seen.add).
-        if len(b) == 0:
-            return b
-        digests = hex_to_digests(b["canon_sha1"].to_numpy())
-        return b.loc[seen_probe_new(seen_shards, digests)]
-
-    def rank_cols(b: pd.DataFrame) -> pd.DataFrame:
-        if len(b) == 0:
-            return b.assign(
+        # READ-ONLY probe of this partition's single owning shard: a Ray task
+        # retry re-probes and gets the same verdicts (no state mutated from a
+        # retryable task).  Keys register later, in assign_write, only for
+        # rows that actually insert — which also matches the oracle's
+        # max_pages order (budget before seen.add).
+        mat = hex_to_digests(g["canon_sha1"].to_numpy())
+        new = ray.get(
+            seen_shards[part // sub_m].probe_new.remote(mat.tobytes())
+        )
+        g = g.loc[new]
+        if len(g) == 0:
+            return g.assign(
                 rank_bucket=pd.Series(dtype="int64"),
                 rank_part=pd.Series(dtype="int64"),
             )
-        b = b.assign(rank_bucket=(b["ord1"] // _RANK_BUCKET).astype(np.int64))
+        g = g.assign(rank_bucket=(g["ord1"] // _RANK_BUCKET).astype(np.int64))
         # all rows of one rank_bucket land in one partition (the pattern:
         # 64 group dispatches total, vectorized pandas inside — NOT one
         # map_groups per rank bucket, which is ~100ms each at 10^3+ buckets)
-        b["rank_part"] = (
-            pd.util.hash_array(b["rank_bucket"].to_numpy(np.int64)) % 64
+        g["rank_part"] = (
+            pd.util.hash_array(g["rank_bucket"].to_numpy(np.int64)) % 64
         ).astype(np.int64)
-        return b
+        return g
 
+    t0 = time.time()
     survivors = (
-        deduped.map_batches(seen_stage, batch_format="pandas")
-        .map_batches(rank_cols, batch_format="pandas")
+        cand_ds.map_batches(add_part, batch_format="pandas")
+        .groupby("dedup_part")
+        .map_groups(dedup_probe_rank, batch_format="pandas")
         .materialize()
     )
+    if sections is not None:
+        sections["exec_main"] = round(time.time() - t0, 3)
+    if os.environ.get("WLLR_STREAM_STATS"):  # perf diagnostics only
+        with open("/tmp/wllr_stream_stats.txt", "a") as fh:
+            fh.write(survivors.stats() + "\n====\n")
+    t0 = time.time()
 
     # pass 1: per-batch rank-bucket histograms -> tiny driver merge -> prefix
     # offsets, broadcast back
@@ -523,6 +548,8 @@ def _insert_streamed(
                              "n": vc.to_numpy(np.int64)})
 
     hist = survivors.map_batches(hist_partial, batch_format="pandas").to_pandas()
+    if sections is not None:
+        sections["exec_hist"] = round(time.time() - t0, 3)
     if len(hist) == 0:  # every candidate excluded / duplicate / already seen
         return 0
     hist = hist.groupby("rank_bucket")["n"].sum().sort_index()
@@ -557,11 +584,14 @@ def _insert_streamed(
             seen_add(seen_shards, hex_to_digests(out["canon_sha1"].to_numpy()))
         return pd.DataFrame({"n": [np.int64(len(out))]})
 
+    t0 = time.time()
     ns = (
         survivors.groupby("rank_part")
         .map_groups(assign_write, batch_format="pandas")
         .to_pandas()
     )
+    if sections is not None:
+        sections["exec_assign"] = round(time.time() - t0, 3)
     return int(ns["n"].sum()) if len(ns) else 0
 
 
@@ -630,6 +660,7 @@ def _run_wave_streamed(
     robots_actors,
     next_seq: int,
     score_concurrency: int | None = None,
+    sections: dict | None = None,
 ) -> tuple[int, int]:
     """One politeness wave as Datasets end-to-end.  The driver never holds a
     frontier frame: admission partitions route deferred rows and norun ledger
@@ -637,7 +668,13 @@ def _run_wave_streamed(
     the fused fetch/score/ledger-write stage, and insertion writes the new
     frontier rows from its rank tasks.  Driver traffic per wave: the
     O(rank-buckets) seq histogram, per-partition row counts, Parquet footer
-    reads.  Returns (inserted, pending_next)."""
+    reads.  Returns (inserted, pending_next).
+
+    ONE shuffle feeds admission AND fetch: the admission partition key is the
+    host-hash page bucket (every URL of a host shares a bucket — per-host
+    politeness stays exact), so admit_route's output is already page-bucket-
+    aligned and flows straight into the fused fetch/score stage as zero-copy
+    Arrow with no second exchange."""
     frontier_path = ckpt.wave_dir(out_dir, "frontier", wave)
     next_frontier = ckpt.wave_dir(out_dir, "frontier", wave + 1)
     ledger_dir = ckpt.wave_dir(out_dir, "ledger", wave)
@@ -646,13 +683,22 @@ def _run_wave_streamed(
 
     k = cfg.per_host_per_wave
     fields = [n for n, _ in FRONTIER_FIELDS]
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    nparts = max(_SHUFFLE_PARTS, min(4 * cpus, cfg.num_url_buckets))
+    # frontier rows are slim (~150 B) but each to-fetch row costs ~ms of
+    # downstream fetch+score CPU: cap blocks at 1 MB so a hot admission
+    # partition (one zipf-heavy host) splits into several fetch/score tasks
+    # instead of one straggler serializing the wave barrier
+    ctx = ray.data.DataContext.get_current()
+    prev_max_block = ctx.target_max_block_size
+    ctx.target_max_block_size = 1 << 20
 
     def add_admit_part(b: pd.DataFrame) -> pd.DataFrame:
         if len(b) == 0:
             return b.assign(admit_part=pd.Series(dtype="int64"))
         b = b.copy()
         b["admit_part"] = (
-            pd.util.hash_array(b["host"].to_numpy(object)) % _SHUFFLE_PARTS
+            b["bucket"].to_numpy(np.int64) % nparts
         ).astype(np.int64)
         return b
 
@@ -685,16 +731,6 @@ def _run_wave_streamed(
             )
         return adm.loc[~norun]
 
-    cpus = int(ray.cluster_resources().get("CPU", 8))
-    nbins = max(8, min(4 * cpus, cfg.num_url_buckets))
-
-    def add_fetch_part(b: pd.DataFrame) -> pd.DataFrame:
-        if len(b) == 0:
-            return b.assign(fetch_part=pd.Series(dtype="int64"))
-        return b.assign(
-            fetch_part=(b["bucket"].to_numpy(np.int64) % nbins).astype(np.int64)
-        )
-
     wave_fn = _wave_task(pages_dir, lexicon_ref, cfg, wave, ledger_dir, robots_actors)
 
     fetch_kwargs = {}
@@ -705,14 +741,21 @@ def _run_wave_streamed(
         .map_batches(add_admit_part, batch_format="pandas")
         .groupby("admit_part")
         .map_groups(admit_route, batch_format="pandas")
-        .map_batches(add_fetch_part, batch_format="pandas")
-        .groupby("fetch_part")
-        # zero-copy Arrow into the fused fetch/score task (it drops the
-        # fetch_part tag itself); score_concurrency caps the fetch/score
-        # task pool exactly as on the driver path
-        .map_groups(wave_fn, batch_format="pyarrow", **fetch_kwargs)
+        # admission output is already bucket-aligned (admit_part = bucket %
+        # nparts): the fused fetch/score stage consumes it block-by-block as
+        # zero-copy Arrow, slicing per exact bucket inside the task — no
+        # second shuffle; score_concurrency caps the task pool exactly as on
+        # the driver path
+        .map_batches(
+            wave_fn, batch_format="pyarrow", batch_size=None, **fetch_kwargs
+        )
     )
-    inserted = _insert_streamed(candidates, seen_shards, next_seq, cfg, next_frontier)
+    try:
+        inserted = _insert_streamed(
+            candidates, seen_shards, next_seq, cfg, next_frontier, sections
+        )
+    finally:
+        ctx.target_max_block_size = prev_max_block
     return inserted, _frontier_row_count(next_frontier)
 
 
@@ -788,7 +831,7 @@ def run_crawl(
             pending_df = None
             inserted, pending_next = _run_wave_streamed(
                 out_dir, pages_dir, wave, cfg, lexicon_ref, seen_shards,
-                robots_actors, next_seq, score_concurrency,
+                robots_actors, next_seq, score_concurrency, sections=sec,
             )
             admitted_n = pending_count - (pending_next - inserted)
             next_seq += inserted

@@ -88,3 +88,25 @@ def bucket_of_digests(mat: np.ndarray, num_shards: int) -> np.ndarray:
 
 def shard_batch(hex_digests, num_shards: int) -> np.ndarray:
     return bucket_of_digests(hex_to_digests(hex_digests), num_shards)
+
+
+def host_bucket(host: str, num_buckets: int) -> int:
+    """Stable page/frontier bucket from the URL host.
+
+    Bucketing pages by HOST hash (not url hash) is what lets the streamed
+    wave reuse ONE partitioning key end-to-end: every URL of a host shares a
+    bucket, so the politeness-admission partitions (keyed by bucket) are both
+    host-complete (exact per-host budgets) and page-bucket-aligned (the fused
+    fetch/score stage consumes admission output with no second shuffle)."""
+    return digest_to_shard(hashlib.sha1(host.encode()).hexdigest(), num_buckets)
+
+
+def host_bucket_batch(hosts, num_buckets: int) -> np.ndarray:
+    """Vectorized ``host_bucket``: hash each DISTINCT host once (link batches
+    repeat hosts heavily), then scatter via the inverse index."""
+    hosts = np.asarray(hosts, dtype=object)
+    if not len(hosts):
+        return np.zeros(0, dtype=np.int32)
+    uniq, inv = np.unique(hosts, return_inverse=True)
+    ub = np.array([host_bucket(h, num_buckets) for h in uniq], dtype=np.int32)
+    return ub[inv]

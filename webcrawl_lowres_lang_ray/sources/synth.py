@@ -23,10 +23,12 @@ The golden ``text`` column is produced by functions/html_text.py (the same
 code the distributed extraction stage runs — the per-row invariant), and the
 golden ``lang`` column by functions/scoring.py.
 
-The page table is written pre-partitioned by canonical-SHA-1 url bucket
+The page table is written pre-partitioned by HOST-hash bucket
 (``pages/bucket=NNN.parquet``) — the layout the bucketed fetch join relies
 on: at 10^10-URL scale the "web" side of fetch is only ever read one bucket
-at a time.
+at a time.  Host (not url) hashing makes the bucket the crawl's single
+partitioning key: politeness admission, the fetch join and the per-wave
+ledger partitions all co-locate on it (functions/hashing.py host_bucket).
 """
 
 from __future__ import annotations
@@ -39,10 +41,10 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from ..config import CrawlConfig, SynthConfig
-from ..functions.hashing import digest_to_shard, sha1_url
+from ..functions.hashing import host_bucket
 from ..functions.html_text import extract_text_from_html_bytes
 from ..functions.scoring import LangScoringModel
-from ..functions.urltools import canonicalize
+from urllib.parse import urlparse
 
 _CONSONANTS = "hkmnptvw"
 _VOWELS = "aeiou"
@@ -359,10 +361,10 @@ def generate_corpus(out_dir: str, scfg: SynthConfig, ccfg: CrawlConfig | None = 
     base_ts = datetime(2024, 1, 1)
     warc_ts = [base_ts + timedelta(seconds=pid) for pid in range(n)]
 
-    # --- write pages partitioned by canonical-sha1 bucket ---
+    # --- write pages partitioned by host-hash bucket (the crawl's single
+    # partitioning key; must match frontier._prepare_candidates) ---
     buckets = [
-        digest_to_shard(sha1_url(canonicalize(u)), scfg.num_url_buckets)
-        for u in urls
+        host_bucket(urlparse(u).netloc, scfg.num_url_buckets) for u in urls
     ]
     table = pa.table(
         {
@@ -459,7 +461,10 @@ _SF_PAGES = {"0.001": 500, "0.01": 5000, "0.1": 300000}
 #      gram 32-bit hash collisions can merge pnorm counts; goldens regenerate)
 # v12: pdf/docx rows are REAL payloads (pdfmini/docxmini kernels) with
 #      extractable golden text; M9/M10 no longer take the None path
-CORPUS_VERSION = 12
+# v13: pages bucketed by HOST hash (single partitioning key: admission,
+#      fetch join and ledger partitions co-locate on it); page content and
+#      goldens unchanged, file layout only
+CORPUS_VERSION = 13
 
 
 def corpus_dir_for_sf(sf_dir: str, cache_root: str = "/tmp/wllr_corpus") -> str:
