@@ -78,6 +78,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_lsh": q.q_ngram_jaccard_lsh,
         "token_counts": q.q_token_counts,
         "doc_stratified_sample": q.q_doc_stratified_sample,
+        "doc_repetition": q.q_doc_repetition,
+        "substring_dedup": q.q_substring_dedup,
         # --- crawl engine (rows-only; gated by oracle conformance tests) ---
         "crawl_ledger": cq.q_crawl_ledger,
         "crawl_order": cq.q_crawl_order,
@@ -136,4 +138,6 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": q.SQL_NGRAM_JACCARD,
         "token_counts": q.SQL_TOKEN_COUNTS,
         "doc_stratified_sample": q.SQL_DOC_STRATIFIED_SAMPLE,
+        "doc_repetition": q.SQL_DOC_REPETITION,
+        "substring_dedup": q.SQL_SUBSTRING_DEDUP,
     }

@@ -877,3 +877,89 @@ class TestSessionizeTopk:
             .reset_index(drop=True)
         )
         assert list(got["event_id"]) == list(want["event_id"])
+
+
+class TestRepetitionFilter:
+    def test_matches_bruteforce(self):
+        from collections import Counter
+
+        from webcrawl_lowres_lang_ray.stages.textstats import (
+            repetition_batch,
+            round_half_away,
+        )
+
+        rng = np.random.RandomState(11)
+        texts = []
+        vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+        for _ in range(40):
+            n = rng.randint(0, 30)
+            texts.append(" ".join(rng.choice(vocab, n)))
+        texts += ["", "x x x x x", "a b a b a b"]
+        b = pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+        out = repetition_batch(b)
+        for i, t in enumerate(texts):
+            ws = t.split()
+            c = Counter(ws)
+            bgs = Counter(zip(ws, ws[1:]))
+            total = len(ws)
+            assert out["total_words"].iloc[i] == total
+            exp_dr = round_half_away(len(c) / total, 4) if total else 0.0
+            exp_tw = round_half_away(max(c.values()) / total, 4) if total else 0.0
+            exp_bg = (
+                round_half_away(max(bgs.values()) / (total - 1), 4)
+                if total > 1 and bgs
+                else 0.0
+            )
+            assert out["distinct_word_ratio"].iloc[i] == exp_dr
+            assert out["top_word_frac"].iloc[i] == exp_tw
+            assert out["top_bigram_frac"].iloc[i] == exp_bg
+
+
+class TestSubstringDedup:
+    def test_matches_bruteforce(self, ray_session):
+        import ray
+
+        from webcrawl_lowres_lang_ray.stages.dedup import substring_dedup_pairs
+
+        rng = np.random.RandomState(5)
+        base = "the quick brown fox jumps over the lazy dog again and again"
+        texts = []
+        for i in range(30):
+            if i % 5 == 0:
+                texts.append(base + f" tail{i % 3}")  # shared long prefix
+            else:
+                texts.append(
+                    " ".join(
+                        rng.choice(list("abcdefgh"), rng.randint(30, 80))
+                    )
+                )
+        df = pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+        W, S = 20, 5
+        ds = ray.data.from_pandas([df.iloc[:15], df.iloc[15:]])
+        got = (
+            substring_dedup_pairs(ds, window=W, stride=S)
+            .to_pandas()
+            .sort_values(["id_a", "id_b"])
+            .reset_index(drop=True)
+        )
+        # brute force
+        wins = {
+            int(r.doc_id): {
+                r.text[o : o + W]
+                for o in range(0, len(r.text) - W + 1, S)
+            }
+            for r in df.itertuples()
+            if len(r.text) >= W
+        }
+        exp = []
+        ids = sorted(wins)
+        for ai in range(len(ids)):
+            for bi in range(ai + 1, len(ids)):
+                shared = wins[ids[ai]] & wins[ids[bi]]
+                if shared:
+                    exp.append((ids[ai], ids[bi], len(shared)))
+        exp_df = pd.DataFrame(
+            exp, columns=["id_a", "id_b", "shared_windows"]
+        ).sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp_df.astype(got.dtypes.to_dict()))
+        assert len(exp_df) > 0  # the fixture must actually exercise pairs

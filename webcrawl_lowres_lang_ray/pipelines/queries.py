@@ -976,3 +976,88 @@ SELECT event_type, event_id, value FROM (
   FROM events
 ) WHERE rn <= 3
 """
+
+
+# ===========================================================================
+# training-data gates: Gopher-style repetition filter + exact-substring dedup
+# ===========================================================================
+
+def q_doc_repetition(sf_dir: str):
+    """Gopher-style repetition metrics + keep gate per document (Rae et al.
+    2021 §A1.1, adapted to single-line web text)."""
+    from ..stages.textstats import repetition_batch
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return docs.map_batches(repetition_batch, batch_format="pandas").select_columns(
+        [
+            "doc_id",
+            "total_words",
+            "distinct_word_ratio",
+            "top_word_frac",
+            "top_bigram_frac",
+            "keep",
+        ]
+    )
+
+
+SQL_DOC_REPETITION = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+u AS (SELECT doc_id, unnest(ws) AS w FROM t),
+c AS (SELECT doc_id, w, count(*) AS n FROM u GROUP BY 1, 2),
+s AS (SELECT doc_id, sum(n) AS total, max(n) AS top_n, count(*) AS dw
+      FROM c GROUP BY 1),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ws)),
+                               i -> ws[i] || ' ' || ws[i + 1])) AS g
+  FROM t WHERE len(ws) >= 2
+),
+cb AS (SELECT doc_id, g, count(*) AS n FROM bg GROUP BY 1, 2),
+sb AS (SELECT doc_id, max(n) AS btop, sum(n) AS btotal FROM cb GROUP BY 1)
+SELECT t.doc_id,
+       coalesce(s.total, 0)::BIGINT AS total_words,
+       CASE WHEN coalesce(s.total, 0) > 0
+            THEN round(s.dw / s.total::DOUBLE, 4) ELSE 0.0 END AS distinct_word_ratio,
+       CASE WHEN coalesce(s.total, 0) > 0
+            THEN round(s.top_n / s.total::DOUBLE, 4) ELSE 0.0 END AS top_word_frac,
+       CASE WHEN coalesce(sb.btotal, 0) > 0
+            THEN round(sb.btop / sb.btotal::DOUBLE, 4) ELSE 0.0 END AS top_bigram_frac,
+       (CASE WHEN coalesce(s.total, 0) > 0
+             THEN round(s.dw / s.total::DOUBLE, 4) ELSE 0.0 END) >= 0.2
+       AND (CASE WHEN coalesce(s.total, 0) > 0
+                 THEN round(s.top_n / s.total::DOUBLE, 4) ELSE 0.0 END) <= 0.2
+       AND (CASE WHEN coalesce(sb.btotal, 0) > 0
+                 THEN round(sb.btop / sb.btotal::DOUBLE, 4) ELSE 0.0 END) <= 0.15
+           AS keep
+FROM t
+LEFT JOIN s USING (doc_id)
+LEFT JOIN sb USING (doc_id)
+"""
+
+
+def q_substring_dedup(sf_dir: str):
+    """Exact-substring duplicate pairs: docs sharing >= 1 exact 40-char
+    window (stride 10), with distinct shared-window counts (Lee et al. 2021
+    exact-substring dedup family)."""
+    from ..stages.dedup import substring_dedup_pairs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return substring_dedup_pairs(docs, window=40, stride=10)
+
+
+SQL_SUBSTRING_DEDUP = r"""
+WITH w AS (
+  SELECT DISTINCT doc_id, substr(text, o, 40) AS win
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(1, len(text) - 39, 10)) AS o) AS offs
+  WHERE len(text) >= 40
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       count(DISTINCT a.win)::BIGINT AS shared_windows
+FROM w a JOIN w b ON a.win = b.win AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""

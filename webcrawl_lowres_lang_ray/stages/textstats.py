@@ -134,3 +134,80 @@ class LangIdStage:
         batch["pred_lang"] = langs
         batch["pred_conf"] = confs
         return batch
+
+
+def repetition_batch(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """Gopher-style repetition metrics per document (Rae et al. 2021, §A1.1
+    "Repetition" filters, adapted to single-line web text): distinct-word
+    ratio, most-frequent-word fraction, most-frequent-bigram fraction, and
+    the composite ``keep`` gate.
+
+    Vectorized across the whole batch: one factorize over every word in the
+    batch, then (doc, word-id) bincounts via a single pandas groupby — no
+    per-document Counter loop.  Ratios are 4 dp half-away rounding (the SQL
+    oracle's round())."""
+    texts = batch[text_col].to_numpy()
+    n = len(texts)
+    words_per_doc = [("" if t is None else t).split() for t in texts]
+    counts = np.array([len(w) for w in words_per_doc], dtype=np.int64)
+    total_flat = int(counts.sum())
+
+    dw = np.zeros(n, dtype=np.int64)       # distinct words
+    top_n = np.zeros(n, dtype=np.int64)    # max single-word count
+    btop = np.zeros(n, dtype=np.int64)     # max bigram count
+    if total_flat:
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+        flat = np.empty(total_flat, dtype=object)
+        pos = 0
+        for ws in words_per_doc:
+            flat[pos : pos + len(ws)] = ws
+            pos += len(ws)
+        wid, _ = pd.factorize(flat)
+        g = (
+            pd.DataFrame({"d": doc_idx, "w": wid})
+            .groupby(["d", "w"], sort=False)
+            .size()
+        )
+        agg = g.groupby(level=0).agg(["max", "size"])
+        dw[agg.index.to_numpy()] = agg["size"].to_numpy(np.int64)
+        top_n[agg.index.to_numpy()] = agg["max"].to_numpy(np.int64)
+
+        # bigrams: adjacent word-id pairs within a doc (mask doc boundaries)
+        if total_flat > 1:
+            same_doc = doc_idx[1:] == doc_idx[:-1]
+            k = int(wid.max()) + 1
+            bg = wid[:-1].astype(np.int64) * k + wid[1:]
+            gb = (
+                pd.DataFrame({"d": doc_idx[1:][same_doc], "b": bg[same_doc]})
+                .groupby(["d", "b"], sort=False)
+                .size()
+            )
+            if len(gb):
+                bagg = gb.groupby(level=0).max()
+                btop[bagg.index.to_numpy()] = bagg.to_numpy(np.int64)
+
+    btotal = np.maximum(counts - 1, 0)
+    safe_total = np.maximum(counts, 1)
+    safe_btotal = np.maximum(btotal, 1)
+    distinct_ratio = round_half_away(
+        np.where(counts > 0, dw / safe_total, 0.0), 4
+    )
+    top_word_frac = round_half_away(
+        np.where(counts > 0, top_n / safe_total, 0.0), 4
+    )
+    top_bigram_frac = round_half_away(
+        np.where(btotal > 0, btop / safe_btotal, 0.0), 4
+    )
+    out = batch.copy()
+    out["total_words"] = counts
+    out["distinct_word_ratio"] = distinct_ratio
+    out["top_word_frac"] = top_word_frac
+    out["top_bigram_frac"] = top_bigram_frac
+    # Gopher-ish composite gate (thresholds tuned to the synthetic corpus
+    # scale; the reference thresholds are corpus-specific anyway)
+    out["keep"] = (
+        (distinct_ratio >= 0.2)
+        & (top_word_frac <= 0.2)
+        & (top_bigram_frac <= 0.15)
+    )
+    return out
