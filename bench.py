@@ -238,11 +238,27 @@ def run_scaling(lo_cpus: int = 8, hi_cpus: int = 32) -> dict:
     }
 
 
+SCALING_JSON = os.path.join(REPO, "SCALING.json")
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         i = sys.argv.index("--scaling")
         rest = [a for a in sys.argv[i + 1 :] if a.isdigit()]
         lo, hi = (int(rest[0]), int(rest[1])) if len(rest) >= 2 else (4, 16)
-        print(json.dumps(run_scaling(lo, hi)))
+        res = run_scaling(lo, hi)
+        # persist so the headline bench (and hence BENCH_r{N}.json) carries
+        # the scaling + hw-ceiling fields from the most recent scaling run
+        with open(SCALING_JSON, "w") as fh:
+            json.dump(res, fh, indent=1)
+        print(json.dumps(res))
     else:
-        print(json.dumps(run_bench()))
+        out = run_bench()
+        if os.path.exists(SCALING_JSON):
+            with open(SCALING_JSON) as fh:
+                sc = json.load(fh)
+            out["scaling"] = sc  # from the last `bench.py --scaling` run
+            out["hw_ceiling"] = sc.get("hw_ceiling")
+            out["value_vs_hw_ceiling"] = sc.get("value_vs_hw_ceiling")
+            out["scaling_efficiency"] = sc.get("value")
+        print(json.dumps(out))
