@@ -80,6 +80,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stratified_sample": q.q_doc_stratified_sample,
         "doc_repetition": q.q_doc_repetition,
         "substring_dedup": q.q_substring_dedup,
+        "doc_decontaminate": q.q_doc_decontaminate,
+        "doc_dedup_incremental": q.q_doc_dedup_incremental,
+        "source_mix_weights": q.q_source_mix_weights,
+        "doc_dsir_score": q.q_doc_dsir_score,
         # --- crawl engine (rows-only; gated by oracle conformance tests) ---
         "crawl_ledger": cq.q_crawl_ledger,
         "crawl_order": cq.q_crawl_order,
@@ -140,4 +144,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_stratified_sample": q.SQL_DOC_STRATIFIED_SAMPLE,
         "doc_repetition": q.SQL_DOC_REPETITION,
         "substring_dedup": q.SQL_SUBSTRING_DEDUP,
+        "doc_decontaminate": q.SQL_DOC_DECONTAMINATE,
+        "doc_dedup_incremental": q.SQL_DOC_DEDUP_INCREMENTAL,
+        "source_mix_weights": q.SQL_SOURCE_MIX_WEIGHTS,
     }

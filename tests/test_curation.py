@@ -1,0 +1,220 @@
+"""Tests for the training-data curation stages (stages/curation.py):
+benchmark decontamination, bloom-gated incremental dedup, source mixing
+weights, DSIR importance scores."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(rows):
+    import ray.data
+
+    return ray.data.from_pandas(pd.DataFrame(rows))
+
+
+# ---------------------------------------------------------------------------
+# SQL-oracle conformance (the same gate the driver runs, at sf0.001)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "name", ["doc_decontaminate", "doc_dedup_incremental", "source_mix_weights"]
+)
+def test_matches_duckdb_oracle(name):
+    import duckdb
+
+    import __ray_entry__ as e
+    from scripts.check_correctness import to_pandas, value_hash
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    mine = to_pandas(e.queries()[name](SF))
+    theirs = con.execute(e.oracle_sql()[name]).df()
+    assert len(mine) == len(theirs)
+    assert sorted(mine.columns) == sorted(theirs.columns)
+    assert value_hash(mine) == value_hash(theirs)
+
+
+# ---------------------------------------------------------------------------
+# decontamination
+# ---------------------------------------------------------------------------
+
+
+class TestDecontaminate:
+    def test_planted_overlap_is_flagged(self):
+        from webcrawl_lowres_lang_ray.stages.curation import decontaminate
+
+        bench_text = "alpha beta gamma delta epsilon zeta eta theta"
+        rows = [
+            {"doc_id": 0, "text": bench_text},  # benchmark doc (0 % 50 == 0)
+            # training doc embedding a benchmark 5-gram:
+            {"doc_id": 1, "text": "prefix words alpha beta gamma delta epsilon suffix"},
+            {"doc_id": 2, "text": "totally unrelated sentence with many clean words here"},
+            {"doc_id": 3, "text": "short"},  # < 5 words -> 0 ngrams
+        ]
+        out = decontaminate(_docs(rows), n=5, bench_mod=50).to_pandas()
+        out = out.set_index("doc_id")
+        assert bool(out.loc[1, "contaminated"]) is True
+        assert out.loc[1, "overlap_ngrams"] >= 1
+        assert bool(out.loc[2, "contaminated"]) is False
+        assert out.loc[3, "n_ngrams"] == 0 and not out.loc[3, "contaminated"]
+        assert 0 not in out.index  # benchmark docs are not scored
+
+    def test_ngram_counts_are_distinct_counts(self):
+        from webcrawl_lowres_lang_ray.stages.curation import _word_ngram_set
+
+        # repeated 5-gram counts once
+        t = "a b c d e a b c d e"
+        grams = _word_ngram_set(t, 5)
+        assert len(grams) == 5  # 6 positions, one repeat
+
+
+# ---------------------------------------------------------------------------
+# bloom filter + incremental dedup
+# ---------------------------------------------------------------------------
+
+
+class TestBloom:
+    def test_no_false_negatives(self):
+        import ray.data
+
+        from webcrawl_lowres_lang_ray.functions.hashing import md5_batch
+        from webcrawl_lowres_lang_ray.stages.curation import bloom_build, bloom_probe
+
+        keys = [f"key-{i}" for i in range(5000)]
+        hexes = list(md5_batch(keys))
+        ds = ray.data.from_pandas(pd.DataFrame({"key_md5": hexes}))
+        bitmap = np.frombuffer(bloom_build(ds, "key_md5"), dtype=np.uint8)
+        assert bloom_probe(bitmap, hexes).all()  # one-sided: every member hits
+
+    def test_false_positive_rate_bounded(self):
+        import ray.data
+
+        from webcrawl_lowres_lang_ray.functions.hashing import md5_batch
+        from webcrawl_lowres_lang_ray.stages.curation import bloom_build, bloom_probe
+
+        member = list(md5_batch([f"in-{i}" for i in range(5000)]))
+        probe = list(md5_batch([f"out-{i}" for i in range(20000)]))
+        ds = ray.data.from_pandas(pd.DataFrame({"key_md5": member}))
+        bitmap = np.frombuffer(bloom_build(ds, "key_md5"), dtype=np.uint8)
+        fp = bloom_probe(bitmap, probe).mean()
+        # k=4, m=2^20, n=5000 -> theoretical ~1.3e-7; allow huge slack
+        assert fp < 0.01
+
+    def test_incremental_matches_bruteforce(self):
+        from webcrawl_lowres_lang_ray.stages.curation import (
+            content_key,
+            incremental_dedup,
+        )
+
+        rng = np.random.default_rng(7)
+        vocab = [f"w{i}" for i in range(30)]
+        # 40 shared openings (the dedup key is the first 8 words) + random tail
+        prefixes = [" ".join(rng.choice(vocab, size=8)) for _ in range(400)]
+        rows = [
+            {
+                "doc_id": i,
+                "text": prefixes[int(rng.integers(len(prefixes)))]
+                + " "
+                + " ".join(rng.choice(vocab, size=4)),
+            }
+            for i in range(300)
+        ]
+        out = (
+            incremental_dedup(_docs(rows), new_mod=5, k_words=8)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        prior = {
+            content_key(r["text"], 8) for r in rows if r["doc_id"] % 5 != 0
+        }
+        expect = {
+            r["doc_id"]: content_key(r["text"], 8) in prior
+            for r in rows
+            if r["doc_id"] % 5 == 0
+        }
+        assert len(out) == len(expect)
+        got = dict(zip(out["doc_id"], out["is_dup"]))
+        assert got == expect
+        assert any(expect.values()) and not all(expect.values())  # non-degenerate
+
+
+# ---------------------------------------------------------------------------
+# source mixing weights
+# ---------------------------------------------------------------------------
+
+
+class TestMixWeights:
+    def test_weights_sum_to_one_and_alpha_flattens(self):
+        from webcrawl_lowres_lang_ray.stages.curation import source_mix_weights
+
+        rows = (
+            [{"source": "big", "text": "w " * 99} for _ in range(50)]
+            + [{"source": "small", "text": "w " * 10} for _ in range(5)]
+        )
+        w = source_mix_weights(_docs(rows), alpha=0.5)
+        assert abs(w["weight"].sum() - 1.0) < 1e-4
+        assert abs(w["raw_frac"].sum() - 1.0) < 1e-4
+        big = w.set_index("source")
+        # temperature < 1 up-weights the small source relative to raw share
+        assert big.loc["small", "weight"] > big.loc["small", "raw_frac"]
+        assert big.loc["big", "weight"] < big.loc["big", "raw_frac"]
+        # alpha=1 degenerates to the raw fractions
+        w1 = source_mix_weights(_docs(rows), alpha=1.0)
+        assert np.allclose(w1["weight"], w1["raw_frac"], atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance scores
+# ---------------------------------------------------------------------------
+
+
+class TestDsir:
+    def _corpus(self):
+        rows = []
+        for i in range(40):  # target (en): "data pipeline" style bigrams
+            rows.append(
+                {"doc_id": 2 * i, "lang": "en",
+                 "text": "data pipeline shuffle batch arrow block stream " * 3}
+            )
+            rows.append(
+                {"doc_id": 2 * i + 1, "lang": "xx",
+                 "text": "uno dos tres cuatro cinco seis siete ocho " * 3}
+            )
+        return rows
+
+    def test_target_like_scores_higher(self):
+        from webcrawl_lowres_lang_ray.stages.curation import dsir_scores
+
+        out = dsir_scores(_docs(self._corpus()), target_lang="en").to_pandas()
+        en = out[out["doc_id"] % 2 == 0]["dsir_logratio"].mean()
+        xx = out[out["doc_id"] % 2 == 1]["dsir_logratio"].mean()
+        assert en > xx
+        assert np.isfinite(out["dsir_logratio"]).all()
+
+    def test_deterministic_across_runs(self):
+        from webcrawl_lowres_lang_ray.stages.curation import dsir_scores
+
+        a = (
+            dsir_scores(_docs(self._corpus()), target_lang="en")
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        b = (
+            dsir_scores(_docs(self._corpus()), target_lang="en")
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b)

@@ -1061,3 +1061,107 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
 FROM w a JOIN w b ON a.win = b.win AND a.doc_id < b.doc_id
 GROUP BY 1, 2
 """
+
+
+# ===========================================================================
+# training-data curation: decontamination, incremental dedup, source mixing,
+# DSIR importance scores (stages/curation.py)
+# ===========================================================================
+
+def q_doc_decontaminate(sf_dir: str):
+    """Benchmark n-gram decontamination (GPT-3 appendix-C style): flag
+    training docs sharing a distinct word 5-gram with the benchmark slice
+    (doc_id % 50 == 0 — deterministic stand-in for a fixed eval suite)."""
+    from ..stages.curation import decontaminate
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return decontaminate(docs, n=5, bench_mod=50)
+
+
+SQL_DOC_DECONTAMINATE = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+g AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(ws) - 3),
+                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+                     ws[i+3] || ' ' || ws[i+4])) AS gram
+  FROM t WHERE len(ws) >= 5
+),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+ov AS (
+  SELECT tr.doc_id, count(*) AS n_ngrams, count(b.gram) AS overlap_ngrams
+  FROM (SELECT * FROM g WHERE doc_id % 50 <> 0) tr
+  LEFT JOIN bench b ON tr.gram = b.gram
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(ov.n_ngrams, 0)::BIGINT AS n_ngrams,
+       coalesce(ov.overlap_ngrams, 0)::BIGINT AS overlap_ngrams,
+       coalesce(ov.overlap_ngrams, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN ov ON d.doc_id = ov.doc_id
+WHERE d.doc_id % 50 <> 0
+"""
+
+
+def q_doc_dedup_incremental(sf_dir: str):
+    """Bloom-gated incremental dedup: the incoming slice (doc_id % 5 == 0)
+    vs the prior corpus, md5 of the first-8-word content key, with a Bloom
+    pre-filter so novel docs skip the verify shuffle."""
+    from ..stages.curation import incremental_dedup
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return incremental_dedup(docs, new_mod=5, k_words=8)
+
+
+SQL_DOC_DEDUP_INCREMENTAL = r"""
+WITH k AS (
+  SELECT doc_id,
+         md5(array_to_string(
+             list_filter(regexp_split_to_array(text, '\s+'),
+                         x -> x <> '')[1:8], ' ')) AS key_md5
+  FROM documents
+),
+prior AS (SELECT DISTINCT key_md5 FROM k WHERE doc_id % 5 <> 0),
+newb AS (SELECT doc_id, key_md5 FROM k WHERE doc_id % 5 = 0)
+SELECT n.doc_id, n.key_md5, (p.key_md5 IS NOT NULL) AS is_dup
+FROM newb n LEFT JOIN prior p ON n.key_md5 = p.key_md5
+"""
+
+
+def q_source_mix_weights(sf_dir: str):
+    """Sampling-temperature corpus mixing: per-source doc/word counts and
+    alpha=0.5 temperature-scaled sampling weight."""
+    from ..stages.curation import source_mix_weights
+
+    docs = _read(sf_dir, "documents", ["source", "text"])
+    return source_mix_weights(docs, alpha=0.5)
+
+
+SQL_SOURCE_MIX_WEIGHTS = r"""
+WITH s AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(list_filter(regexp_split_to_array(text, '\s+'),
+                                  x -> x <> ''))) AS BIGINT) AS total_words
+  FROM documents GROUP BY 1
+)
+SELECT source, n_docs, total_words,
+       round(total_words / (SELECT sum(total_words) FROM s), 6) AS raw_frac,
+       round(pow(total_words, 0.5) /
+             (SELECT sum(pow(total_words, 0.5)) FROM s), 6) AS weight
+FROM s
+"""
+
+
+def q_doc_dsir_score(sf_dir: str):
+    """DSIR-style hashed-bigram importance log-ratios (target lang = 'en');
+    rows-only — the hashed feature space has no SQL form (gate:
+    tests/test_curation.py property suite)."""
+    from ..stages.curation import dsir_scores
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    return dsir_scores(docs, target_lang="en")

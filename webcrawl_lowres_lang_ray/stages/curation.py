@@ -1,0 +1,394 @@
+"""Training-data curation operators: benchmark decontamination, bloom-gated
+incremental dedup, temperature-scaled source mixing, and DSIR-style
+importance scoring.
+
+All four are standard components of a web-scale LLM data pipeline, built
+from public descriptions only:
+
+* n-gram benchmark decontamination — Brown et al. 2020 (GPT-3, appendix C)
+  flag training documents sharing n-grams with an evaluation set;
+* Bloom filter membership gate — Bloom 1970; the one-sided-error filter
+  fronts the exact shuffle join so novel documents (the overwhelming
+  majority at scale) never enter the exchange;
+* sampling-temperature source mixing — Arivazhagan et al. 2019 (§4) style
+  ``p_s^alpha / sum`` re-weighting of corpus sources;
+* DSIR hashed n-gram importance weights — Xie et al. 2023: log-ratio of a
+  target vs raw bag-of-hashed-bigrams model, used to rank/resample raw data
+  toward a target distribution.
+
+Scale notes (100 TB target):
+* the benchmark n-gram set and the DSIR count vectors are SMALL by
+  construction (a fixed eval suite / 2^16 buckets) -> broadcast once via
+  ``ray.put``, read per actor, never shuffled;
+* the Bloom bitmap is a mergeable per-batch partial (one 128 KiB blob per
+  batch on the exchange, OR-merged) exactly like the HLL/CMS sketches in
+  ``stages/sketch.py``; at larger corpora raise ``m_bits`` or tree-merge;
+* only bloom-POSITIVE candidates ride the verify shuffle — the partition
+  join is keyed by the same md5-prefix bucket used everywhere else.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray
+import ray.data
+
+from ..functions.hashing import md5_batch
+
+# ---------------------------------------------------------------------------
+# shared small helpers
+# ---------------------------------------------------------------------------
+
+
+def _word_ngram_set(text: str, n: int) -> set[str]:
+    """Distinct whitespace-word n-grams (joined with single spaces) —
+    mirrors the SQL oracle's regexp_split + list_transform construction."""
+    ws = text.split()
+    if len(ws) < n:
+        return set()
+    return {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+
+
+def _md5_words(hexes) -> np.ndarray:
+    """Column of 32-char md5 hex digests -> (n, 4) big-endian uint32 words
+    via ONE bytes.fromhex (no per-row int parsing)."""
+    if len(hexes) == 0:
+        return np.zeros((0, 4), dtype=np.uint32)
+    return (
+        np.frombuffer(bytes.fromhex("".join(hexes)), dtype=np.uint8)
+        .reshape(-1, 16)[:, :16]
+        .copy()
+        .view(">u4")
+        .astype(np.uint32)
+    )
+
+
+# ---------------------------------------------------------------------------
+# 1. benchmark decontamination (n-gram overlap flagging)
+# ---------------------------------------------------------------------------
+
+
+def benchmark_ngrams(
+    docs: "ray.data.Dataset",
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_mod: int = 50,
+) -> frozenset:
+    """Distinct word n-grams of the benchmark slice (``doc_id % bench_mod
+    == 0`` — the deterministic in-table stand-in for a fixed eval suite).
+
+    The benchmark side is small by construction (real decontamination runs
+    carry a fixed eval set of ~1e6 n-grams), so collecting it to the driver
+    and broadcasting is the correct scale shape — the 100 TB training side
+    streams."""
+
+    def grams(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b[id_col] % bench_mod == 0]
+        out: set[str] = set()
+        for t in b[text_col]:
+            out |= _word_ngram_set(t, n)
+        return pd.DataFrame({"gram": sorted(out)})
+
+    parts = docs.map_batches(grams, batch_format="pandas").to_pandas()
+    return frozenset(parts["gram"])
+
+
+def decontaminate(
+    docs: "ray.data.Dataset",
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_mod: int = 50,
+) -> "ray.data.Dataset":
+    """Flag training documents that share >= 1 distinct word ``n``-gram with
+    the benchmark slice.  Output per TRAINING doc (``doc_id % bench_mod !=
+    0``): ``(doc_id, n_ngrams, overlap_ngrams, contaminated)``."""
+    bench_ref = ray.put(benchmark_ngrams(docs, n, id_col, text_col, bench_mod))
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        bench = ray.get(bench_ref)
+        b = b[b[id_col] % bench_mod != 0]
+        n_ngrams = np.zeros(len(b), dtype=np.int64)
+        overlap = np.zeros(len(b), dtype=np.int64)
+        for i, t in enumerate(b[text_col]):
+            g = _word_ngram_set(t, n)
+            n_ngrams[i] = len(g)
+            overlap[i] = sum(1 for x in g if x in bench)
+        return pd.DataFrame(
+            {
+                "doc_id": b[id_col].to_numpy(np.int64),
+                "n_ngrams": n_ngrams,
+                "overlap_ngrams": overlap,
+                "contaminated": overlap > 0,
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# 2. bloom-gated incremental dedup (new batch vs prior corpus)
+# ---------------------------------------------------------------------------
+
+_BLOOM_BITS = 1 << 20  # 128 KiB bitmap; k=4 hashes -> <1e-4 FP at ~2e4 keys
+
+
+def _bloom_positions(hexes, m_bits: int = _BLOOM_BITS) -> np.ndarray:
+    """(n, 4) bit positions per md5 digest: its four big-endian uint32
+    words mod ``m_bits`` (k=4 independent-enough hash functions)."""
+    return _md5_words(hexes) % np.uint32(m_bits)
+
+
+def bloom_build(
+    hash_ds: "ray.data.Dataset", hash_col: str, m_bits: int = _BLOOM_BITS
+) -> bytes:
+    """Mergeable Bloom bitmap over a column of md5 hex digests: per-batch
+    partial bitmaps (one blob per batch on the exchange, never raw keys),
+    OR-merged on the driver — same shape as the HLL register merge."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        bitmap = np.zeros(m_bits // 8, dtype=np.uint8)
+        if len(b):
+            pos = _bloom_positions(list(b[hash_col]), m_bits).ravel()
+            np.bitwise_or.at(bitmap, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+        return pd.DataFrame({"bitmap": [bitmap.tobytes()]})
+
+    merged = np.zeros(m_bits // 8, dtype=np.uint8)
+    for row in bloom_partials(hash_ds, partial):
+        merged |= np.frombuffer(row, dtype=np.uint8)
+    return merged.tobytes()
+
+
+def bloom_partials(hash_ds, partial):
+    df = hash_ds.map_batches(partial, batch_format="pandas").to_pandas()
+    return list(df["bitmap"])
+
+
+def bloom_probe(bitmap: np.ndarray, hexes, m_bits: int = _BLOOM_BITS) -> np.ndarray:
+    """Vectorized membership probe -> bool[n] (one-sided: no false
+    negatives)."""
+    if len(hexes) == 0:
+        return np.zeros(0, dtype=bool)
+    pos = _bloom_positions(hexes, m_bits)
+    bits = (bitmap[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+    return bits.all(axis=1)
+
+
+def content_key(text: str, k_words: int = 8) -> str:
+    """Normalized dedup key: the first ``k_words`` whitespace words — the
+    prefix-key family used for bulk URL/doc dedup (exact-hash dedup is the
+    degenerate ``k=inf`` case; a shorter prefix keys near-identical
+    boilerplate openings together)."""
+    return " ".join(text.split()[:k_words])
+
+
+def incremental_dedup(
+    docs: "ray.data.Dataset",
+    new_mod: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    parts: int = 32,
+    m_bits: int = _BLOOM_BITS,
+    k_words: int = 8,
+) -> "ray.data.Dataset":
+    """Dedup an incoming batch (``doc_id % new_mod == 0``) against the prior
+    corpus (the rest) by md5 of the normalized content key (first
+    ``k_words`` words).
+
+    Plan: build a Bloom filter over the prior corpus' key-md5s (mergeable
+    partials); probe each new doc — bloom-NEGATIVE docs are provably novel
+    and never touch the exchange; bloom-positive candidates are verified
+    exactly by a partition join against the prior hashes (md5-prefix
+    partition key), which also removes Bloom false positives.  Output:
+    ``(doc_id, key_md5, is_dup)`` — exact, SQL-oracle-checkable."""
+
+    def hashed(b: pd.DataFrame, keep_new: bool) -> pd.DataFrame:
+        mask = (b[id_col] % new_mod == 0) == keep_new
+        b = b[mask]
+        return pd.DataFrame(
+            {
+                "doc_id": b[id_col].to_numpy(np.int64),
+                "key_md5": md5_batch(
+                    [content_key(t, k_words) for t in b[text_col]]
+                ),
+            }
+        )
+
+    prior = docs.map_batches(
+        lambda b: hashed(b, False), batch_format="pandas"
+    ).materialize()  # read once: feeds BOTH the bloom build and the verify join
+    bloom = np.frombuffer(bloom_build(prior, "key_md5", m_bits), dtype=np.uint8)
+    bloom_ref = ray.put(bloom)
+
+    new_hashed = docs.map_batches(
+        lambda b: hashed(b, True), batch_format="pandas"
+    ).materialize()  # small incoming slice; probed twice (split below)
+
+    def probe_col(b: pd.DataFrame) -> np.ndarray:
+        return bloom_probe(ray.get(bloom_ref), list(b["key_md5"]), m_bits)
+
+    def negatives(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[~probe_col(b)].copy()
+        b["is_dup"] = np.zeros(len(b), dtype=bool)
+        return b
+
+    def positives(b: pd.DataFrame) -> pd.DataFrame:
+        return b[probe_col(b)].copy()
+
+    novel = new_hashed.map_batches(negatives, batch_format="pandas")
+    cand = new_hashed.map_batches(positives, batch_format="pandas")
+
+    # partition join: candidates + prior hashes co-partitioned by md5 prefix
+    def tag(side: int):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy()
+            b["side"] = np.full(len(b), side, dtype=np.int8)
+            words = _md5_words(list(b["key_md5"]))
+            b["part"] = (
+                (words[:, 0] % np.uint32(parts)).astype(np.int64)
+                if len(b)
+                else np.zeros(0, dtype=np.int64)
+            )
+            return b
+
+        return fn
+
+    tagged = cand.map_batches(tag(1), batch_format="pandas").union(
+        prior.map_batches(tag(0), batch_format="pandas")
+    )
+
+    def mark(g: pd.DataFrame) -> pd.DataFrame:
+        prior_h = set(g.loc[g["side"] == 0, "key_md5"])
+        c = g[g["side"] == 1].copy()
+        c["is_dup"] = c["key_md5"].isin(prior_h).to_numpy()
+        return c[["doc_id", "key_md5", "is_dup"]]
+
+    verified = tagged.groupby("part").map_groups(mark, batch_format="pandas")
+    return novel.select_columns(["doc_id", "key_md5", "is_dup"]).union(verified)
+
+
+# ---------------------------------------------------------------------------
+# 3. temperature-scaled source mixing weights
+# ---------------------------------------------------------------------------
+
+
+def source_mix_weights(
+    docs: "ray.data.Dataset", alpha: float = 0.5, round_dp: int = 6
+) -> pd.DataFrame:
+    """Per-source corpus stats + sampling-temperature mixing weight
+    ``w_s = total_words_s^alpha / sum_t total_words_t^alpha`` (alpha < 1
+    up-weights small sources).  Combiner agg -> one tiny frame; the driver
+    math is over |sources| rows."""
+    from ..stages.textstats import round_half_away
+    from .agg import combiner_agg
+
+    def wc(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "source": b["source"].to_numpy(object),
+                "n_words": np.fromiter(
+                    (len(t.split()) for t in b["text"]), dtype=np.int64, count=len(b)
+                ),
+            }
+        )
+
+    agg = (
+        combiner_agg(
+            docs.map_batches(wc, batch_format="pandas"),
+            ["source"],
+            [("n_docs", None, "count"), ("total_words", "n_words", "sum")],
+        )
+        .to_pandas()
+        .sort_values("source", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    tw = float(agg["total_words"].sum())
+    pw = np.power(agg["total_words"].to_numpy(np.float64), alpha)
+    agg["raw_frac"] = round_half_away(agg["total_words"] / tw, round_dp)
+    agg["weight"] = round_half_away(pw / pw.sum(), round_dp)
+    return agg
+
+
+# ---------------------------------------------------------------------------
+# 4. DSIR-style hashed-bigram importance scores
+# ---------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 1 << 16
+
+
+def _bigram_buckets(text: str, buckets: int = _DSIR_BUCKETS) -> np.ndarray:
+    """Hashed word-bigram bucket ids (pd.util.hash_array — process-stable
+    SipHash, same convention as the rest of the repo)."""
+    ws = text.split()
+    if len(ws) < 2:
+        return np.zeros(0, dtype=np.int64)
+    grams = np.array([f"{a} {b}" for a, b in zip(ws, ws[1:])], dtype=object)
+    return (pd.util.hash_array(grams) % np.uint64(buckets)).astype(np.int64)
+
+
+def _hashed_counts(
+    docs: "ray.data.Dataset",
+    text_col: str,
+    mask_fn,
+    buckets: int = _DSIR_BUCKETS,
+) -> np.ndarray:
+    """Per-batch bincount partials (one length-``buckets`` blob per batch on
+    the exchange), summed on the driver — the mergeable-sketch shape."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        counts = np.zeros(buckets, dtype=np.int64)
+        sel = b[mask_fn(b)] if mask_fn is not None else b
+        for t in sel[text_col]:
+            ids = _bigram_buckets(t, buckets)
+            if len(ids):
+                counts += np.bincount(ids, minlength=buckets)
+        return pd.DataFrame({"counts": [counts.tobytes()]})
+
+    parts = docs.map_batches(partial, batch_format="pandas").to_pandas()
+    total = np.zeros(buckets, dtype=np.int64)
+    for blob in parts["counts"]:
+        total += np.frombuffer(blob, dtype=np.int64)
+    return total
+
+
+def dsir_scores(
+    docs: "ray.data.Dataset",
+    target_lang: str = "en",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = _DSIR_BUCKETS,
+    round_dp: int = 4,
+) -> "ray.data.Dataset":
+    """Per-doc DSIR importance log-ratio ``sum_b log(p_target(b) /
+    p_raw(b))`` over the doc's hashed bigrams (add-1 smoothing), target =
+    docs with ``lang == target_lang``.  The two count vectors (2^16 int64
+    each) broadcast via ray.put; scoring is one np.take + sum per doc."""
+    from ..stages.textstats import round_half_away
+
+    tgt = _hashed_counts(docs, text_col, lambda b: b["lang"] == target_lang, buckets)
+    raw = _hashed_counts(docs, text_col, None, buckets)
+    log_w = np.log((tgt + 1.0) / (tgt.sum() + buckets)) - np.log(
+        (raw + 1.0) / (raw.sum() + buckets)
+    )
+    w_ref = ray.put(log_w)
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        w = ray.get(w_ref)
+        n = np.zeros(len(b), dtype=np.int64)
+        s = np.zeros(len(b), dtype=np.float64)
+        for i, t in enumerate(b[text_col]):
+            ids = _bigram_buckets(t, buckets)
+            n[i] = len(ids)
+            s[i] = w[ids].sum() if len(ids) else 0.0
+        return pd.DataFrame(
+            {
+                "doc_id": b[id_col].to_numpy(np.int64),
+                "n_bigrams": n,
+                "dsir_logratio": round_half_away(pd.Series(s), round_dp),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pandas")
