@@ -25,7 +25,13 @@ def _docs(rows):
 
 
 @pytest.mark.parametrize(
-    "name", ["doc_decontaminate", "doc_dedup_incremental", "source_mix_weights"]
+    "name",
+    [
+        "doc_decontaminate",
+        "doc_dedup_incremental",
+        "source_mix_weights",
+        "corpus_curate",
+    ],
 )
 def test_matches_duckdb_oracle(name):
     import duckdb
@@ -147,6 +153,40 @@ class TestBloom:
         got = dict(zip(out["doc_id"], out["is_dup"]))
         assert got == expect
         assert any(expect.values()) and not all(expect.values())  # non-degenerate
+
+
+# ---------------------------------------------------------------------------
+# composed curation decision
+# ---------------------------------------------------------------------------
+
+
+class TestCurateCorpus:
+    def test_reason_precedence(self):
+        from webcrawl_lowres_lang_ray.stages.curation import curate_corpus
+
+        bench_text = "alpha beta gamma delta epsilon zeta eta theta nine ten"
+        repetitive = "spam " * 30  # top_word_frac = 1.0 -> repetition reject
+        rows = [
+            {"doc_id": 0, "text": bench_text},  # benchmark slice
+            # duplicate prefix of the benchmark doc -> 'duplicate' (same
+            # first-8-word key; dedup outranks contamination):
+            {"doc_id": 1, "text": bench_text + " extra tail words"},
+            # contains a benchmark 5-gram but unique key -> 'contaminated':
+            {"doc_id": 2, "text": "lead in alpha beta gamma delta epsilon out"},
+            {"doc_id": 3, "text": repetitive.strip()},
+            {"doc_id": 4, "text": "clean unique words that pass every gate fine"},
+        ]
+        out = (
+            curate_corpus(_docs(rows), n=5, bench_mod=50, k_words=8)
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        assert out.loc[0, "reason"] == "benchmark"
+        assert out.loc[1, "reason"] == "duplicate"
+        assert out.loc[2, "reason"] == "contaminated"
+        assert out.loc[3, "reason"] == "repetition"
+        assert out.loc[4, "reason"] == "kept" and bool(out.loc[4, "keep"])
+        assert not out.loc[[0, 1, 2, 3], "keep"].any()
 
 
 # ---------------------------------------------------------------------------

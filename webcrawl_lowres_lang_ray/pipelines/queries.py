@@ -1157,6 +1157,72 @@ FROM s
 """
 
 
+def q_corpus_curate(sf_dir: str):
+    """Composed end-to-end curation decision: benchmark exclusion ->
+    prefix-key dedup -> decontamination -> repetition gate, one pipeline,
+    single exchange (the dedup groupby; flags ride along)."""
+    from ..stages.curation import curate_corpus
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return curate_corpus(docs, n=5, bench_mod=50, k_words=8)
+
+
+SQL_CORPUS_CURATE = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+k AS (SELECT doc_id, md5(array_to_string(ws[1:8], ' ')) AS h FROM t),
+keeper AS (SELECT h, min(doc_id) AS keeper FROM k GROUP BY 1),
+g AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(ws) - 3),
+                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+                     ws[i+3] || ' ' || ws[i+4])) AS gram
+  FROM t WHERE len(ws) >= 5
+),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+cont AS (SELECT DISTINCT g.doc_id FROM g JOIN bench b ON g.gram = b.gram),
+u AS (SELECT doc_id, unnest(ws) AS w FROM t),
+c AS (SELECT doc_id, w, count(*) AS n FROM u GROUP BY 1, 2),
+s AS (SELECT doc_id, sum(n) AS total, max(n) AS top_n, count(*) AS dw
+      FROM c GROUP BY 1),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ws)),
+                               i -> ws[i] || ' ' || ws[i + 1])) AS gr
+  FROM t WHERE len(ws) >= 2
+),
+cb AS (SELECT doc_id, gr, count(*) AS n FROM bg GROUP BY 1, 2),
+sb AS (SELECT doc_id, max(n) AS btop, sum(n) AS btotal FROM cb GROUP BY 1),
+rep AS (
+  SELECT t.doc_id,
+         (CASE WHEN coalesce(s.total, 0) > 0
+               THEN round(s.dw / s.total::DOUBLE, 4) ELSE 0.0 END) >= 0.2
+         AND (CASE WHEN coalesce(s.total, 0) > 0
+                   THEN round(s.top_n / s.total::DOUBLE, 4) ELSE 0.0 END) <= 0.2
+         AND (CASE WHEN coalesce(sb.btotal, 0) > 0
+                   THEN round(sb.btop / sb.btotal::DOUBLE, 4) ELSE 0.0 END) <= 0.15
+             AS keep
+  FROM t LEFT JOIN s USING (doc_id) LEFT JOIN sb USING (doc_id)
+),
+r AS (
+  SELECT k.doc_id,
+         CASE WHEN k.doc_id % 50 = 0 THEN 'benchmark'
+              WHEN k.doc_id <> kp.keeper THEN 'duplicate'
+              WHEN c2.doc_id IS NOT NULL THEN 'contaminated'
+              WHEN NOT rep.keep THEN 'repetition'
+              ELSE 'kept' END AS reason
+  FROM k
+  JOIN keeper kp ON k.h = kp.h
+  LEFT JOIN cont c2 ON k.doc_id = c2.doc_id
+  JOIN rep ON k.doc_id = rep.doc_id
+)
+SELECT doc_id, (reason = 'kept') AS keep, reason FROM r
+"""
+
+
 def q_doc_dsir_score(sf_dir: str):
     """DSIR-style hashed-bigram importance log-ratios (target lang = 'en');
     rows-only — the hashed feature space has no SQL form (gate:

@@ -392,3 +392,81 @@ def dsir_scores(
         )
 
     return docs.map_batches(score, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# 5. composed end-to-end curation decision
+# ---------------------------------------------------------------------------
+
+
+def curate_corpus(
+    docs: "ray.data.Dataset",
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_mod: int = 50,
+    parts: int = 32,
+    k_words: int = 8,
+) -> "ray.data.Dataset":
+    """The composed keep/drop decision per document — the gates above run as
+    ONE pipeline: benchmark exclusion -> prefix-key exact dedup (first
+    ``doc_id`` wins) -> benchmark-n-gram decontamination -> Gopher-style
+    repetition filter.  Output: ``(doc_id, keep, reason)``; ``reason`` is
+    the FIRST failing gate in that precedence order, else ``'kept'``.
+
+    Plan shape: one text pass computes every per-doc flag (md5 prefix key,
+    contamination vs the broadcast benchmark set, repetition keep); the ONLY
+    exchange is the dedup groupby, keyed by md5-prefix partition — the flag
+    columns ride along as a few bytes/row, so no second join is needed."""
+    from ..stages.textstats import repetition_batch
+
+    bench_ref = ray.put(benchmark_ngrams(docs, n, id_col, text_col, bench_mod))
+
+    def flags(b: pd.DataFrame) -> pd.DataFrame:
+        bench = ray.get(bench_ref)
+        rep = repetition_batch(b, text_col=text_col)
+        keys = [content_key(t, k_words) for t in b[text_col]]
+        h = md5_batch(keys)
+        contaminated = np.zeros(len(b), dtype=bool)
+        for i, t in enumerate(b[text_col]):
+            g = _word_ngram_set(t, n)
+            contaminated[i] = any(x in bench for x in g)
+        words = _md5_words(list(h))
+        return pd.DataFrame(
+            {
+                "doc_id": b[id_col].to_numpy(np.int64),
+                "h": h,
+                "part": (words[:, 0] % np.uint32(parts)).astype(np.int64)
+                if len(b)
+                else np.zeros(0, dtype=np.int64),
+                "is_bench": (b[id_col] % bench_mod == 0).to_numpy(),
+                "contaminated": contaminated,
+                "rep_keep": rep["keep"].to_numpy(),
+            }
+        )
+
+    def decide(g: pd.DataFrame) -> pd.DataFrame:
+        keeper = g.groupby("h")["doc_id"].transform("min")
+        reason = np.select(
+            [
+                g["is_bench"].to_numpy(),
+                (g["doc_id"] != keeper).to_numpy(),
+                g["contaminated"].to_numpy(),
+                ~g["rep_keep"].to_numpy(),
+            ],
+            ["benchmark", "duplicate", "contaminated", "repetition"],
+            default="kept",
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(np.int64),
+                "keep": reason == "kept",
+                "reason": reason,
+            }
+        )
+
+    return (
+        docs.map_batches(flags, batch_format="pandas")
+        .groupby("part")
+        .map_groups(decide, batch_format="pandas")
+    )
