@@ -188,6 +188,20 @@ class TestCurateCorpus:
         assert out.loc[4, "reason"] == "kept" and bool(out.loc[4, "keep"])
         assert not out.loc[[0, 1, 2, 3], "keep"].any()
 
+    def test_crawl_curate_runs_on_ledger(self):
+        """crawl_curate: one row per fetched ledger doc, valid reasons,
+        deterministic across runs."""
+        from webcrawl_lowres_lang_ray.pipelines.crawl_queries import q_crawl_curate
+
+        a = q_crawl_curate(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        b = q_crawl_curate(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert len(a) > 0
+        assert set(a["reason"]) <= {
+            "benchmark", "duplicate", "contaminated", "repetition", "kept"
+        }
+        assert a["keep"].any()
+        pd.testing.assert_frame_equal(a, b)
+
 
 # ---------------------------------------------------------------------------
 # source mixing weights

@@ -345,6 +345,29 @@ def q_sentence_split(sf_dir: str):
     ).map_batches(count_batch, batch_format="pandas")
 
 
+def q_crawl_curate(sf_dir: str):
+    """Curation over the crawl's own output: the composed keep/drop decision
+    (stages/curation.py:curate_corpus — benchmark exclusion -> prefix-key
+    dedup -> decontamination -> repetition gate) applied to the extracted
+    ledger text, keyed by crawl seq.  Rows-only gate: the ledger is engine
+    output with no DuckDB view; determinism + reason sanity pinned in
+    tests/test_curation.py."""
+    from ..stages.curation import curate_corpus
+
+    def fetched(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.loc[b["downloaded"] & b["text"].notna()]
+        return pd.DataFrame(
+            {"doc_id": b["seq"].to_numpy(np.int64), "text": b["text"]}
+        )
+
+    docs = ledger_dataset(
+        crawl_output_dir(sf_dir),
+        columns=["seq", "text", "downloaded"],
+        include_pending=False,
+    ).map_batches(fetched, batch_format="pandas")
+    return curate_corpus(docs, n=5, bench_mod=50, k_words=8)
+
+
 def q_lexicon_regen(sf_dir: str) -> pd.DataFrame:
     """One phase of the iterative lexicon-growth loop (N7) over the crawl's
     accepted texts."""
