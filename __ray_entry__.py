@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_mix_weights": q.q_source_mix_weights,
         "doc_dsir_score": q.q_doc_dsir_score,
         "corpus_curate": q.q_corpus_curate,
+        "training_shards": q.q_training_shards,
         # --- crawl engine (rows-only; gated by oracle conformance tests) ---
         "crawl_ledger": cq.q_crawl_ledger,
         "crawl_order": cq.q_crawl_order,
@@ -150,4 +151,5 @@ def oracle_sql() -> dict[str, str]:
         "doc_dedup_incremental": q.SQL_DOC_DEDUP_INCREMENTAL,
         "source_mix_weights": q.SQL_SOURCE_MIX_WEIGHTS,
         "corpus_curate": q.SQL_CORPUS_CURATE,
+        "training_shards": q.SQL_TRAINING_SHARDS,
     }

@@ -31,6 +31,7 @@ def _docs(rows):
         "doc_dedup_incremental",
         "source_mix_weights",
         "corpus_curate",
+        "training_shards",
     ],
 )
 def test_matches_duckdb_oracle(name):
@@ -201,6 +202,37 @@ class TestCurateCorpus:
         }
         assert a["keep"].any()
         pd.testing.assert_frame_equal(a, b)
+
+    def test_shard_export_layout_and_roundtrip(self, tmp_path):
+        """Export writes one shard=X dir per non-empty shard; the files
+        reproduce exactly the kept docs; manifest matches the files."""
+        import ray.data
+
+        from webcrawl_lowres_lang_ray.stages.curation import (
+            curate_corpus,
+            training_shard_export,
+        )
+
+        rng = np.random.default_rng(11)
+        vocab = [f"tok{i}" for i in range(200)]
+        rows = [
+            {"doc_id": i, "text": " ".join(rng.choice(vocab, size=12))}
+            for i in range(120)
+        ]
+        out_dir = str(tmp_path / "shards")
+        manifest = training_shard_export(_docs(rows), out_dir)
+        import os
+
+        dirs = sorted(os.listdir(out_dir))
+        assert all(d.startswith("shard=") for d in dirs)
+        assert set(manifest["shard"]) == {d.split("=")[1] for d in dirs}
+        back = ray.data.read_parquet(out_dir).to_pandas()
+        dec = curate_corpus(_docs(rows)).to_pandas()
+        kept_ids = set(dec.loc[dec["keep"], "doc_id"])
+        assert set(back["doc_id"]) == kept_ids
+        texts = {r["doc_id"]: r["text"] for r in rows}
+        assert all(texts[i] == t for i, t in zip(back["doc_id"], back["text"]))
+        assert manifest["n_docs"].sum() == len(kept_ids)
 
 
 # ---------------------------------------------------------------------------

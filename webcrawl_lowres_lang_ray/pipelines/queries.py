@@ -1223,6 +1223,35 @@ SELECT doc_id, (reason = 'kept') AS keep, reason FROM r
 """
 
 
+def q_training_shards(sf_dir: str):
+    """Curated-corpus export: kept docs written as 16-way md5-sharded
+    Parquet under /tmp, manifest (shard, n_docs, total_words) computed from
+    the written files — the resumable-output story, SQL-gated on the
+    manifest values."""
+    from ..stages.curation import training_shard_export
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out_dir = os.path.join(
+        "/tmp/wllr_training_shards", os.path.basename(os.path.normpath(sf_dir))
+    )
+    return training_shard_export(docs, out_dir, n=5, bench_mod=50, k_words=8)
+
+
+SQL_TRAINING_SHARDS = rf"""
+WITH r AS ({SQL_CORPUS_CURATE}),
+j AS (
+  SELECT d.doc_id,
+         substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1) AS shard,
+         len(list_filter(regexp_split_to_array(d.text, '\s+'),
+                         x -> x <> '')) AS nw
+  FROM documents d JOIN r ON d.doc_id = r.doc_id AND r.keep
+)
+SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nw) AS BIGINT) AS total_words
+FROM j GROUP BY 1
+"""
+
+
 def q_doc_dsir_score(sf_dir: str):
     """DSIR-style hashed-bigram importance log-ratios (target lang = 'en');
     rows-only — the hashed feature space has no SQL form (gate:

@@ -470,3 +470,111 @@ def curate_corpus(
         .groupby("part")
         .map_groups(decide, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# 6. training-shard export (curate -> kept docs -> partitioned Parquet)
+# ---------------------------------------------------------------------------
+
+
+def training_shard_export(
+    docs: "ray.data.Dataset",
+    out_dir: str,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_mod: int = 50,
+    parts: int = 32,
+    k_words: int = 8,
+) -> pd.DataFrame:
+    """Materialize the curated training corpus as resumable partitioned
+    Parquet: curate -> keep only ``kept`` docs -> deterministic 16-way shard
+    (first hex char of ``md5(doc_id)``) -> one ``shard=X/`` directory per
+    shard.  Returns the per-shard manifest ``(shard, n_docs, total_words)``
+    computed by READING BACK the written files (write validation included).
+
+    Scale shape: the keep decisions join back onto the doc stream via ONE
+    doc_id-keyed partition exchange — the standard pay-once write shuffle
+    (text rides an exchange exactly once; decisions are a few bytes/row).
+    The 16-way shard split means a failed export rerun can skip finished
+    ``shard=X`` directories; rewrite here is whole-dir (idempotent)."""
+    import shutil
+
+    decisions = curate_corpus(
+        docs, n=n, id_col=id_col, text_col=text_col,
+        bench_mod=bench_mod, parts=parts, k_words=k_words,
+    )
+
+    def tag_docs(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b[id_col].to_numpy(np.int64),
+                "text": b[text_col].to_numpy(object),
+                "keep": np.zeros(len(b), dtype=bool),
+                "side": np.zeros(len(b), dtype=np.int8),
+                "jpart": (b[id_col] % parts).to_numpy(np.int64),
+            }
+        )
+
+    def tag_dec(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(np.int64),
+                "text": np.full(len(b), "", dtype=object),
+                "keep": b["keep"].to_numpy(),
+                "side": np.ones(len(b), dtype=np.int8),
+                "jpart": (b["doc_id"] % parts).to_numpy(np.int64),
+            }
+        )
+
+    tagged = docs.map_batches(tag_docs, batch_format="pandas").union(
+        decisions.map_batches(tag_dec, batch_format="pandas")
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        kept_ids = set(
+            g.loc[(g["side"] == 1) & g["keep"], "doc_id"].to_numpy(np.int64)
+        )
+        d = g[g["side"] == 0]
+        d = d[d["doc_id"].isin(kept_ids)]
+        h = md5_batch([str(i) for i in d["doc_id"]])
+        return pd.DataFrame(
+            {
+                "doc_id": d["doc_id"].to_numpy(np.int64),
+                "text": d["text"].to_numpy(object),
+                "shard": np.array([x[0] for x in h], dtype=object),
+            }
+        )
+
+    kept = tagged.groupby("jpart").map_groups(merge, batch_format="pandas")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    kept.write_parquet(out_dir, partition_cols=["shard"])
+
+    # manifest from the files themselves (validates the write)
+    back = ray.data.read_parquet(out_dir)
+
+    def stats(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "shard": b["shard"].astype(str).to_numpy(object),
+                "nw": np.fromiter(
+                    (len(t.split()) for t in b["text"]),
+                    dtype=np.int64,
+                    count=len(b),
+                ),
+            }
+        )
+
+    from .agg import combiner_agg
+
+    out = (
+        combiner_agg(
+            back.map_batches(stats, batch_format="pandas"),
+            ["shard"],
+            [("n_docs", None, "count"), ("total_words", "nw", "sum")],
+        )
+        .to_pandas()
+        .sort_values("shard", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    return out
