@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "query_generation": cq.q_query_generation,
         "sentence_split": cq.q_sentence_split,
         "crawl_curate": cq.q_crawl_curate,
+        "crawl_pagerank": cq.q_crawl_pagerank,
         "event_value_quantiles_approx": q.q_event_value_quantiles_approx,
         "approx_distinct_users": q.q_approx_distinct_users,
         "approx_top_users": q.q_approx_top_users,

@@ -1,0 +1,95 @@
+"""Tests for stages/graph.py: distributed PageRank (full-shuffle and
+vertex-state-broadcast variants) vs the dense numpy oracle."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+def _random_edges(n_nodes=80, n_edges=400, seed=3) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, n_nodes, size=n_edges)
+    dst = rng.integers(0, n_nodes, size=n_edges)
+    keep = src != dst
+    return pd.DataFrame(
+        {"src": src[keep].astype(np.int64), "dst": dst[keep].astype(np.int64)}
+    )
+
+
+def _ds(df: pd.DataFrame):
+    import ray.data
+
+    return ray.data.from_pandas(df)
+
+
+class TestPagerank:
+    def test_shuffle_variant_matches_numpy(self):
+        from webcrawl_lowres_lang_ray.stages.graph import pagerank, pagerank_numpy
+
+        edges = _random_edges()
+        got = (
+            pagerank(_ds(edges), iterations=5)
+            .to_pandas()
+            .sort_values("id")
+            .reset_index(drop=True)
+        )
+        want = pagerank_numpy(edges, iterations=5).sort_values("id").reset_index(
+            drop=True
+        )
+        assert len(got) == len(want)
+        assert (got["id"].to_numpy() == want["id"].to_numpy()).all()
+        assert np.allclose(got["rank"], want["rank"], atol=1e-9)
+
+    def test_broadcast_variant_matches_numpy(self):
+        from webcrawl_lowres_lang_ray.stages.graph import (
+            pagerank_broadcast,
+            pagerank_numpy,
+        )
+
+        edges = _random_edges(seed=9)
+        got = (
+            pagerank_broadcast(_ds(edges), iterations=5)
+            .sort_values("id")
+            .reset_index(drop=True)
+        )
+        want = pagerank_numpy(edges, iterations=5).sort_values("id").reset_index(
+            drop=True
+        )
+        assert (got["id"].to_numpy() == want["id"].to_numpy()).all()
+        assert np.allclose(got["rank"], want["rank"], atol=1e-9)
+
+    def test_rank_properties(self):
+        from webcrawl_lowres_lang_ray.stages.graph import pagerank_broadcast
+
+        edges = _random_edges(seed=5)
+        r = pagerank_broadcast(_ds(edges), iterations=5)
+        assert (r["rank"] > 0).all()
+        # mass <= 1 (dangling mass dropped), >= the base term alone
+        n = len(r)
+        assert 0.15 - 1e-9 <= r["rank"].sum() <= 1.0 + 1e-9
+        assert (r["rank"] >= 0.15 / n - 1e-12).all()
+
+    def test_hub_outranks_leaf(self):
+        """Every node links to node 0 -> node 0 dominates."""
+        from webcrawl_lowres_lang_ray.stages.graph import pagerank_broadcast
+
+        edges = pd.DataFrame(
+            {"src": np.arange(1, 30, dtype=np.int64),
+             "dst": np.zeros(29, dtype=np.int64)}
+        )
+        r = pagerank_broadcast(_ds(edges), iterations=5).set_index("id")["rank"]
+        assert r.loc[0] == r.max() and r.loc[0] > 5 * r.drop(0).max()
+
+    def test_crawl_pagerank_runs_and_is_deterministic(self):
+        from webcrawl_lowres_lang_ray.pipelines.crawl_queries import q_crawl_pagerank
+
+        a = q_crawl_pagerank("/root/testdata/sf0.001")
+        b = q_crawl_pagerank("/root/testdata/sf0.001")
+        assert len(a) == 50 and list(a.columns) == ["url", "rank"]
+        assert a["url"].notna().all() and a["url"].str.len().gt(0).all()
+        assert (a["rank"].to_numpy() == np.sort(a["rank"].to_numpy())[::-1]).all()
+        pd.testing.assert_frame_equal(a, b)

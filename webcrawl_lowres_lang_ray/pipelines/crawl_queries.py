@@ -388,3 +388,79 @@ def q_lexicon_regen(sf_dir: str) -> pd.DataFrame:
         {"token": list(grown.keys()), "count": list(grown.values())}
     ).sort_values("token").reset_index(drop=True)
     return out
+
+
+def q_crawl_pagerank(sf_dir: str) -> pd.DataFrame:
+    """Link-graph PageRank over the corpus pages (stages/graph.py): extract
+    <a href> edges from the page HTML, run 5 sweeps of the vertex-state-
+    broadcast variant (edges never re-shuffled after the one-time outdeg
+    attach), return the top-50 (url, rank).  Rows-only gate: numpy-oracle
+    parity, determinism and mass bounds pinned in tests/test_graph.py."""
+    import pyarrow as pa
+
+    import ray as _ray
+
+    from ..functions.html_text import extract_links_batch
+    from ..stages.graph import pagerank_broadcast, url_ids
+
+    corpus = corpus_dir_for_sf(sf_dir)
+    pages = ray.data.read_parquet(
+        os.path.join(corpus, "pages"), columns=["url", "html"]
+    )
+
+    def edges_batch(b: "pa.Table") -> pd.DataFrame:
+        links = extract_links_batch(b.column("html")).to_pylist()
+        urls = b.column("url").to_pylist()
+        counts = np.array([len(l) for l in links], dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "src_url": np.repeat(np.array(urls, dtype=object), counts),
+                "dst_url": np.array(
+                    [h for l in links for h in l], dtype=object
+                ),
+            }
+        )
+
+    edge_urls = pages.map_batches(edges_batch, batch_format="pyarrow").materialize()
+
+    def to_ids(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "src": url_ids(list(b["src_url"])),
+                "dst": url_ids(list(b["dst_url"])),
+            }
+        )
+
+    ranks = pagerank_broadcast(edge_urls.map_batches(to_ids, batch_format="pandas"))
+
+    top = ranks.nlargest(50, "rank")
+    top_ref = _ray.put(set(int(i) for i in top["id"]))
+
+    def name_batch(b: pd.DataFrame) -> pd.DataFrame:
+        want = _ray.get(top_ref)
+        ids = np.concatenate(
+            [url_ids(list(b["src_url"])), url_ids(list(b["dst_url"]))]
+        )
+        urls = np.concatenate(
+            [b["src_url"].to_numpy(object), b["dst_url"].to_numpy(object)]
+        )
+        keep = np.fromiter((int(i) in want for i in ids), dtype=bool, count=len(ids))
+        return pd.DataFrame({"id": ids[keep], "url": urls[keep]}).drop_duplicates("id")
+
+    names = (
+        edge_urls.map_batches(name_batch, batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates("id")
+        .set_index("id")["url"]
+    )
+    out = pd.DataFrame(
+        {
+            "url": names.reindex(top["id"]).to_numpy(object),
+            "rank": top["rank"].to_numpy(np.float64),
+        }
+    )
+    return (
+        out.sort_values(["rank", "url"], ascending=[False, True], kind="mergesort")
+        .head(50)
+        .reset_index(drop=True)
+    )

@@ -1,0 +1,356 @@
+"""Link-graph analysis: distributed PageRank over (src, dst) edge lists.
+
+PageRank (Brin & Page 1998) is the classic web-scale iterative algorithm —
+the operator class (fixed-point iteration over a partitioned edge list) that
+a Dataset API has to express with per-iteration exchanges rather than a
+single declarative plan.
+
+Implementation shape (designed for 10^10-edge graphs):
+* node ids are int64 (callers map URLs via the leading 8 bytes of md5 —
+  deterministic, coordination-free; birthday collision odds ~n^2/2^65);
+* out-degrees are combiner-aggregated and joined onto the edge list ONCE
+  (hash-partition exchange keyed by src); the weighted edge list is then
+  materialized and reused every iteration;
+* each iteration is two small exchanges carrying (id, float) rows only:
+  ranks partition-join onto edges by src -> per-edge contributions
+  pre-summed per (partition, dst) batch -> combiner-agg by dst;
+* dangling-node mass is dropped (the simplified PageRank variant:
+  ``r' = (1-d)/N + d * sum_{u->v} r(u)/outdeg(u)``); the numpy oracle in
+  tests/test_graph.py uses the identical formula, so parity is exact.
+
+Ranks never live on the driver: they stay a Dataset of (id, rank) rows and
+are re-materialized per iteration to cut lineage.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+from .agg import combiner_agg
+
+
+def url_ids(urls) -> np.ndarray:
+    """Deterministic int64 node id: big-endian leading 8 bytes of md5."""
+    import hashlib
+
+    md5 = hashlib.md5
+    out = np.empty(len(urls), dtype=np.int64)
+    for i, u in enumerate(urls):
+        out[i] = int.from_bytes(md5(u.encode()).digest()[:8], "big", signed=True)
+    return out
+
+
+def _partition_join_ranks(
+    edges: "ray.data.Dataset", ranks: "ray.data.Dataset", damping: float, parts: int
+) -> "ray.data.Dataset":
+    """One PageRank sweep: (dst, partial contribution sums) rows."""
+
+    def tag_ranks(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "src": b["id"].to_numpy(np.int64),
+                "dst": np.zeros(len(b), dtype=np.int64),
+                "outdeg": np.zeros(len(b), dtype=np.int64),
+                "rank": b["rank"].to_numpy(np.float64),
+                "side": np.ones(len(b), dtype=np.int8),
+                "jpart": (b["id"] % parts).to_numpy(np.int64),
+            }
+        )
+
+    def tag_edges(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["rank"] = np.zeros(len(b), dtype=np.float64)
+        b["side"] = np.zeros(len(b), dtype=np.int8)
+        b["jpart"] = (b["src"] % parts).to_numpy(np.int64)
+        return b[["src", "dst", "outdeg", "rank", "side", "jpart"]]
+
+    tagged = edges.map_batches(tag_edges, batch_format="pandas").union(
+        ranks.map_batches(tag_ranks, batch_format="pandas")
+    )
+
+    def contribs(g: pd.DataFrame) -> pd.DataFrame:
+        r = g[g["side"] == 1].set_index("src")["rank"]
+        e = g[g["side"] == 0]
+        if not len(e):
+            return pd.DataFrame(
+                {"dst": pd.Series(dtype="int64"), "c": pd.Series(dtype="float64")}
+            )
+        rv = r.reindex(e["src"]).to_numpy(np.float64)
+        c = damping * np.nan_to_num(rv) / np.maximum(e["outdeg"].to_numpy(), 1)
+        # pre-sum per dst INSIDE the partition (combiner): the downstream
+        # exchange carries one row per (partition, dst), never per edge
+        out = (
+            pd.DataFrame({"dst": e["dst"].to_numpy(np.int64), "c": c})
+            .groupby("dst", sort=False)["c"]
+            .sum()
+            .reset_index()
+        )
+        return out
+
+    return tagged.groupby("jpart").map_groups(contribs, batch_format="pandas")
+
+
+def pagerank(
+    edges_ds: "ray.data.Dataset",
+    iterations: int = 5,
+    damping: float = 0.85,
+    parts: int = 32,
+    round_dp: int = 8,
+) -> "ray.data.Dataset":
+    """PageRank over an (src, dst) int64 edge Dataset; returns (id, rank)
+    after ``iterations`` sweeps from the uniform start, ranks rounded to
+    ``round_dp`` (fixed partitioning -> deterministic sums)."""
+    from ..stages.textstats import round_half_away
+
+    # nodes = distinct ids on either edge end (one exchange of id rows)
+    def both_ends(b: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(
+            np.concatenate(
+                [b["src"].to_numpy(np.int64), b["dst"].to_numpy(np.int64)]
+            )
+        )
+        return pd.DataFrame({"id": ids, "part": ids % parts})
+
+    def distinct(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"id": np.unique(g["id"].to_numpy(np.int64))})
+
+    nodes = (
+        edges_ds.map_batches(both_ends, batch_format="pandas")
+        .groupby("part")
+        .map_groups(distinct, batch_format="pandas")
+        .materialize()
+    )
+    n = nodes.count()
+
+    # out-degrees joined onto edges once; weighted edges reused per sweep
+    deg = combiner_agg(edges_ds, ["src"], [("outdeg", None, "count")], parts)
+
+    def tag_e(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "src": b["src"].to_numpy(np.int64),
+                "dst": b["dst"].to_numpy(np.int64),
+                "outdeg": np.zeros(len(b), dtype=np.int64),
+                "side": np.zeros(len(b), dtype=np.int8),
+                "jpart": (b["src"] % parts).to_numpy(np.int64),
+            }
+        )
+
+    def tag_d(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "src": b["src"].to_numpy(np.int64),
+                "dst": np.zeros(len(b), dtype=np.int64),
+                "outdeg": b["outdeg"].to_numpy(np.int64),
+                "side": np.ones(len(b), dtype=np.int8),
+                "jpart": (b["src"] % parts).to_numpy(np.int64),
+            }
+        )
+
+    def attach_deg(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[g["side"] == 1].set_index("src")["outdeg"]
+        e = g[g["side"] == 0]
+        if not len(e):
+            return pd.DataFrame(
+                {
+                    "src": pd.Series(dtype="int64"),
+                    "dst": pd.Series(dtype="int64"),
+                    "outdeg": pd.Series(dtype="int64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "src": e["src"].to_numpy(np.int64),
+                "dst": e["dst"].to_numpy(np.int64),
+                "outdeg": d.reindex(e["src"]).to_numpy(np.int64),
+            }
+        )
+
+    edges_w = (
+        edges_ds.map_batches(tag_e, batch_format="pandas")
+        .union(deg.map_batches(tag_d, batch_format="pandas"))
+        .groupby("jpart")
+        .map_groups(attach_deg, batch_format="pandas")
+        .materialize()
+    )
+
+    base = (1.0 - damping) / n
+
+    def init_ranks(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "id": b["id"].to_numpy(np.int64),
+                "rank": np.full(len(b), 1.0 / n, dtype=np.float64),
+            }
+        )
+
+    ranks = nodes.map_batches(init_ranks, batch_format="pandas").materialize()
+
+    def zero_contrib(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "dst": b["id"].to_numpy(np.int64),
+                "c": np.zeros(len(b), dtype=np.float64),
+            }
+        )
+
+    zeros = nodes.map_batches(zero_contrib, batch_format="pandas").materialize()
+
+    for _ in range(iterations):
+        contrib = _partition_join_ranks(edges_w, ranks, damping, parts)
+        summed = combiner_agg(
+            contrib.union(zeros), ["dst"], [("csum", "c", "sum")], parts
+        )
+
+        def to_rank(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "id": b["dst"].to_numpy(np.int64),
+                    "rank": base + b["csum"].to_numpy(np.float64),
+                }
+            )
+
+        ranks = summed.map_batches(to_rank, batch_format="pandas").materialize()
+
+    def rounded(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["rank"] = round_half_away(b["rank"], round_dp)
+        return b
+
+    return ranks.map_batches(rounded, batch_format="pandas")
+
+
+def pagerank_broadcast(
+    edges_ds: "ray.data.Dataset",
+    iterations: int = 5,
+    damping: float = 0.85,
+    parts: int = 32,
+    round_dp: int = 8,
+) -> pd.DataFrame:
+    """Vertex-state-broadcast PageRank: same update rule as ``pagerank()``
+    but the rank VECTOR is broadcast per sweep (``ray.put`` of two numpy
+    arrays) and edge blocks are never re-shuffled — each sweep is ONE
+    map execution emitting per-batch (dst, contribution) partials that the
+    driver merges into the next vector.
+
+    Valid while the node table fits one process (~10^8 nodes / a few GB);
+    beyond that use ``pagerank()`` (fully-exchanged ranks).  Returns the
+    (id, rank) node frame, ids ascending, ranks rounded."""
+    import ray
+
+    from ..stages.textstats import round_half_away
+
+    def tag_e(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "src": b["src"].to_numpy(np.int64),
+                "dst": b["dst"].to_numpy(np.int64),
+                "outdeg": np.zeros(len(b), dtype=np.int64),
+                "side": np.zeros(len(b), dtype=np.int8),
+                "jpart": (b["src"] % parts).to_numpy(np.int64),
+            }
+        )
+
+    def tag_d(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "src": b["src"].to_numpy(np.int64),
+                "dst": np.zeros(len(b), dtype=np.int64),
+                "outdeg": b["outdeg"].to_numpy(np.int64),
+                "side": np.ones(len(b), dtype=np.int8),
+                "jpart": (b["src"] % parts).to_numpy(np.int64),
+            }
+        )
+
+    def attach_deg(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[g["side"] == 1].set_index("src")["outdeg"]
+        e = g[g["side"] == 0]
+        if not len(e):
+            return pd.DataFrame(
+                {
+                    "src": pd.Series(dtype="int64"),
+                    "dst": pd.Series(dtype="int64"),
+                    "outdeg": pd.Series(dtype="int64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "src": e["src"].to_numpy(np.int64),
+                "dst": e["dst"].to_numpy(np.int64),
+                "outdeg": d.reindex(e["src"]).to_numpy(np.int64),
+            }
+        )
+
+    deg = combiner_agg(edges_ds, ["src"], [("outdeg", None, "count")], parts)
+    edges_w = (
+        edges_ds.map_batches(tag_e, batch_format="pandas")
+        .union(deg.map_batches(tag_d, batch_format="pandas"))
+        .groupby("jpart")
+        .map_groups(attach_deg, batch_format="pandas")
+        .materialize()
+    )
+
+    # node vector on the driver (sorted ids -> searchsorted rank lookup)
+    ends = edges_w.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "id": np.unique(
+                    np.concatenate(
+                        [b["src"].to_numpy(np.int64), b["dst"].to_numpy(np.int64)]
+                    )
+                )
+            }
+        ),
+        batch_format="pandas",
+    ).to_pandas()
+    ids = np.unique(ends["id"].to_numpy(np.int64))
+    n = len(ids)
+    base = (1.0 - damping) / n
+    rank = np.full(n, 1.0 / n, dtype=np.float64)
+
+    for _ in range(iterations):
+        ref = ray.put((ids, rank))
+
+        def sweep(b: pd.DataFrame) -> pd.DataFrame:
+            sids, r = ray.get(ref)
+            rv = r[np.searchsorted(sids, b["src"].to_numpy(np.int64))]
+            c = damping * rv / np.maximum(b["outdeg"].to_numpy(np.int64), 1)
+            out = (
+                pd.DataFrame({"dst": b["dst"].to_numpy(np.int64), "c": c})
+                .groupby("dst", sort=False)["c"]
+                .sum()
+                .reset_index()
+            )
+            return out
+
+        partials = edges_w.map_batches(sweep, batch_format="pandas").to_pandas()
+        contrib = np.zeros(n, dtype=np.float64)
+        if len(partials):
+            pos = np.searchsorted(ids, partials["dst"].to_numpy(np.int64))
+            np.add.at(contrib, pos, partials["c"].to_numpy(np.float64))
+        rank = base + contrib
+
+    return pd.DataFrame({"id": ids, "rank": round_half_away(rank, round_dp)})
+
+
+def pagerank_numpy(
+    edges: pd.DataFrame, iterations: int = 5, damping: float = 0.85
+) -> pd.DataFrame:
+    """Dense single-process oracle with the identical update rule (tests)."""
+    ids = np.unique(
+        np.concatenate([edges["src"].to_numpy(), edges["dst"].to_numpy()])
+    )
+    idx = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    src = np.array([idx[v] for v in edges["src"]], dtype=np.int64)
+    dst = np.array([idx[v] for v in edges["dst"]], dtype=np.int64)
+    outdeg = np.bincount(src, minlength=n)
+    r = np.full(n, 1.0 / n)
+    for _ in range(iterations):
+        contrib = np.zeros(n)
+        np.add.at(contrib, dst, damping * r[src] / np.maximum(outdeg[src], 1))
+        r = (1.0 - damping) / n + contrib
+    return pd.DataFrame({"id": ids, "rank": r})
