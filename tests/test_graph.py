@@ -84,6 +84,55 @@ class TestPagerank:
         r = pagerank_broadcast(_ds(edges), iterations=5).set_index("id")["rank"]
         assert r.loc[0] == r.max() and r.loc[0] > 5 * r.drop(0).max()
 
+    def test_components_match_unionfind(self):
+        from webcrawl_lowres_lang_ray.stages.graph import (
+            components_numpy,
+            connected_components,
+        )
+
+        rng = np.random.default_rng(17)
+        # several chains + isolated pairs: transitive closure matters
+        pairs = []
+        base = 0
+        for length in [2, 3, 5, 8, 2, 4]:
+            for i in range(length - 1):
+                pairs.append((base + i, base + i + 1))
+            base += length + 3
+        extra = rng.integers(0, base, size=(20, 2))
+        pairs += [(int(a), int(b)) for a, b in extra if a != b]
+        df = pd.DataFrame(pairs, columns=["id_a", "id_b"]).astype(np.int64)
+        got = (
+            connected_components(_ds(df))
+            .sort_values("id")
+            .reset_index(drop=True)
+        )
+        want = components_numpy(df).sort_values("id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_chain_collapses_to_one_cluster(self):
+        """A~B, B~C, C~D with no direct A~D edge -> one component."""
+        from webcrawl_lowres_lang_ray.stages.graph import connected_components
+
+        df = pd.DataFrame(
+            {"id_a": [10, 20, 30], "id_b": [20, 30, 40]}, dtype=np.int64
+        )
+        got = connected_components(_ds(df))
+        assert (got["comp"] == 10).all()
+
+    def test_crawl_dedup_clusters(self):
+        from webcrawl_lowres_lang_ray.pipelines.crawl_queries import (
+            q_crawl_dedup_clusters,
+        )
+
+        a = q_crawl_dedup_clusters("/root/testdata/sf0.001")
+        b = q_crawl_dedup_clusters("/root/testdata/sf0.001")
+        pd.testing.assert_frame_equal(a, b)
+        assert len(a) > 0
+        # cluster label is the smallest member; exactly one keeper each
+        g = a.groupby("cluster")
+        assert (g["seq"].min() == g["seq"].min().index).all()
+        assert (g["keep"].sum() == 1).all()
+
     def test_crawl_pagerank_runs_and_is_deterministic(self):
         from webcrawl_lowres_lang_ray.pipelines.crawl_queries import q_crawl_pagerank
 

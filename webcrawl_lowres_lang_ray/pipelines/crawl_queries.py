@@ -464,3 +464,28 @@ def q_crawl_pagerank(sf_dir: str) -> pd.DataFrame:
         .head(50)
         .reset_index(drop=True)
     )
+
+
+def q_crawl_dedup_clusters(sf_dir: str) -> pd.DataFrame:
+    """Transitive near-dup clustering: MinHash+LSH pairs over the crawl's
+    fetched texts (q_minhash_neardup's exact settings) -> connected
+    components (min-label propagation, stages/graph.py) -> one keeper per
+    cluster (smallest seq).  Pair lists alone under-dedup: A~B and B~C must
+    collapse into ONE cluster even when A~C was never a candidate pair.
+    Rows-only gate: union-find oracle parity + determinism pinned in
+    tests/test_graph.py."""
+    from ..stages.dedup import minhash_lsh_pairs
+    from ..stages.graph import connected_components
+
+    pairs = minhash_lsh_pairs(
+        _fetched_text_ds(sf_dir), text_col="text", id_col="seq", threshold=0.8
+    ).materialize()
+    comps = connected_components(pairs, "id_a", "id_b")
+    out = pd.DataFrame(
+        {
+            "seq": comps["id"].to_numpy(np.int64),
+            "cluster": comps["comp"].to_numpy(np.int64),
+        }
+    )
+    out["keep"] = out["seq"] == out["cluster"]
+    return out.sort_values("seq", kind="mergesort").reset_index(drop=True)

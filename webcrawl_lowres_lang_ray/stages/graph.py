@@ -354,3 +354,94 @@ def pagerank_numpy(
         np.add.at(contrib, dst, damping * r[src] / np.maximum(outdeg[src], 1))
         r = (1.0 - damping) / n + contrib
     return pd.DataFrame({"id": ids, "rank": r})
+
+
+def connected_components(
+    pairs_ds: "ray.data.Dataset",
+    col_a: str = "id_a",
+    col_b: str = "id_b",
+    max_iterations: int = 50,
+) -> pd.DataFrame:
+    """Connected components over an undirected pair list by min-label
+    propagation: every node's label converges to the smallest node id in its
+    component.  Returns ``(id, comp)``.
+
+    Vertex-state-broadcast shape (like ``pagerank_broadcast``): the label
+    vector is ``ray.put`` per sweep and each sweep is ONE map execution over
+    the edge blocks emitting per-batch (node, min-neighbor-label) partials;
+    iteration stops at the first sweep with no label change (diameter-bound,
+    not ``max_iterations``).  Valid while the node vector fits one process —
+    the natural regime for dedup clustering, where pair lists cover only the
+    duplicated minority of a corpus.  For full-corpus-scale graphs, the
+    exchanged-ranks shape of ``pagerank()`` applies identically."""
+    import ray
+
+    ends = pairs_ds.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "id": np.unique(
+                    np.concatenate(
+                        [b[col_a].to_numpy(np.int64), b[col_b].to_numpy(np.int64)]
+                    )
+                )
+            }
+        ),
+        batch_format="pandas",
+    ).to_pandas()
+    ids = np.unique(ends["id"].to_numpy(np.int64))
+    n = len(ids)
+    label = ids.copy()
+    edges = pairs_ds.materialize()
+
+    for _ in range(max_iterations):
+        ref = ray.put((ids, label))
+
+        def sweep(b: pd.DataFrame) -> pd.DataFrame:
+            sids, lab = ray.get(ref)
+            a = np.searchsorted(sids, b[col_a].to_numpy(np.int64))
+            bb = np.searchsorted(sids, b[col_b].to_numpy(np.int64))
+            # each endpoint proposes its label to the other
+            node = np.concatenate([a, bb])
+            prop = np.concatenate([lab[bb], lab[a]])
+            out = (
+                pd.DataFrame({"node": node, "lab": prop})
+                .groupby("node", sort=False)["lab"]
+                .min()
+                .reset_index()
+            )
+            return out
+
+        partials = edges.map_batches(sweep, batch_format="pandas").to_pandas()
+        new_label = label.copy()
+        if len(partials):
+            node = partials["node"].to_numpy(np.int64)
+            lab = partials["lab"].to_numpy(np.int64)
+            np.minimum.at(new_label, node, lab)
+        if (new_label == label).all():
+            break
+        label = new_label
+
+    return pd.DataFrame({"id": ids, "comp": label})
+
+
+def components_numpy(
+    pairs: pd.DataFrame, col_a: str = "id_a", col_b: str = "id_b"
+) -> pd.DataFrame:
+    """Union-find oracle (tests): component label = min id in component."""
+    ids = np.unique(
+        np.concatenate([pairs[col_a].to_numpy(), pairs[col_b].to_numpy()])
+    )
+    parent = {int(i): int(i) for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs[col_a], pairs[col_b]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = np.array([find(int(i)) for i in ids], dtype=np.int64)
+    return pd.DataFrame({"id": ids, "comp": comp})
