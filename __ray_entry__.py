@@ -86,6 +86,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dsir_score": q.q_doc_dsir_score,
         "corpus_curate": q.q_corpus_curate,
         "training_shards": q.q_training_shards,
+        "dup_ngram_fraction": q.q_dup_ngram_fraction,
+        "doc_quality_ntile": q.q_doc_quality_ntile,
+        "tfidf_top_terms": q.q_tfidf_top_terms,
         # --- crawl engine (rows-only; gated by oracle conformance tests) ---
         "crawl_ledger": cq.q_crawl_ledger,
         "crawl_order": cq.q_crawl_order,
@@ -154,4 +157,7 @@ def oracle_sql() -> dict[str, str]:
         "source_mix_weights": q.SQL_SOURCE_MIX_WEIGHTS,
         "corpus_curate": q.SQL_CORPUS_CURATE,
         "training_shards": q.SQL_TRAINING_SHARDS,
+        "dup_ngram_fraction": q.SQL_DUP_NGRAM_FRACTION,
+        "doc_quality_ntile": q.SQL_DOC_QUALITY_NTILE,
+        "tfidf_top_terms": q.SQL_TFIDF_TOP_TERMS,
     }

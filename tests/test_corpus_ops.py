@@ -1,0 +1,222 @@
+"""Tests for the corpus-statistics operators added in round 3:
+duplicated-n-gram fraction (CCNet/RefinedWeb signal), exact global NTILE
+quality binning, and per-doc top-k TF-IDF terms."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(rows):
+    import ray.data
+
+    return ray.data.from_pandas(pd.DataFrame(rows))
+
+
+# ---------------------------------------------------------------------------
+# SQL-oracle conformance (the same gate the driver runs, at sf0.001)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["dup_ngram_fraction", "doc_quality_ntile", "tfidf_top_terms"],
+)
+def test_matches_duckdb_oracle(name):
+    import duckdb
+
+    import __ray_entry__ as e
+    from scripts.check_correctness import to_pandas, value_hash
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    mine = to_pandas(e.queries()[name](SF))
+    theirs = con.execute(e.oracle_sql()[name]).df()
+    assert len(mine) == len(theirs)
+    assert sorted(mine.columns) == sorted(theirs.columns)
+    assert value_hash(mine) == value_hash(theirs)
+
+
+# ---------------------------------------------------------------------------
+# dup_ngram_fraction
+# ---------------------------------------------------------------------------
+
+
+class TestDupNgramFraction:
+    def test_planted_duplicate_is_attributed_to_owner(self):
+        from webcrawl_lowres_lang_ray.stages.dedup import dup_ngram_fraction
+
+        base = "one two three four five six seven eight"
+        rows = [
+            {"doc_id": 0, "text": base},                       # owner of all its 5-grams
+            {"doc_id": 1, "text": base},                       # exact clone -> all dup
+            {"doc_id": 2, "text": "alpha beta gamma delta epsilon zeta"},
+            {"doc_id": 3, "text": "too short"},                # <5 words -> absent
+        ]
+        out = (
+            dup_ngram_fraction(_docs(rows), n=5)
+            .to_pandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        assert 3 not in out.index
+        assert out.loc[0, "n_dup"] == 0 and out.loc[0, "dup_fraction"] == 0.0
+        assert out.loc[1, "n_dup"] == out.loc[1, "n_shingles"]
+        assert out.loc[1, "dup_fraction"] == 1.0
+        assert out.loc[2, "n_dup"] == 0
+
+    def test_partial_overlap_fraction(self):
+        from webcrawl_lowres_lang_ray.stages.dedup import dup_ngram_fraction
+
+        rows = [
+            {"doc_id": 0, "text": "a b c d e f"},              # 5-grams: abcde, bcdef
+            {"doc_id": 1, "text": "a b c d e x"},              # abcde (dup), bcdex (new)
+        ]
+        out = dup_ngram_fraction(_docs(rows), n=5).to_pandas().set_index("doc_id")
+        assert out.loc[1, "n_shingles"] == 2
+        assert out.loc[1, "n_dup"] == 1
+        assert out.loc[1, "dup_fraction"] == 0.5
+
+    def test_within_doc_repeat_counts_once(self):
+        from webcrawl_lowres_lang_ray.stages.dedup import dup_ngram_fraction
+
+        # the same 5-gram appearing twice in one doc is ONE distinct shingle
+        rows = [{"doc_id": 0, "text": "a b c d e a b c d e"}]
+        out = dup_ngram_fraction(_docs(rows), n=5).to_pandas()
+        assert int(out.loc[0, "n_shingles"]) == 5  # 6 windows, window 5 == window 0
+        assert int(out.loc[0, "n_dup"]) == 0
+
+
+# ---------------------------------------------------------------------------
+# quality_ntile
+# ---------------------------------------------------------------------------
+
+
+def _ntile_oracle(df: pd.DataFrame, k: int) -> pd.Series:
+    order = df.sort_values(["n_chars", "doc_id"], kind="mergesort").reset_index()
+    n = len(order)
+    size, rem = divmod(n, k)
+    buckets = np.empty(n, dtype=np.int64)
+    pos = 0
+    for b in range(1, k + 1):
+        cnt = size + (1 if b <= rem else 0)
+        buckets[pos : pos + cnt] = b
+        pos += cnt
+    return pd.Series(buckets, index=order["doc_id"].to_numpy()).sort_index()
+
+
+class TestQualityNtile:
+    @pytest.mark.parametrize("n,k", [(7, 10), (10, 3), (23, 4)])
+    def test_matches_serial_ntile(self, n, k):
+        from webcrawl_lowres_lang_ray.stages.textstats import quality_ntile
+
+        rng = np.random.RandomState(5)
+        df = pd.DataFrame(
+            {
+                "doc_id": np.arange(n, dtype=np.int64),
+                # heavy ties: only 3 distinct lengths
+                "n_chars": rng.choice([10, 20, 30], size=n).astype(np.int64),
+            }
+        )
+        out = (
+            quality_ntile(_docs(df.to_dict("records")), k=k)
+            .to_pandas()
+            .set_index("doc_id")["decile"]
+            .sort_index()
+        )
+        expect = _ntile_oracle(df, k)
+        assert (out.to_numpy() == expect.to_numpy()).all()
+
+    def test_tie_run_straddles_bucket_boundary(self):
+        from webcrawl_lowres_lang_ray.stages.textstats import quality_ntile
+
+        # 6 rows, k=2: rows 2 and 3 share n_chars but land in different
+        # buckets, tie-broken by doc_id — the case a boundaries-only
+        # quantile implementation gets wrong
+        df = pd.DataFrame(
+            {
+                "doc_id": np.arange(6, dtype=np.int64),
+                "n_chars": np.array([1, 1, 5, 5, 5, 9], dtype=np.int64),
+            }
+        )
+        out = (
+            quality_ntile(_docs(df.to_dict("records")), k=2)
+            .to_pandas()
+            .set_index("doc_id")["decile"]
+            .sort_index()
+        )
+        assert out.tolist() == [1, 1, 1, 2, 2, 2]
+
+
+# ---------------------------------------------------------------------------
+# tfidf_top_terms
+# ---------------------------------------------------------------------------
+
+
+class TestTfidfTopTerms:
+    def test_matches_brute_force(self):
+        from webcrawl_lowres_lang_ray.stages.textstats import (
+            round_half_away,
+            tfidf_top_terms,
+        )
+
+        rows = [
+            {"doc_id": 0, "text": "apple apple banana cherry"},
+            {"doc_id": 1, "text": "banana cherry cherry durian"},
+            {"doc_id": 2, "text": "apple durian durian durian elder"},
+            {"doc_id": 3, "text": ""},  # no tokens -> absent
+        ]
+        out = (
+            tfidf_top_terms(_docs(rows), topk=2)
+            .to_pandas()
+            .sort_values(["doc_id", "rk"])
+            .reset_index(drop=True)
+        )
+        # brute force
+        docs = {r["doc_id"]: r["text"].split() for r in rows if r["text"]}
+        n = len(rows)
+        df = {}
+        for ws in docs.values():
+            for w in set(ws):
+                df[w] = df.get(w, 0) + 1
+        expect = []
+        for d, ws in docs.items():
+            scored = {}
+            for w in set(ws):
+                scored[w] = float(
+                    round_half_away(ws.count(w) * np.log(n / df[w]), 4)
+                )
+            top = sorted(scored.items(), key=lambda kv: (-kv[1], kv[0]))[:2]
+            for rk, (w, s) in enumerate(top, 1):
+                expect.append((d, w, s, rk))
+        exp_df = pd.DataFrame(expect, columns=["doc_id", "token", "tfidf", "rk"])
+        pd.testing.assert_frame_equal(out, exp_df, check_dtype=False)
+        assert 3 not in set(out["doc_id"])
+
+    def test_partition_partial_topk_is_lossless(self):
+        """Global top-k must survive token-hash partitioning: craft a doc
+        whose best terms hash to different partitions (parts=2 forces
+        splits) and check ranks are still globally correct."""
+        from webcrawl_lowres_lang_ray.stages.textstats import tfidf_top_terms
+
+        rows = [
+            {"doc_id": 0, "text": "aa bb cc dd ee ff gg hh"},
+            {"doc_id": 1, "text": "aa bb"},
+        ]
+        out = (
+            tfidf_top_terms(_docs(rows), topk=3, parts=2)
+            .to_pandas()
+            .sort_values(["doc_id", "rk"])
+        )
+        d0 = out[out["doc_id"] == 0]
+        # doc 0's unique terms (cc..hh, idf=ln 2) outrank shared aa/bb (idf 0)
+        assert d0["token"].tolist() == ["cc", "dd", "ee"]
+        assert d0["rk"].tolist() == [1, 2, 3]

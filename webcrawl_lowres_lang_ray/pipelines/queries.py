@@ -746,6 +746,98 @@ WHERE CASE WHEN na = 0 AND nb = 0 THEN 1.0
 """
 
 
+def q_dup_ngram_fraction(sf_dir: str):
+    """CCNet / RefinedWeb duplicated-n-gram-fraction quality signal: per
+    doc, the fraction of its distinct word 5-grams first seen in an earlier
+    document (owner = min doc_id).  Shingle-hash partition groupby computes
+    owners; only md5-bounded shingle rows and per-(doc, partition) partial
+    counts ride the exchanges."""
+    from ..stages.dedup import dup_ngram_fraction
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dup_ngram_fraction(docs, n=5)
+
+
+SQL_DUP_NGRAM_FRACTION = r"""
+WITH words AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '') AS ws
+  FROM documents
+), sh AS (
+  SELECT doc_id, md5(array_to_string(ws[i:i+4], ' ')) AS g
+  FROM words, unnest(range(1, len(ws) - 3)) AS t(i)
+  WHERE len(ws) >= 5
+), dsh AS (
+  SELECT DISTINCT doc_id, g FROM sh
+), own AS (
+  SELECT g, min(doc_id) AS owner FROM dsh GROUP BY g
+)
+SELECT d.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN o.owner < d.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       round(sum(CASE WHEN o.owner < d.doc_id THEN 1 ELSE 0 END) / count(*), 4)
+         AS dup_fraction
+FROM dsh d JOIN own o USING (g)
+GROUP BY d.doc_id
+"""
+
+
+def q_doc_quality_ntile(sf_dir: str):
+    """Exact global NTILE(10) quality binning by (n_chars, doc_id) —
+    distributed as a distinct-value histogram broadcast + value-partition
+    tie ranking (no global row sort, no driver frame)."""
+    from ..stages.textstats import quality_ntile
+
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    return quality_ntile(docs, k=10)
+
+
+SQL_DOC_QUALITY_NTILE = """
+SELECT doc_id, n_chars,
+       CAST(NTILE(10) OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS decile
+FROM documents
+"""
+
+
+def q_tfidf_top_terms(sf_dir: str):
+    """Per-doc top-3 TF-IDF terms; df computed inside a token-hash
+    partition groupby (no broadcast IDF table), partial top-k per
+    partition, doc-partition merge for ranks."""
+    from ..stages.textstats import tfidf_top_terms
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return tfidf_top_terms(docs, topk=3)
+
+
+SQL_TFIDF_TOP_TERMS = r"""
+WITH toks AS (
+  SELECT doc_id, lower(w) AS token
+  FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(regexp_replace(text, '[^\w\s]', ' ', 'g'),
+                                     '\s+')) AS w
+    FROM documents
+  )
+  WHERE w <> ''
+), tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token
+), df AS (
+  SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY token
+), n AS (
+  SELECT count(*) AS n FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.token, round(tf.tf * ln(n.n / df.df), 4) AS tfidf
+  FROM tf JOIN df USING (token) CROSS JOIN n
+), ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rk
+  FROM scored
+)
+SELECT doc_id, token, tfidf, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= 3
+"""
+
+
 def q_token_counts(sf_dir: str):
     """Whitespace + BPE-ish regex token counts per document (training-data
     token accounting)."""

@@ -723,3 +723,104 @@ def substring_dedup_pairs(
         .groupby("pair_part")
         .map_groups(sum_pairs, batch_format="pandas")
     )
+
+
+def dup_ngram_fraction(
+    ds: "ray.data.Dataset",
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    parts: int = 64,
+    round_dp: int = 4,
+) -> "ray.data.Dataset":
+    """Duplicated-n-gram-fraction filter (the CCNet / RefinedWeb
+    "fraction of duplicated n-grams" document-quality signal — Wenzek et
+    al. 2020, Penedo et al. 2023 §4.2): for each doc, the fraction of its
+    DISTINCT word n-grams whose first corpus occurrence (owner = min
+    ``doc_id`` containing the n-gram) is an earlier document.
+
+    Plan (two bounded exchanges, nothing broadcast or driver-collected):
+
+    1. ``map_batches`` emits one ``(doc_id, md5(shingle))`` row per distinct
+       shingle per doc — the 32-char digest bounds exchange width no matter
+       how long the n-gram text is;
+    2. hash-partition by shingle digest; inside each partition one
+       vectorized pandas pass computes the per-shingle owner (min doc) and
+       collapses to PER-DOC PARTIAL counts — the second exchange carries at
+       most one row per (doc, partition), never shingle rows;
+    3. a small ``groupby(doc_id)`` partition-sum yields
+       ``(doc_id, n_shingles, n_dup, dup_fraction)``.
+
+    A shingle lives in exactly one partition, so partial counts sum exactly.
+    Output ``dup_fraction`` is rounded (``round_dp``) to match the SQL
+    oracle; docs with < n words have no shingles and are absent (SQL join
+    semantics).
+    """
+    from ..functions.hashing import md5_batch
+    from ..stages.textstats import round_half_away
+
+    def shingle_rows(b: pd.DataFrame) -> pd.DataFrame:
+        ids: list[int] = []
+        grams: list[str] = []
+        for i, t in zip(b[id_col].to_numpy(np.int64), b[text_col]):
+            ws = t.split()
+            if len(ws) < n:
+                continue
+            gs = {" ".join(ws[j : j + n]) for j in range(len(ws) - n + 1)}
+            ids.extend([int(i)] * len(gs))
+            grams.extend(gs)
+        g = md5_batch(grams)
+        part = (
+            (pd.util.hash_array(g) % np.uint64(parts)).astype(np.int64)
+            if len(g)
+            else np.zeros(0, dtype=np.int64)
+        )
+        return pd.DataFrame(
+            {
+                id_col: np.asarray(ids, dtype=np.int64),
+                "g": g,
+                "__part": part,
+            }
+        )
+
+    def owner_partials(g: pd.DataFrame) -> pd.DataFrame:
+        owner = g.groupby("g", sort=False)[id_col].transform("min")
+        dup = (g[id_col].to_numpy(np.int64) > owner.to_numpy(np.int64)).astype(
+            np.int64
+        )
+        out = (
+            pd.DataFrame({id_col: g[id_col].to_numpy(np.int64), "__dup": dup})
+            .groupby(id_col, sort=False)
+            .agg(n_shingles=("__dup", "size"), n_dup=("__dup", "sum"))
+            .reset_index()
+            .astype({id_col: "int64", "n_shingles": "int64", "n_dup": "int64"})
+        )
+        # partition key for the per-doc sum (partition-key groupby, not one
+        # map_groups dispatch per doc)
+        out["__dpart"] = (
+            pd.util.hash_array(out[id_col].to_numpy(np.int64)) % np.uint64(parts)
+        ).astype(np.int64)
+        return out
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.groupby(id_col, sort=False)[["n_shingles", "n_dup"]]
+            .sum()
+            .reset_index()
+            .astype({id_col: "int64", "n_shingles": "int64", "n_dup": "int64"})
+        )
+        out["dup_fraction"] = round_half_away(
+            out["n_dup"].to_numpy(np.float64)
+            / np.maximum(out["n_shingles"].to_numpy(np.float64), 1.0),
+            round_dp,
+        )
+        return out
+
+    return (
+        ds.select_columns([id_col, text_col])
+        .map_batches(shingle_rows, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(owner_partials, batch_format="pandas")
+        .groupby("__dpart")
+        .map_groups(finish, batch_format="pandas")
+    )

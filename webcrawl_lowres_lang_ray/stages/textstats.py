@@ -211,3 +211,197 @@ def repetition_batch(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFram
         & (top_bigram_frac <= 0.15)
     )
     return out
+
+
+def quality_ntile(
+    ds: "ray.data.Dataset",
+    k: int = 10,
+    value_col: str = "n_chars",
+    id_col: str = "doc_id",
+    parts: int = 64,
+) -> "ray.data.Dataset":
+    """Exact global NTILE(k) quality binning by ``(value_col, id_col)`` —
+    the "assign every document a corpus-wide quality decile" step of a
+    curation pipeline, matching SQL ``NTILE(k) OVER (ORDER BY value, id)``.
+
+    Distributed plan (no global sort of raw rows, nothing large on the
+    driver):
+
+    1. a combiner aggregation counts docs per distinct ``value_col``
+       (exchange carries one row per distinct value per batch; the result —
+       bounded by the number of DISTINCT doc lengths, not by N — lands on
+       the driver and broadcasts as a cumulative-offset lookup);
+    2. a ``value_col``-keyed partition groupby ranks ties by ``id_col``
+       within each distinct value (vectorized argsort per group) and adds
+       the broadcast offset -> exact 0-based global rank;
+    3. the NTILE bucket is pure arithmetic on (rank, N, k).
+
+    Partitioning assumption: rows sharing one distinct value fit in a
+    worker (at 100 TB, heavily-tied value domains should pre-bucket ties by
+    an ``id_col`` range split; doc-length ties are naturally bounded).
+    """
+    from .agg import combiner_agg
+
+    hist = (
+        combiner_agg(
+            ds.select_columns([value_col]),
+            [value_col],
+            [("n_docs", None, "count")],
+            parts=min(parts, 16),
+        )
+        .to_pandas()
+        .sort_values(value_col, kind="mergesort")
+        .reset_index(drop=True)
+    )
+    total = int(hist["n_docs"].sum())
+    offs = np.concatenate([[0], np.cumsum(hist["n_docs"].to_numpy(np.int64))[:-1]])
+    offset_map = dict(zip(hist[value_col].tolist(), offs.tolist()))
+    size, rem = divmod(total, k)
+    bundle = ray.put((offset_map, total, size, rem))
+
+    def rank_part(g: pd.DataFrame) -> pd.DataFrame:
+        offset_by_value, _n, sz, r = ray.get(bundle)
+        out = g.sort_values([value_col, id_col], kind="mergesort").reset_index(
+            drop=True
+        )
+        vals = out[value_col].to_numpy()
+        # within-value rank: position minus the first index of the value run
+        starts = np.flatnonzero(np.concatenate([[True], vals[1:] != vals[:-1]]))
+        run_id = np.cumsum(np.concatenate([[0], (vals[1:] != vals[:-1]).astype(np.int64)]))
+        within = np.arange(len(out), dtype=np.int64) - starts[run_id]
+        base = np.array([offset_by_value[v] for v in vals], dtype=np.int64)
+        rank0 = base + within
+        head = r * (sz + 1)
+        bucket = np.where(
+            rank0 < head,
+            rank0 // max(sz + 1, 1) + 1,
+            r + np.where(sz > 0, (rank0 - head) // max(sz, 1), 0) + 1,
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {
+                id_col: out[id_col].to_numpy(np.int64),
+                value_col: out[value_col].to_numpy(np.int64),
+                "decile": bucket,
+            }
+        )
+
+    def add_part(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[[id_col, value_col]].copy()
+        b["__vpart"] = (
+            pd.util.hash_array(b[value_col].to_numpy(np.int64)) % np.uint64(parts)
+        ).astype(np.int64)
+        return b
+
+    def rank_drop_part(g: pd.DataFrame) -> pd.DataFrame:
+        return rank_part(g.drop(columns="__vpart"))
+
+    # partition-key groupby: all rows of one distinct value share a
+    # partition, so within-value ranks are complete; one vectorized pass per
+    # partition handles its whole set of distinct values (no per-value
+    # dispatch).
+    return (
+        ds.select_columns([id_col, value_col])
+        .map_batches(add_part, batch_format="pandas")
+        .groupby("__vpart")
+        .map_groups(rank_drop_part, batch_format="pandas")
+    )
+
+
+def tfidf_top_terms(
+    ds: "ray.data.Dataset",
+    topk: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    parts: int = 64,
+    round_dp: int = 4,
+) -> "ray.data.Dataset":
+    """Per-document top-``topk`` TF-IDF terms (Sparck Jones 1972 idf):
+    ``tfidf = tf * ln(N / df)``, ranked ``(tfidf DESC, token)`` per doc.
+
+    Distributed plan — two bounded exchanges, the IDF table never exists as
+    a materialized artifact:
+
+    1. ``map_batches`` emits exact ``(doc_id, token, tf)`` rows (docs are
+       row-atomic, so per-batch term counts are final);
+    2. a token-hash partition groupby owns every row of each token, so
+       ``df`` is a vectorized transform INSIDE the partition — no separate
+       IDF build, no broadcast, no join; the same pass keeps only each
+       doc's per-partition top-``topk`` rows (global top-k is a subset of
+       the union of partition top-ks);
+    3. a doc-hash partition groupby merges the partials and assigns ranks.
+
+    ``N`` is ``ds.count()`` (Parquet metadata, no scan).  Scores round to
+    ``round_dp`` BEFORE ranking on both this and the SQL-oracle side.
+    """
+    n_docs = ds.count()
+
+    def tf_rows(b: pd.DataFrame) -> pd.DataFrame:
+        ids: list[int] = []
+        toks: list[str] = []
+        tfs: list[int] = []
+        for i, t in zip(b[id_col].to_numpy(np.int64), b[text_col]):
+            ws = _PUNCT_RE.sub(" ", t).lower().split()
+            if not ws:
+                continue
+            from collections import Counter
+
+            for w, c in Counter(ws).items():
+                ids.append(int(i))
+                toks.append(w)
+                tfs.append(int(c))
+        tok_arr = np.array(toks, dtype=object)
+        part = (
+            (pd.util.hash_array(tok_arr) % np.uint64(parts)).astype(np.int64)
+            if len(tok_arr)
+            else np.zeros(0, dtype=np.int64)
+        )
+        return pd.DataFrame(
+            {
+                id_col: np.asarray(ids, dtype=np.int64),
+                "token": tok_arr,
+                "tf": np.asarray(tfs, dtype=np.int64),
+                "__tpart": part,
+            }
+        )
+
+    def score_part(g: pd.DataFrame) -> pd.DataFrame:
+        dfc = g.groupby("token", sort=False)[id_col].transform("size").to_numpy(
+            np.float64
+        )
+        tfidf = round_half_away(
+            g["tf"].to_numpy(np.float64) * np.log(float(n_docs) / dfc), round_dp
+        )
+        out = pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy(np.int64),
+                "token": g["token"].to_numpy(),
+                "tfidf": tfidf,
+            }
+        )
+        out = out.sort_values(
+            [id_col, "tfidf", "token"], ascending=[True, False, True], kind="mergesort"
+        )
+        out = out.groupby(id_col, sort=False).head(topk).reset_index(drop=True)
+        out["__dpart"] = (
+            pd.util.hash_array(out[id_col].to_numpy(np.int64)) % np.uint64(parts)
+        ).astype(np.int64)
+        return out
+
+    def rank_final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.sort_values(
+            [id_col, "tfidf", "token"], ascending=[True, False, True], kind="mergesort"
+        ).reset_index(drop=True)
+        out["rk"] = out.groupby(id_col, sort=False).cumcount().to_numpy(np.int64) + 1
+        out = out[out["rk"] <= topk].reset_index(drop=True)
+        return out[[id_col, "token", "tfidf", "rk"]].astype(
+            {id_col: "int64", "tfidf": "float64", "rk": "int64"}
+        )
+
+    return (
+        ds.select_columns([id_col, text_col])
+        .map_batches(tf_rows, batch_format="pandas")
+        .groupby("__tpart")
+        .map_groups(score_part, batch_format="pandas")
+        .groupby("__dpart")
+        .map_groups(rank_final, batch_format="pandas")
+    )
