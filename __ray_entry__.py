@@ -111,6 +111,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_quantiles_approx": q.q_event_value_quantiles_approx,
         "approx_distinct_users": q.q_approx_distinct_users,
         "approx_top_users": q.q_approx_top_users,
+        "semantic_dedup": q.q_semantic_dedup,
+        "lm_perplexity": q.q_lm_perplexity,
     }
 
 

@@ -220,3 +220,150 @@ class TestTfidfTopTerms:
         # doc 0's unique terms (cc..hh, idf=ln 2) outrank shared aa/bb (idf 0)
         assert d0["token"].tolist() == ["cc", "dd", "ee"]
         assert d0["rk"].tolist() == [1, 2, 3]
+
+
+# ---------------------------------------------------------------------------
+# semantic_dedup (SemDeDup)
+# ---------------------------------------------------------------------------
+
+
+class TestSemanticDedup:
+    def _run(self, tau=0.95, ncluster=4):
+        import ray.data
+
+        from webcrawl_lowres_lang_ray.stages.ann import semantic_dedup
+
+        rng = np.random.RandomState(11)
+        base = rng.randn(20, 8)
+        # plant near-dup pairs: vec 20+i = tiny perturbation of vec i (i<5)
+        dups = base[:5] + 0.001 * rng.randn(5, 8)
+        mat = np.vstack([base, dups])
+        df = pd.DataFrame(
+            {
+                "vec_id": np.arange(len(mat), dtype=np.int64),
+                "embedding": [v.astype(np.float32).tolist() for v in mat],
+            }
+        )
+        out = (
+            semantic_dedup(ray.data.from_pandas(df), ncluster=ncluster, tau=tau)
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        return mat, out
+
+    def test_planted_neardups_dropped_first_wins(self):
+        mat, out = self._run()
+        assert len(out) == 25
+        kept = out[out["keep"]]["vec_id"].to_numpy()
+        dropped = out[~out["keep"]]["vec_id"].to_numpy()
+        # each planted clone (20..24) of an earlier vec must be dropped
+        # WHEN it shares a cluster with its original (tiny perturbation ->
+        # same centroid); originals 0..4 are kept (lowest id wins)
+        clus = out.set_index("vec_id")["cluster"]
+        for i in range(5):
+            if clus[i] == clus[20 + i]:
+                assert 20 + i in dropped
+            assert i in kept
+
+    def test_greedy_invariants(self):
+        mat, out = self._run()
+        normed = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        by_cluster = out.groupby("cluster")
+        for _, g in by_cluster:
+            g = g.sort_values("vec_id")
+            kept_ids = g[g["keep"]]["vec_id"].to_numpy()
+            # kept items are pairwise below tau
+            if len(kept_ids) > 1:
+                km = normed[kept_ids]
+                sims = km @ km.T
+                np.fill_diagonal(sims, 0)
+                assert sims.max() < 0.95
+            # every dropped item has an earlier kept item above tau
+            for _, row in g[~g["keep"]].iterrows():
+                earlier = kept_ids[kept_ids < row["vec_id"]]
+                assert len(earlier) > 0
+                assert (normed[earlier] @ normed[int(row["vec_id"])]).max() >= 0.95
+                assert row["max_sim"] >= 0.95
+
+    def test_determinism(self):
+        _, out1 = self._run()
+        _, out2 = self._run()
+        pd.testing.assert_frame_equal(out1, out2)
+
+
+# ---------------------------------------------------------------------------
+# lm_perplexity
+# ---------------------------------------------------------------------------
+
+
+class TestLmPerplexity:
+    def test_target_lang_scores_lower(self):
+        """Docs from the training language must average lower cross-entropy
+        than out-of-domain docs under the en-trained LM (sf0.001 corpus)."""
+        import ray.data
+
+        from webcrawl_lowres_lang_ray.stages.lm import lm_perplexity
+
+        docs = ray.data.read_parquet(
+            f"{SF}/documents.parquet", columns=["doc_id", "text", "lang"]
+        )
+        out = lm_perplexity(docs, target_lang="en").to_pandas()
+        langs = pd.read_parquet(
+            f"{SF}/documents.parquet", columns=["doc_id", "lang"]
+        )
+        j = out.merge(langs, on="doc_id")
+        j = j[j["n_bigrams"] > 0]
+        en = j[j["lang"] == "en"]["xent"].mean()
+        other = j[j["lang"] != "en"]["xent"].mean()
+        assert en < other
+
+    def test_known_counts_and_short_docs(self):
+        import ray.data
+
+        from webcrawl_lowres_lang_ray.stages.lm import lm_perplexity
+
+        rows = [
+            {"doc_id": 0, "text": "a b c d", "lang": "en"},   # 3 bigrams
+            {"doc_id": 1, "text": "a", "lang": "en"},          # 0 bigrams
+            {"doc_id": 2, "text": "", "lang": "zh"},           # 0 bigrams
+        ]
+        out = (
+            lm_perplexity(ray.data.from_pandas(pd.DataFrame(rows)))
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        assert out.loc[0, "n_bigrams"] == 3
+        assert out.loc[0, "ppl"] == pytest.approx(2.0 ** out.loc[0, "xent"], rel=1e-3)
+        for d in (1, 2):
+            assert out.loc[d, "n_bigrams"] == 0
+            assert out.loc[d, "xent"] == 0.0 and out.loc[d, "ppl"] == 0.0
+
+    def test_seen_bigrams_beat_unseen(self):
+        import ray.data
+
+        from webcrawl_lowres_lang_ray.stages.lm import lm_perplexity
+
+        rows = [
+            {"doc_id": 0, "text": "the cat sat on the mat", "lang": "en"},
+            {"doc_id": 1, "text": "the cat sat on the mat", "lang": "en"},
+            {"doc_id": 2, "text": "zzz qqq www eee rrr ttt", "lang": "zh"},
+        ]
+        out = (
+            lm_perplexity(ray.data.from_pandas(pd.DataFrame(rows)))
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        assert out.loc[0, "xent"] < out.loc[2, "xent"]
+
+    def test_determinism_across_runs(self):
+        import ray.data
+
+        from webcrawl_lowres_lang_ray.stages.lm import lm_perplexity
+
+        docs = ray.data.read_parquet(
+            f"{SF}/documents.parquet", columns=["doc_id", "text", "lang"]
+        )
+        a = lm_perplexity(docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        b = lm_perplexity(docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)

@@ -838,6 +838,27 @@ FROM ranked WHERE rk <= 3
 """
 
 
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023): k-means clusters + greedy first-wins
+    intra-cluster cosine dedup over the embeddings table.  Rows-only gate
+    (k-means has no SQL form); greedy/cluster invariants pinned in
+    tests/test_corpus_ops.py."""
+    from ..stages.ann import semantic_dedup
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return semantic_dedup(emb, ncluster=8, tau=0.95)
+
+
+def q_lm_perplexity(sf_dir: str):
+    """CCNet-style LM quality filter: hashed-bigram add-one LM trained on
+    the lang='en' subset, bits-per-bigram cross-entropy for every doc.
+    Rows-only gate; separation/determinism pinned in tests."""
+    from ..stages.lm import lm_perplexity
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    return lm_perplexity(docs, target_lang="en")
+
+
 def q_token_counts(sf_dir: str):
     """Whitespace + BPE-ish regex token counts per document (training-data
     token accounting)."""

@@ -421,3 +421,86 @@ def ivf_topk(
     allp = partials.to_pandas()
     allp = allp.sort_values(["score", id_col], ascending=[False, True], kind="mergesort")
     return allp.head(k).reset_index(drop=True)
+
+
+def semantic_dedup(
+    ds: "ray.data.Dataset",
+    ncluster: int = 8,
+    tau: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 5,
+) -> "ray.data.Dataset":
+    """SemDeDup semantic deduplication (Abbas et al. 2023, arXiv:2303.09540):
+    k-means-cluster the embeddings, then inside each cluster drop every item
+    whose cosine similarity to an already-kept item is >= ``tau``.
+
+    Deviations from the paper, both deterministic by construction: the
+    coarse quantizer is the repo's bounded-sample k-means
+    (``ivf_train_centroids``, fixed seed) rather than faiss, and the keeper
+    within a near-dup group is the LOWEST id (greedy in ``id_col`` order)
+    rather than the item with lowest centroid similarity — first-wins
+    matches every other dedup family in this repo (D5 semantics).
+
+    Scale shape: centroids broadcast once (``ray.put``); the only shuffle is
+    the cluster-keyed groupby, exactly the paper's partitioning trick — the
+    quadratic verify runs per cluster, never across the corpus.
+    Partitioning assumption (documented, as the paper's): one cluster's
+    vectors fit in a worker; raise ``ncluster`` so expected cluster size
+    stays bounded (the paper uses ~100k clusters at web scale).
+
+    Output: ``(vec_id, cluster, keep, max_sim)`` where ``max_sim`` is the
+    highest cosine to any kept earlier same-cluster item (rounded; -1.0
+    when the cluster has no earlier kept item).
+    """
+    cents = ivf_train_centroids(ds, nlist=ncluster, vec_col=vec_col)
+    cents_ref = ray.put(cents)
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(cents_ref)
+        mat = _batch_matrix(b, vec_col)
+        d = ((mat[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        normed = mat / norms[:, None]
+        return pd.DataFrame(
+            {
+                id_col: b[id_col].to_numpy(np.int64),
+                "cluster": d.argmin(axis=1).astype(np.int64),
+                "nvec": [v.tobytes() for v in normed],
+            }
+        )
+
+    dim = cents.shape[1]
+
+    def dedup_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        mat = np.frombuffer(b"".join(g["nvec"]), dtype=np.float64).reshape(-1, dim)
+        n = len(g)
+        keep = np.zeros(n, dtype=bool)
+        max_sim = np.full(n, -1.0)
+        kept_rows: list[int] = []
+        for i in range(n):
+            if kept_rows:
+                sims = mat[kept_rows] @ mat[i]
+                best = float(sims.max())
+                max_sim[i] = best
+                if best >= tau:
+                    continue
+            keep[i] = True
+            kept_rows.append(i)
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy(np.int64),
+                "cluster": g["cluster"].to_numpy(np.int64),
+                "keep": keep,
+                "max_sim": round_half_away(max_sim, round_dp),
+            }
+        )
+
+    return (
+        ds.select_columns([id_col, vec_col])
+        .map_batches(assign, batch_format="pandas")
+        .groupby("cluster")
+        .map_groups(dedup_cluster, batch_format="pandas")
+    )
