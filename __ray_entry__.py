@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_top_users": q.q_approx_top_users,
         "semantic_dedup": q.q_semantic_dedup,
         "lm_perplexity": q.q_lm_perplexity,
+        "bpe_token_stats": q.q_bpe_token_stats,
     }
 
 

@@ -367,3 +367,106 @@ class TestLmPerplexity:
         a = lm_perplexity(docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
         b = lm_perplexity(docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b)
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer (train + encode)
+# ---------------------------------------------------------------------------
+
+
+def _serial_bpe_train(word_counts: dict, num_merges: int):
+    """Reference serial BPE trainer (Sennrich et al. 2016 pseudocode)."""
+    from webcrawl_lowres_lang_ray.stages.bpe import EOW, _apply_merge_row
+
+    table = {tuple(list(w) + [EOW]): c for w, c in word_counts.items()}
+    merges = []
+    for _ in range(num_merges):
+        pairs = {}
+        for syms, c in table.items():
+            for a, b in zip(syms[:-1], syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + c
+        if not pairs:
+            break
+        # deterministic: count desc, then lexicographically smallest pair
+        top = max(pairs.values())
+        cands = sorted([p for p, n in pairs.items() if n == top])
+        pair = cands[0]
+        if top < 2:
+            break
+        merges.append(pair)
+        a, b = pair
+        merged = a + b
+        table = {
+            tuple(_apply_merge_row(list(k), a, b, merged)): c
+            for k, c in table.items()
+        }
+    return merges
+
+
+class TestBpe:
+    CORPUS = [
+        {"doc_id": 0, "text": "low lower lowest low low"},
+        {"doc_id": 1, "text": "new newer newest new"},
+        {"doc_id": 2, "text": "wider wide wide widest"},
+    ]
+
+    def test_train_matches_serial_reference(self):
+        from collections import Counter
+
+        from webcrawl_lowres_lang_ray.stages.bpe import bpe_train
+
+        wc = Counter()
+        for r in self.CORPUS:
+            wc.update(r["text"].split())
+        expect = _serial_bpe_train(dict(wc), 12)
+        got = bpe_train(_docs(self.CORPUS), num_merges=12)
+        assert got == expect
+
+    def test_encode_matches_training_rewrite(self):
+        """Greedy rank-order encoding of a word must equal sequentially
+        applying the merge list (the training-side rewrite)."""
+        from collections import Counter
+
+        from webcrawl_lowres_lang_ray.stages.bpe import (
+            EOW,
+            _apply_merge_row,
+            bpe_encode_word,
+            bpe_train,
+        )
+
+        wc = Counter()
+        for r in self.CORPUS:
+            wc.update(r["text"].split())
+        merges = bpe_train(_docs(self.CORPUS), num_merges=12)
+        ranks = {m: i for i, m in enumerate(merges)}
+        for w in wc:
+            syms = list(w) + [EOW]
+            for a, b in merges:
+                syms = _apply_merge_row(syms, a, b, a + b)
+            assert bpe_encode_word(w, ranks) == syms, w
+
+    def test_token_stats_pipeline(self):
+        from webcrawl_lowres_lang_ray.stages.bpe import bpe_token_stats
+
+        out = (
+            bpe_token_stats(_docs(self.CORPUS), num_merges=12)
+            .to_pandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        assert len(out) == 3
+        # frequent words compress: fewer bpe tokens than chars, at least
+        # one token per word
+        assert (out["bpe_tokens"] >= out["n_words"]).all()
+        assert (out["chars_per_token"] > 0).all()
+        # "low" appears 4x -> should be a single token after 12 merges on
+        # this tiny corpus; doc 0 has 5 words, so tokens < character count
+        chars0 = len(self.CORPUS[0]["text"])
+        assert out.loc[0, "bpe_tokens"] < chars0
+
+    def test_determinism(self):
+        from webcrawl_lowres_lang_ray.stages.bpe import bpe_train
+
+        a = bpe_train(_docs(self.CORPUS), num_merges=8)
+        b = bpe_train(_docs(self.CORPUS), num_merges=8)
+        assert a == b

@@ -49,5 +49,13 @@ class HashingEmbedStage:
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
-        batch["embedding"] = hashing_embed_batch(batch[self.text_col], self.dim)
+        # plain lists, NOT ndarrays: an object column of ndarrays gets
+        # auto-cast to Ray's Arrow tensor-extension type, whose pandas
+        # round-trip needs TensorDtype registered in the worker — whether it
+        # is depends on that worker's task history (order-dependent
+        # "format number ... not recognized" failures).  Lists become Arrow
+        # list<double>, the same shape the embeddings parquet table reads as.
+        batch["embedding"] = [
+            v.tolist() for v in hashing_embed_batch(batch[self.text_col], self.dim)
+        ]
         return batch

@@ -859,6 +859,18 @@ def q_lm_perplexity(sf_dir: str):
     return lm_perplexity(docs, target_lang="en")
 
 
+def q_bpe_token_stats(sf_dir: str):
+    """Subword tokenization end-to-end: distributed BPE training (pair
+    counts as mergeable partials over the word-frequency table, 40 merges)
+    then actor-pool encoding — per-doc subword counts + compression ratio.
+    Rows-only gate (iterative training has no SQL form); serial-BPE parity
+    pinned in tests/test_corpus_ops.py."""
+    from ..stages.bpe import bpe_token_stats
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return bpe_token_stats(docs, num_merges=40)
+
+
 def q_token_counts(sf_dir: str):
     """Whitespace + BPE-ish regex token counts per document (training-data
     token accounting)."""
