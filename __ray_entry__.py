@@ -89,6 +89,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_ngram_fraction": q.q_dup_ngram_fraction,
         "doc_quality_ntile": q.q_doc_quality_ntile,
         "tfidf_top_terms": q.q_tfidf_top_terms,
+        "user_running_totals": q.q_user_running_totals,
+        "order_customer_join": q.q_order_customer_join,
         # --- crawl engine (rows-only; gated by oracle conformance tests) ---
         "crawl_ledger": cq.q_crawl_ledger,
         "crawl_order": cq.q_crawl_order,
@@ -163,4 +165,6 @@ def oracle_sql() -> dict[str, str]:
         "dup_ngram_fraction": q.SQL_DUP_NGRAM_FRACTION,
         "doc_quality_ntile": q.SQL_DOC_QUALITY_NTILE,
         "tfidf_top_terms": q.SQL_TFIDF_TOP_TERMS,
+        "user_running_totals": q.SQL_USER_RUNNING_TOTALS,
+        "order_customer_join": q.SQL_ORDER_CUSTOMER_JOIN,
     }

@@ -470,3 +470,134 @@ class TestBpe:
         a = bpe_train(_docs(self.CORPUS), num_merges=8)
         b = bpe_train(_docs(self.CORPUS), num_merges=8)
         assert a == b
+
+
+# ---------------------------------------------------------------------------
+# running windows + generic hash join
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("name", ["user_running_totals", "order_customer_join"])
+def test_window_join_match_duckdb_oracle(name):
+    import duckdb
+    import glob
+    import os
+
+    import __ray_entry__ as e
+    from scripts.check_correctness import to_pandas, value_hash
+
+    con = duckdb.connect()
+    for p in glob.glob(f"{SF}/*.parquet"):
+        con.execute(
+            f"CREATE VIEW {os.path.basename(p)[:-8]} AS SELECT * FROM read_parquet('{p}')"
+        )
+    mine = to_pandas(e.queries()[name](SF))
+    theirs = con.execute(e.oracle_sql()[name]).df()
+    assert len(mine) == len(theirs)
+    assert sorted(mine.columns) == sorted(theirs.columns)
+    assert value_hash(mine) == value_hash(theirs)
+
+
+class TestHashJoin:
+    def test_inner_join_matches_pandas(self):
+        import ray.data
+
+        from webcrawl_lowres_lang_ray.stages.join import hash_join
+
+        rng = np.random.RandomState(3)
+        left = pd.DataFrame(
+            {
+                "k": rng.randint(0, 20, size=100).astype(np.int64),
+                "lv": np.arange(100, dtype=np.int64),
+            }
+        )
+        right = pd.DataFrame(
+            {
+                "rk": np.arange(0, 15, dtype=np.int64),  # keys 15..19 unmatched
+                "rv": np.arange(100, 115, dtype=np.int64),
+            }
+        )
+        got = (
+            hash_join(
+                ray.data.from_pandas(left),
+                ray.data.from_pandas(right),
+                left_key="k",
+                right_key="rk",
+                parts=8,
+            )
+            .to_pandas()
+            .sort_values(["lv"])
+            .reset_index(drop=True)
+        )
+        expect = (
+            left.merge(right, left_on="k", right_on="rk", how="inner")
+            .sort_values(["lv"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got[expect.columns.tolist()], expect
+        )
+        # int dtypes survive the mixed-schema union shuffle
+        assert got["lv"].dtype == np.int64 and got["rv"].dtype == np.int64
+
+    def test_left_join_keeps_unmatched(self):
+        import ray.data
+
+        from webcrawl_lowres_lang_ray.stages.join import hash_join
+
+        left = pd.DataFrame({"k": np.array([1, 2, 3], dtype=np.int64)})
+        right = pd.DataFrame(
+            {"k": np.array([2], dtype=np.int64), "rv": np.array([7], dtype=np.int64)}
+        )
+        got = (
+            hash_join(
+                ray.data.from_pandas(left),
+                ray.data.from_pandas(right),
+                left_key="k",
+                how="left",
+                parts=4,
+            )
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        assert got["k"].tolist() == [1, 2, 3]
+        assert got["rv"].isna().tolist() == [True, False, True]
+
+
+class TestRunningWindows:
+    def test_matches_pandas_window(self):
+        import ray.data
+
+        from webcrawl_lowres_lang_ray.stages.windows import running_window_cols
+
+        rng = np.random.RandomState(9)
+        n = 200
+        df = pd.DataFrame(
+            {
+                "event_id": np.arange(n, dtype=np.int64),
+                "user_id": rng.randint(0, 10, size=n).astype(np.int64),
+                "ts": pd.Timestamp("2026-01-01")
+                + pd.to_timedelta(rng.randint(0, 10_000, size=n), unit="s"),
+                "value": np.round(rng.uniform(0, 100, size=n), 2),
+            }
+        )
+        got = (
+            running_window_cols(ray.data.from_pandas(df), parts=8)
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        s = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        grp = s.groupby("user_id", sort=False)
+        s = s.assign(
+            rn=(grp.cumcount() + 1).astype(np.int64),
+            cum_value=grp["value"].cumsum().round(2),
+            prev_value=grp["value"].shift(1).fillna(0.0).round(2),
+        )
+        expect = (
+            s[["event_id", "user_id", "rn", "cum_value", "prev_value"]]
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, expect)

@@ -859,6 +859,55 @@ def q_lm_perplexity(sf_dir: str):
     return lm_perplexity(docs, target_lang="en")
 
 
+def q_user_running_totals(sf_dir: str):
+    """Per-user ordered window columns (row_number, running sum, lag) —
+    one key-hash partition shuffle, vectorized grouped cumsum inside."""
+    from ..stages.windows import running_window_cols
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    return running_window_cols(ev)
+
+
+SQL_USER_RUNNING_TOTALS = """
+SELECT event_id, user_id,
+       CAST(row_number() OVER w AS BIGINT) AS rn,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING), 2) AS cum_value,
+       round(COALESCE(lag(value) OVER w, 0.0), 2) AS prev_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q_order_customer_join(sf_dir: str):
+    """Big-x-big equi-join via the generic tagged-union hash join
+    (stages/join.py — every row moves exactly once), then a combiner
+    rollup per (mktsegment, orderstatus)."""
+    from ..stages.join import hash_join
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    joined = hash_join(orders, cust, left_key="o_custkey", right_key="c_custkey")
+    out = _combiner_agg(
+        joined,
+        ["c_mktsegment", "o_orderstatus"],
+        [("n_orders", None, "count"), ("total_price", "o_totalprice", "sum")],
+    )
+    out["total_price"] = round_half_away(out["total_price"].to_numpy(np.float64), 2)
+    return out
+
+
+SQL_ORDER_CUSTOMER_JOIN = """
+SELECT c.c_mktsegment, o.o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o.o_totalprice), 2) AS total_price
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment, o.o_orderstatus
+"""
+
+
 def q_bpe_token_stats(sf_dir: str):
     """Subword tokenization end-to-end: distributed BPE training (pair
     counts as mergeable partials over the word-frequency table, 40 merges)

@@ -338,3 +338,60 @@ def range_join_broadcast(
         return pd.concat(out_frames, ignore_index=True)
 
     return ds.map_batches(fn, batch_format="pandas")
+
+
+def running_window_cols(
+    ds: "ray.data.Dataset",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    parts: int = 64,
+    round_dp: int = 2,
+) -> "ray.data.Dataset":
+    """Per-key ordered window columns — SQL ``row_number() /
+    sum() ROWS UNBOUNDED PRECEDING / lag() OVER (PARTITION BY key ORDER BY
+    ts, id)`` — the running-total / previous-event features of a
+    sessionized event table.
+
+    One key-hash partition shuffle; inside each partition a single
+    vectorized pass (sort + grouped cumsum/cumcount/shift) computes every
+    key's windows — no per-key dispatch.  The cumulative sum's summation
+    ORDER is pinned by the (ts, id) sort on both this and the SQL side, so
+    rounded outputs hash-match.  ``prev_value`` uses 0.0 for the first row
+    of a key (COALESCE in the oracle — avoids NULL-vs-NaN hash ambiguity).
+
+    Partitioning assumption: one key's rows fit in a worker (same as every
+    per-user operator here); skewed keys would pre-split by time range.
+    """
+
+    def add_part(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[[id_col, key_col, ts_col, value_col]].copy()
+        b["__p"] = (
+            pd.util.hash_array(b[key_col].to_numpy(np.int64)) % np.uint64(parts)
+        ).astype(np.int64)
+        return b
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, id_col], kind="mergesort").reset_index(
+            drop=True
+        )
+        grp = g.groupby(key_col, sort=False)
+        rn = (grp.cumcount() + 1).to_numpy(np.int64)
+        cum = grp[value_col].cumsum().to_numpy(np.float64)
+        prev = grp[value_col].shift(1).fillna(0.0).to_numpy(np.float64)
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy(np.int64),
+                key_col: g[key_col].to_numpy(np.int64),
+                "rn": rn,
+                "cum_value": round_half_away(cum, round_dp),
+                "prev_value": round_half_away(prev, round_dp),
+            }
+        )
+
+    return (
+        ds.map_batches(add_part, batch_format="pandas")
+        .groupby("__p")
+        .map_groups(per_part, batch_format="pandas")
+    )
