@@ -51,6 +51,10 @@ BENCH_QUERIES = [
     "events_sliding_window",
     "user_value_salted",
     "embedding_neardup",
+    # round-3 additions (new keys are additive; BASELINE.md tracks bands
+    # per query, cross-round totals compare on the shared prefix)
+    "dup_ngram_fraction",
+    "order_customer_join",
 ]
 
 
