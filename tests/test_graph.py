@@ -142,3 +142,34 @@ class TestPagerank:
         assert a["url"].notna().all() and a["url"].str.len().gt(0).all()
         assert (a["rank"].to_numpy() == np.sort(a["rank"].to_numpy())[::-1]).all()
         pd.testing.assert_frame_equal(a, b)
+
+    def test_crawl_priority_pagerank_admission_order(self):
+        """Composed pipeline: PageRank-derived seed priorities reorder
+        admission — per host, every wave-0 seed must outrank every later
+        seed of the same host ((priority DESC, seq) admission, tight
+        per_host_per_wave budget)."""
+        from urllib.parse import urlparse
+
+        from webcrawl_lowres_lang_ray.pipelines.crawl_queries import (
+            q_crawl_priority_pagerank,
+        )
+
+        a = q_crawl_priority_pagerank("/root/testdata/sf0.001")
+        b = q_crawl_priority_pagerank("/root/testdata/sf0.001")
+        pd.testing.assert_frame_equal(a, b)  # cached + deterministic
+        assert list(a.columns) == ["url", "priority", "wave"]
+        assert len(a) > 0
+        # priorities are a permutation of 1..N (total, deterministic)
+        assert sorted(a["priority"]) == list(range(1, len(a) + 1))
+        df = a.copy()
+        df["host"] = [urlparse(u).netloc for u in df["url"]]
+        admitted = df[df["wave"] >= 0]
+        assert (admitted["wave"] == 0).any()
+        for _, g in admitted.groupby("host"):
+            waves = g["wave"].to_numpy()
+            prios = g["priority"].to_numpy()
+            for w in np.unique(waves):
+                later = prios[waves > w]
+                if len(later):
+                    # every seed fetched in wave w beats every later one
+                    assert prios[waves == w].min() > later.max()

@@ -390,20 +390,16 @@ def q_lexicon_regen(sf_dir: str) -> pd.DataFrame:
     return out
 
 
-def q_crawl_pagerank(sf_dir: str) -> pd.DataFrame:
-    """Link-graph PageRank over the corpus pages (stages/graph.py): extract
-    <a href> edges from the page HTML, run 5 sweeps of the vertex-state-
-    broadcast variant (edges never re-shuffled after the one-time outdeg
-    attach), return the top-50 (url, rank).  Rows-only gate: numpy-oracle
-    parity, determinism and mass bounds pinned in tests/test_graph.py."""
+def _corpus_link_ranks(corpus: str):
+    """Shared PageRank core: extract <a href> edges from the corpus pages,
+    run the vertex-state-broadcast PageRank.  Returns ``(edge_urls,
+    ranks)`` — the materialized (src_url, dst_url) Dataset (for url naming)
+    and the driver-side (id, rank) frame (vertex-count-bounded)."""
     import pyarrow as pa
-
-    import ray as _ray
 
     from ..functions.html_text import extract_links_batch
     from ..stages.graph import pagerank_broadcast, url_ids
 
-    corpus = corpus_dir_for_sf(sf_dir)
     pages = ray.data.read_parquet(
         os.path.join(corpus, "pages"), columns=["url", "html"]
     )
@@ -432,6 +428,21 @@ def q_crawl_pagerank(sf_dir: str) -> pd.DataFrame:
         )
 
     ranks = pagerank_broadcast(edge_urls.map_batches(to_ids, batch_format="pandas"))
+    return edge_urls, ranks
+
+
+def q_crawl_pagerank(sf_dir: str) -> pd.DataFrame:
+    """Link-graph PageRank over the corpus pages (stages/graph.py): extract
+    <a href> edges from the page HTML, run 5 sweeps of the vertex-state-
+    broadcast variant (edges never re-shuffled after the one-time outdeg
+    attach), return the top-50 (url, rank).  Rows-only gate: numpy-oracle
+    parity, determinism and mass bounds pinned in tests/test_graph.py."""
+    import ray as _ray
+
+    from ..stages.graph import url_ids
+
+    corpus = corpus_dir_for_sf(sf_dir)
+    edge_urls, ranks = _corpus_link_ranks(corpus)
 
     top = ranks.nlargest(50, "rank")
     top_ref = _ray.put(set(int(i) for i in top["id"]))
@@ -464,6 +475,82 @@ def q_crawl_pagerank(sf_dir: str) -> pd.DataFrame:
         .head(50)
         .reset_index(drop=True)
     )
+
+
+def q_crawl_priority_pagerank(sf_dir: str) -> pd.DataFrame:
+    """Composition: PageRank drives a FOCUSED RE-CRAWL.  The corpus link
+    graph's ranks become seed priorities (denser rank -> higher priority
+    int), a second crawl runs with those seeds under a tight per-host
+    politeness budget, and the output shows the observable effect of the
+    priority-frontier hook: per host, higher-priority seeds are admitted in
+    earlier waves ((priority DESC, seq) admission — frontier.py:108-110).
+
+    Output: one row per seed ``(url, priority, wave)`` — ``wave`` is the
+    politeness wave the seed was fetched in (-1 if still pending under the
+    ``max_waves`` cap).  Deterministic: PageRank, the priority assignment
+    (rank DESC, seq tiebreak) and the crawl are all seeded/ordered.  Cached
+    per corpus like crawl_output_dir.  Rows-only gate: admission-order
+    invariants pinned in tests/test_graph.py."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..stages.graph import url_ids
+
+    corpus = corpus_dir_for_sf(sf_dir)
+    out = os.path.join("/tmp/wllr_runs", "prio_" + os.path.basename(corpus))
+    prio_corpus = out + "_corpus"
+    done = os.path.join(out, "DONE")
+    if not os.path.exists(done):
+        _, ranks = _corpus_link_ranks(corpus)
+        rank_by_id = dict(
+            zip(ranks["id"].to_numpy(np.int64).tolist(), ranks["rank"].to_numpy())
+        )
+        seeds = pq.read_table(os.path.join(corpus, "seeds.parquet")).to_pandas()
+        ids = url_ids(list(seeds["url"]))
+        rank_vals = np.array([rank_by_id.get(int(i), 0.0) for i in ids])
+        # priority ints: best-ranked seed gets N, worst gets 1 (ties broken
+        # by seq so the assignment is total and deterministic)
+        order = np.lexsort((seeds["seq"].to_numpy(np.int64), -rank_vals))
+        prio = np.empty(len(seeds), dtype=np.int64)
+        prio[order] = np.arange(len(seeds), 0, -1, dtype=np.int64)
+        seeds["priority"] = prio
+
+        # corpus clone: pages/lexicon/robots shared via symlink, seeds with
+        # the priority column written fresh
+        shutil.rmtree(prio_corpus, ignore_errors=True)
+        os.makedirs(prio_corpus, exist_ok=True)
+        for name in ("pages", "lexicon.parquet", "english_ref.parquet", "robots.parquet"):
+            src = os.path.join(corpus, name)
+            if os.path.exists(src):
+                os.symlink(src, os.path.join(prio_corpus, name))
+        pq.write_table(
+            pa.Table.from_pandas(seeds, preserve_index=False),
+            os.path.join(prio_corpus, "seeds.parquet"),
+        )
+        run_crawl(
+            prio_corpus, out, CrawlConfig(per_host_per_wave=4, max_waves=3)
+        )
+        with open(done, "w") as f:
+            f.write("ok\n")
+        _PRIO_SEEDS_CACHE[corpus] = seeds
+    seeds = _PRIO_SEEDS_CACHE.get(corpus)
+    if seeds is None:
+        seeds = pq.read_table(os.path.join(prio_corpus, "seeds.parquet")).to_pandas()
+        _PRIO_SEEDS_CACHE[corpus] = seeds
+
+    led = (
+        ledger_dataset(out, columns=["url", "wave"])
+        .to_pandas()
+        .drop_duplicates("url")
+    )
+    outdf = seeds[["url", "priority"]].merge(led, on="url", how="left")
+    outdf["wave"] = outdf["wave"].fillna(-1).astype(np.int64)
+    return outdf.sort_values("url", kind="mergesort").reset_index(drop=True)
+
+
+_PRIO_SEEDS_CACHE: dict[str, pd.DataFrame] = {}
 
 
 def q_crawl_dedup_clusters(sf_dir: str) -> pd.DataFrame:

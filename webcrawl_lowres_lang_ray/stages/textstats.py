@@ -269,7 +269,7 @@ def quality_ntile(
         starts = np.flatnonzero(np.concatenate([[True], vals[1:] != vals[:-1]]))
         run_id = np.cumsum(np.concatenate([[0], (vals[1:] != vals[:-1]).astype(np.int64)]))
         within = np.arange(len(out), dtype=np.int64) - starts[run_id]
-        base = np.array([offset_by_value[v] for v in vals], dtype=np.int64)
+        base = pd.Series(vals).map(offset_by_value).to_numpy(np.int64)
         rank0 = base + within
         head = r * (sz + 1)
         bucket = np.where(
