@@ -91,6 +91,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": q.q_tfidf_top_terms,
         "user_running_totals": q.q_user_running_totals,
         "order_customer_join": q.q_order_customer_join,
+        "doc_split_assign": q.q_doc_split_assign,
+        "pack_sequences": q.q_pack_sequences,
         # --- crawl engine (rows-only; gated by oracle conformance tests) ---
         "crawl_ledger": cq.q_crawl_ledger,
         "crawl_order": cq.q_crawl_order,
@@ -168,4 +170,5 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": q.SQL_TFIDF_TOP_TERMS,
         "user_running_totals": q.SQL_USER_RUNNING_TOTALS,
         "order_customer_join": q.SQL_ORDER_CUSTOMER_JOIN,
+        "doc_split_assign": q.SQL_DOC_SPLIT_ASSIGN,
     }

@@ -908,6 +908,44 @@ GROUP BY c.c_mktsegment, o.o_orderstatus
 """
 
 
+def q_doc_split_assign(sf_dir: str):
+    """Deterministic train/val/test split by md5(doc_id) bucket — stable
+    under resharding/corpus growth; embarrassingly parallel, no shuffle."""
+    from ..stages.curation import split_assign
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    return split_assign(docs)
+
+
+SQL_DOC_SPLIT_ASSIGN = """
+WITH h AS (
+  SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS hx FROM documents
+), v AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(1, 9),
+             i -> (strpos('0123456789abcdef', substr(hx, CAST(i AS INTEGER), 1)) - 1)
+                  * power(16, 8 - i))) AS BIGINT) % 100 AS bucket
+  FROM h
+)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < 10 THEN 'test'
+            WHEN bucket < 20 THEN 'val'
+            ELSE 'train' END AS split
+FROM v
+"""
+
+
+def q_pack_sequences(sf_dir: str):
+    """Greedy fixed-token-budget sequence packing for LM training batches,
+    hash-sharded so each shard packs its id-ordered stream independently.
+    Rows-only gate (iterative bin reset has no SQL form); per-shard parity
+    vs a serial packer pinned in tests."""
+    from ..stages.curation import pack_sequences
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return pack_sequences(docs, budget=128)
+
+
 def q_bpe_token_stats(sf_dir: str):
     """Subword tokenization end-to-end: distributed BPE training (pair
     counts as mergeable partials over the word-frequency table, 40 merges)

@@ -578,3 +578,100 @@ def training_shard_export(
         .reset_index(drop=True)
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# 6. dataset splits + sequence packing
+# ---------------------------------------------------------------------------
+
+
+def split_assign(
+    docs: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    val_pct: int = 10,
+    test_pct: int = 10,
+) -> "ray.data.Dataset":
+    """Deterministic train/val/test split by content-free id hash:
+    ``bucket = first-8-hex-digits-of-md5(id) mod 100`` -> test / val /
+    train.  Hash-based (not positional) so the assignment is stable under
+    re-partitioning, resharding and incremental corpus growth — the
+    standard reproducible-split recipe.  Embarrassingly parallel, no
+    shuffle."""
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b[id_col].to_numpy(np.int64)
+        hexes = md5_batch([str(int(i)) for i in ids])
+        bucket = np.array(
+            [int(h[:8], 16) % 100 for h in hexes], dtype=np.int64
+        )
+        split = np.where(
+            bucket < test_pct,
+            "test",
+            np.where(bucket < test_pct + val_pct, "val", "train"),
+        )
+        return pd.DataFrame({id_col: ids, "bucket": bucket, "split": split})
+
+    return docs.select_columns([id_col]).map_batches(fn, batch_format="pandas")
+
+
+def pack_sequences(
+    docs: "ray.data.Dataset",
+    budget: int = 512,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shards: int = 16,
+) -> "ray.data.Dataset":
+    """Greedy sequence packing: concatenate docs in ``id_col`` order into
+    training sequences of at most ``budget`` whitespace tokens (the
+    fill-then-open-new-bin packing used to build fixed-length LM training
+    batches; docs longer than the budget get a sequence of their own).
+
+    Distributed form: docs hash-shard by ``md5(id) % shards`` and each
+    shard packs ITS OWN id-ordered stream independently — sequence ids are
+    ``(shard, seq_in_shard)``, so packing is deterministic and
+    shard-parallel while each shard's stream preserves the reference
+    serial semantics (parity vs a serial packer is pinned per shard in
+    tests).  Output: one row per doc ``(doc_id, shard, seq_id, n_tokens)``
+    — ``seq_id`` is the packed sequence index within the shard.
+
+    Partitioning note: a shard's docs are packed in one pass (cumsum with
+    reset), so a shard must fit in a worker — raise ``shards`` with corpus
+    size; shard streams never interact."""
+
+    def tokens_and_shard(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b[id_col].to_numpy(np.int64)
+        hexes = md5_batch([str(int(i)) for i in ids])
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "shard": np.array(
+                    [int(h[:8], 16) % shards for h in hexes], dtype=np.int64
+                ),
+                "n_tokens": np.array(
+                    [len(t.split()) if isinstance(t, str) else 0 for t in b[text_col]],
+                    dtype=np.int64,
+                ),
+            }
+        )
+
+    def pack_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        toks = g["n_tokens"].to_numpy(np.int64)
+        seq_ids = np.zeros(len(g), dtype=np.int64)
+        cur, cur_seq = 0, 0
+        for i, t in enumerate(toks):
+            if cur > 0 and cur + t > budget:
+                cur_seq += 1
+                cur = 0
+            seq_ids[i] = cur_seq
+            cur += t
+        out = g[[id_col, "shard", "n_tokens"]].copy()
+        out["seq_id"] = seq_ids
+        return out[[id_col, "shard", "seq_id", "n_tokens"]]
+
+    return (
+        docs.select_columns([id_col, text_col])
+        .map_batches(tokens_and_shard, batch_format="pandas")
+        .groupby("shard")
+        .map_groups(pack_shard, batch_format="pandas")
+    )
