@@ -93,6 +93,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_customer_join": q.q_order_customer_join,
         "doc_split_assign": q.q_doc_split_assign,
         "pack_sequences": q.q_pack_sequences,
+        "user_value_zscore": q.q_user_value_zscore,
+        "doc_compression": q.q_doc_compression,
         # --- crawl engine (rows-only; gated by oracle conformance tests) ---
         "crawl_ledger": cq.q_crawl_ledger,
         "crawl_order": cq.q_crawl_order,
@@ -171,4 +173,5 @@ def oracle_sql() -> dict[str, str]:
         "user_running_totals": q.SQL_USER_RUNNING_TOTALS,
         "order_customer_join": q.SQL_ORDER_CUSTOMER_JOIN,
         "doc_split_assign": q.SQL_DOC_SPLIT_ASSIGN,
+        "user_value_zscore": q.SQL_USER_VALUE_ZSCORE,
     }

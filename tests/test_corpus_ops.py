@@ -601,3 +601,59 @@ class TestRunningWindows:
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(got, expect)
+
+
+# ---------------------------------------------------------------------------
+# z-score + compression ratio
+# ---------------------------------------------------------------------------
+
+
+def test_user_value_zscore_matches_duckdb_oracle():
+    import duckdb
+    import glob
+    import os
+
+    import __ray_entry__ as e
+    from scripts.check_correctness import to_pandas, value_hash
+
+    con = duckdb.connect()
+    for p in glob.glob(f"{SF}/*.parquet"):
+        con.execute(
+            f"CREATE VIEW {os.path.basename(p)[:-8]} AS SELECT * FROM read_parquet('{p}')"
+        )
+    mine = to_pandas(e.queries()["user_value_zscore"](SF))
+    theirs = con.execute(e.oracle_sql()["user_value_zscore"]).df()
+    assert len(mine) == len(theirs)
+    assert value_hash(mine) == value_hash(theirs)
+
+
+class TestCompressionRatio:
+    def test_repetitive_compresses_more(self):
+        from webcrawl_lowres_lang_ray.stages.textstats import (
+            compression_ratio_batch,
+        )
+
+        b = pd.DataFrame(
+            {
+                "doc_id": np.array([0, 1, 2], dtype=np.int64),
+                "text": [
+                    "spam " * 200,                          # highly repetitive
+                    "the quick brown fox jumps over it",    # normal prose
+                    "",                                      # empty
+                ],
+            }
+        )
+        out = compression_ratio_batch(b).set_index("doc_id")
+        assert out.loc[0, "compression_ratio"] < out.loc[1, "compression_ratio"]
+        assert out.loc[2, "raw_bytes"] == 0 and out.loc[2, "compressed_bytes"] == 0
+
+    def test_pipeline_deterministic(self):
+        import __ray_entry__ as e
+        from scripts.check_correctness import to_pandas
+
+        a = to_pandas(e.queries()["doc_compression"](SF)).sort_values("doc_id")
+        b = to_pandas(e.queries()["doc_compression"](SF)).sort_values("doc_id")
+        pd.testing.assert_frame_equal(
+            a.reset_index(drop=True), b.reset_index(drop=True)
+        )
+        assert (a["compression_ratio"] > 0).sum() > 400

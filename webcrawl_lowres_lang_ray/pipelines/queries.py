@@ -908,6 +908,42 @@ GROUP BY c.c_mktsegment, o.o_orderstatus
 """
 
 
+def q_user_value_zscore(sf_dir: str):
+    """Per-user mean deviation from the population in population-σ units —
+    the anomalous-user detector.  One pass of per-key (sum, sumsq, n)
+    partials feeds both the per-key means and the driver-summed global
+    moments; raw values ride no second exchange."""
+    from ..stages.textstats import user_value_zscore
+
+    ev = _read(sf_dir, "events", ["user_id", "value"])
+    return user_value_zscore(ev)
+
+
+SQL_USER_VALUE_ZSCORE = """
+WITH g AS (
+  SELECT avg(value) AS m, stddev_pop(value) AS sd FROM events
+), u AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, avg(value) AS mu
+  FROM events GROUP BY user_id
+)
+SELECT u.user_id, u.n_events,
+       round(u.mu, 4) AS mean_value,
+       round((u.mu - g.m) / (CASE WHEN g.sd > 0 THEN g.sd ELSE 1 END), 4)
+         AS zscore
+FROM u, g
+"""
+
+
+def q_doc_compression(sf_dir: str):
+    """Per-doc zlib compression ratio (spam compresses to nothing, junk
+    not at all) — rows-only gate (zlib has no SQL form); determinism and
+    monotonicity pinned in tests."""
+    from ..stages.textstats import compression_ratio_batch
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return docs.map_batches(compression_ratio_batch, batch_format="pandas")
+
+
 def q_doc_split_assign(sf_dir: str):
     """Deterministic train/val/test split by md5(doc_id) bucket — stable
     under resharding/corpus growth; embarrassingly parallel, no shuffle."""

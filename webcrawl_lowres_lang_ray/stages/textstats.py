@@ -405,3 +405,100 @@ def tfidf_top_terms(
         .groupby("__dpart")
         .map_groups(rank_final, batch_format="pandas")
     )
+
+
+def compression_ratio_batch(
+    batch: pd.DataFrame, text_col: str = "text", round_dp: int = 4
+) -> pd.DataFrame:
+    """Per-doc zlib compression ratio (compressed/raw bytes, level 6) — the
+    "too repetitive / too random" quality signal (machine-generated spam
+    compresses to almost nothing; binary junk doesn't compress at all) used
+    alongside the Gopher repetition gates in web-corpus cleaning.
+    Deterministic for a fixed zlib, vectorized over the batch."""
+    import zlib
+
+    texts = batch[text_col].to_numpy()
+    raw = np.zeros(len(texts), dtype=np.int64)
+    comp = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        if not isinstance(t, str) or not t:
+            continue
+        b = t.encode()
+        raw[i] = len(b)
+        comp[i] = len(zlib.compress(b, 6))
+    out = pd.DataFrame(
+        {
+            "doc_id": batch["doc_id"].to_numpy(np.int64),
+            "raw_bytes": raw,
+            "compressed_bytes": comp,
+            "compression_ratio": round_half_away(
+                comp / np.maximum(raw, 1), round_dp
+            ),
+        }
+    )
+    return out
+
+
+def user_value_zscore(
+    ds: "ray.data.Dataset",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    round_dp: int = 4,
+    parts: int = 32,
+) -> pd.DataFrame:
+    """Per-key mean deviation from the population in population-σ units:
+    ``z = (mean_k - mean_g) / stddev_pop_g`` — the anomalous-host /
+    anomalous-user detector of a crawl-health dashboard.
+
+    Combiner pattern twice over one pass: per-key (sum, sumsq, n) partials
+    feed both the per-key means and (summed on the driver, a few hundred
+    bytes) the exact global moments — the raw values never ride an
+    exchange twice."""
+    from .agg import combiner_agg
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        v = b[value_col].to_numpy(np.float64)
+        g = (
+            pd.DataFrame({key_col: b[key_col].to_numpy(np.int64), "s": v, "q": v * v})
+            .groupby(key_col, sort=False)
+            .agg(s=("s", "sum"), q=("q", "sum"), n=("s", "size"))
+            .reset_index()
+        )
+        g["__part"] = (
+            pd.util.hash_array(g[key_col].to_numpy(np.int64)) % np.uint64(parts)
+        ).astype(np.int64)
+        return g
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.groupby(key_col, sort=False)[["s", "q", "n"]].sum().reset_index()
+        )
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    per_key = (
+        ds.select_columns([key_col, value_col])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+    )
+    n_g = float(per_key["n"].sum())
+    mean_g = per_key["s"].sum() / n_g
+    var_g = per_key["q"].sum() / n_g - mean_g * mean_g
+    std_g = float(np.sqrt(max(var_g, 0.0)))
+    out = pd.DataFrame(
+        {
+            key_col: per_key[key_col].to_numpy(np.int64),
+            "n_events": per_key["n"].to_numpy(np.int64),
+            "mean_value": round_half_away(
+                per_key["s"].to_numpy() / per_key["n"].to_numpy(np.float64), round_dp
+            ),
+            "zscore": round_half_away(
+                (per_key["s"].to_numpy() / per_key["n"].to_numpy(np.float64) - mean_g)
+                / (std_g if std_g > 0 else 1.0),
+                round_dp,
+            ),
+        }
+    )
+    return out.sort_values(key_col, kind="mergesort").reset_index(drop=True)
