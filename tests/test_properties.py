@@ -248,3 +248,26 @@ class TestRangeJoinProperties:
             if s <= h < s + w
         }
         assert got == want
+
+
+class TestNtileFormula:
+    @settings(max_examples=200, deadline=None)
+    @given(st.integers(min_value=1, max_value=500), st.integers(min_value=1, max_value=20))
+    def test_matches_serial_ntile(self, n, k):
+        """The closed-form bucket assignment must equal SQL NTILE's serial
+        definition (first n%k buckets get one extra row) for every (n, k)."""
+        from webcrawl_lowres_lang_ray.stages.textstats import ntile_bucket
+
+        size, rem = divmod(n, k)
+        serial = np.empty(n, dtype=np.int64)
+        pos = 0
+        for b in range(1, k + 1):
+            cnt = size + (1 if b <= rem else 0)
+            serial[pos : pos + cnt] = b
+            pos += cnt
+        got = ntile_bucket(np.arange(n), size, rem)
+        assert (got == serial).all()
+        # buckets are 1..min(n,k), sizes differ by at most one
+        assert got.min() == 1 and got.max() == min(n, k)
+        sizes = np.bincount(got)[1:]
+        assert sizes.max() - sizes.min() <= 1

@@ -213,6 +213,19 @@ def repetition_batch(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFram
     return out
 
 
+def ntile_bucket(rank0, size: int, rem: int) -> np.ndarray:
+    """SQL NTILE bucket (1-based) for 0-based global ranks, given ``size =
+    N // k`` and ``rem = N % k``: the first ``rem`` buckets hold ``size+1``
+    rows, the rest ``size`` (property-tested against a serial NTILE)."""
+    rank0 = np.asarray(rank0, dtype=np.int64)
+    head = rem * (size + 1)
+    return np.where(
+        rank0 < head,
+        rank0 // max(size + 1, 1) + 1,
+        rem + np.where(size > 0, (rank0 - head) // max(size, 1), 0) + 1,
+    ).astype(np.int64)
+
+
 def quality_ntile(
     ds: "ray.data.Dataset",
     k: int = 10,
@@ -271,12 +284,7 @@ def quality_ntile(
         within = np.arange(len(out), dtype=np.int64) - starts[run_id]
         base = pd.Series(vals).map(offset_by_value).to_numpy(np.int64)
         rank0 = base + within
-        head = r * (sz + 1)
-        bucket = np.where(
-            rank0 < head,
-            rank0 // max(sz + 1, 1) + 1,
-            r + np.where(sz > 0, (rank0 - head) // max(sz, 1), 0) + 1,
-        ).astype(np.int64)
+        bucket = ntile_bucket(rank0, sz, r)
         return pd.DataFrame(
             {
                 id_col: out[id_col].to_numpy(np.int64),
