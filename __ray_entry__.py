@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": q.q_pack_sequences,
         "user_value_zscore": q.q_user_value_zscore,
         "doc_compression": q.q_doc_compression,
+        "events_user_salted_join": q.q_events_user_salted_join,
         # --- crawl engine (rows-only; gated by oracle conformance tests) ---
         "crawl_ledger": cq.q_crawl_ledger,
         "crawl_order": cq.q_crawl_order,
@@ -174,4 +175,5 @@ def oracle_sql() -> dict[str, str]:
         "order_customer_join": q.SQL_ORDER_CUSTOMER_JOIN,
         "doc_split_assign": q.SQL_DOC_SPLIT_ASSIGN,
         "user_value_zscore": q.SQL_USER_VALUE_ZSCORE,
+        "events_user_salted_join": q.SQL_EVENTS_USER_SALTED_JOIN,
     }

@@ -657,3 +657,91 @@ class TestCompressionRatio:
             a.reset_index(drop=True), b.reset_index(drop=True)
         )
         assert (a["compression_ratio"] > 0).sum() > 400
+
+
+class TestSaltedHashJoin:
+    def test_matches_pandas_with_hot_key_and_dup_right_rows(self):
+        import ray.data
+
+        from webcrawl_lowres_lang_ray.stages.join import salted_hash_join
+
+        rng = np.random.RandomState(7)
+        # key 5 is hot: 300 of 400 left rows
+        keys = np.concatenate(
+            [np.full(300, 5), rng.randint(0, 20, size=100)]
+        ).astype(np.int64)
+        left = pd.DataFrame({"k": keys, "lv": np.arange(len(keys), dtype=np.int64)})
+        # right has a legitimately DUPLICATED row for the hot key
+        right = pd.DataFrame(
+            {
+                "k": np.array([5, 5, 2, 7], dtype=np.int64),
+                "rv": np.array([100, 100, 102, 107], dtype=np.int64),
+            }
+        )
+        got = (
+            salted_hash_join(
+                ray.data.from_pandas(left),
+                ray.data.from_pandas(right),
+                left_key="k",
+                hot_keys=(5,),
+                salt_n=4,
+                parts=8,
+            )
+            .to_pandas()
+            .sort_values(["lv", "rv"])
+            .reset_index(drop=True)
+        )
+        expect = (
+            left.merge(right, on="k", how="inner")
+            .sort_values(["lv", "rv"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got[expect.columns.tolist()], expect)
+
+    def test_no_hot_keys_equals_plain_join(self):
+        import ray.data
+
+        from webcrawl_lowres_lang_ray.stages.join import hash_join, salted_hash_join
+
+        rng = np.random.RandomState(8)
+        left = pd.DataFrame(
+            {"k": rng.randint(0, 10, 50).astype(np.int64),
+             "lv": np.arange(50, dtype=np.int64)}
+        )
+        right = pd.DataFrame(
+            {"k": np.arange(10, dtype=np.int64), "rv": np.arange(10, dtype=np.int64)}
+        )
+        a = (
+            salted_hash_join(
+                ray.data.from_pandas(left), ray.data.from_pandas(right),
+                left_key="k", parts=8,
+            )
+            .to_pandas().sort_values(["lv"]).reset_index(drop=True)
+        )
+        b = (
+            hash_join(
+                ray.data.from_pandas(left), ray.data.from_pandas(right),
+                left_key="k", parts=8,
+            )
+            .to_pandas().sort_values(["lv"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a[b.columns.tolist()], b)
+
+
+def test_events_user_salted_join_matches_duckdb_oracle():
+    import duckdb
+    import glob
+    import os
+
+    import __ray_entry__ as e
+    from scripts.check_correctness import to_pandas, value_hash
+
+    con = duckdb.connect()
+    for p in glob.glob(f"{SF}/*.parquet"):
+        con.execute(
+            f"CREATE VIEW {os.path.basename(p)[:-8]} AS SELECT * FROM read_parquet('{p}')"
+        )
+    mine = to_pandas(e.queries()["events_user_salted_join"](SF))
+    theirs = con.execute(e.oracle_sql()["events_user_salted_join"]).df()
+    assert len(mine) == len(theirs)
+    assert value_hash(mine) == value_hash(theirs)

@@ -908,6 +908,37 @@ GROUP BY c.c_mktsegment, o.o_orderstatus
 """
 
 
+def q_events_user_salted_join(sf_dir: str):
+    """Skew-safe enrichment join: per-user mean values (combiner agg) join
+    back onto the raw event stream via salted_hash_join, with the hot keys
+    supplied by the Count-Min heavy-hitter sketch — the composed
+    hot-key-aware join a skewed event log needs at scale."""
+    from ..stages.join import salted_hash_join
+    from ..stages.sketch import approx_heavy_hitters
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+    hot = approx_heavy_hitters(ev, "user_id", k=3)["user_id"].tolist()
+    means = _combiner_agg(ev, ["user_id"], [("user_mean", "value", "mean")])
+    means["user_mean"] = round_half_away(means["user_mean"].to_numpy(np.float64), 4)
+    joined = salted_hash_join(
+        ev,
+        ray.data.from_pandas(means),
+        left_key="user_id",
+        hot_keys=tuple(hot),
+        salt_n=8,
+    )
+    return joined.select_columns(["event_id", "user_id", "value", "user_mean"])
+
+
+SQL_EVENTS_USER_SALTED_JOIN = """
+WITH u AS (
+  SELECT user_id, round(avg(value), 4) AS user_mean FROM events GROUP BY user_id
+)
+SELECT e.event_id, e.user_id, e.value, u.user_mean
+FROM events e JOIN u USING (user_id)
+"""
+
+
 def q_user_value_zscore(sf_dir: str):
     """Per-user mean deviation from the population in population-σ units —
     the anomalous-user detector.  One pass of per-key (sum, sumsq, n)

@@ -84,3 +84,100 @@ def hash_join(
         )
 
     return lt.union(rt).groupby("__jp").map_groups(join_part, batch_format="pandas")
+
+
+def salted_hash_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    left_key: str,
+    right_key: str | None = None,
+    hot_keys: tuple = (),
+    salt_n: int = 8,
+    parts: int = 64,
+    suffixes: tuple[str, str] = ("", "_r"),
+) -> "ray.data.Dataset":
+    """``hash_join`` with HOT-KEY SALTING (inner join): a hot key's left
+    rows spread over ``salt_n`` sub-partitions (salt = row position mod
+    salt_n — any assignment yields the same join SET), while the right
+    side's rows for that key replicate once per salt, so no single
+    partition holds a hot key's full row set.  The standard skew-join:
+    replicate the small side of the hot key, never its big side.
+
+    ``hot_keys`` is the (small, driver-known) set of skewed key values —
+    in practice the output of a heavy-hitter pass
+    (``sketch.approx_heavy_hitters``).  Non-hot keys take the plain
+    single-salt path, so the exchange grows only by
+    ``len(hot_keys) x salt_n`` replicated right rows."""
+    right_key = right_key or left_key
+    import pyarrow as pa
+
+    def _cols_and_casts(ds: "ray.data.Dataset"):
+        sch = ds.schema()
+        cols = list(sch.names)
+        casts = {
+            n: ("int64" if pa.types.is_integer(t) else "bool")
+            for n, t in zip(sch.names, sch.types)
+            if pa.types.is_integer(t) or pa.types.is_boolean(t)
+        }
+        return cols, casts
+
+    lcols, lcasts = _cols_and_casts(left)
+    rcols, rcasts = _cols_and_casts(right)
+    hot = set(hot_keys)
+
+    def tag_left(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        keys = b[left_key].to_numpy()
+        is_hot = np.isin(keys, list(hot)) if hot else np.zeros(len(b), dtype=bool)
+        salt = np.where(is_hot, np.arange(len(b), dtype=np.int64) % salt_n, 0)
+        b["__salt"] = salt
+        b["__side"] = np.int64(0)
+        b["__jp"] = (
+            (pd.util.hash_array(keys) + np.uint64(0x9E37) * salt.astype(np.uint64))
+            % np.uint64(parts)
+        ).astype(np.int64)
+        return b
+
+    def tag_right(b: pd.DataFrame) -> pd.DataFrame:
+        keys = b[right_key].to_numpy()
+        is_hot = np.isin(keys, list(hot)) if hot else np.zeros(len(b), dtype=bool)
+        cold = b[~is_hot].copy()
+        cold["__salt"] = np.int64(0)
+        frames = [cold]
+        hot_rows = b[is_hot]
+        for s in range(salt_n):
+            rep = hot_rows.copy()
+            rep["__salt"] = np.int64(s)
+            frames.append(rep)
+        out = pd.concat(frames, ignore_index=True)
+        out["__side"] = np.int64(1)
+        kk = out[right_key].to_numpy()
+        out["__jp"] = (
+            (
+                pd.util.hash_array(kk)
+                + np.uint64(0x9E37) * out["__salt"].to_numpy(np.int64).astype(np.uint64)
+            )
+            % np.uint64(parts)
+        ).astype(np.int64)
+        return out
+
+    lt = left.map_batches(tag_left, batch_format="pandas")
+    rt = right.map_batches(tag_right, batch_format="pandas")
+
+    # the merge keys INCLUDE the salt: two salts of one key can hash into
+    # the same partition, and matching on (key, salt) keeps each left row
+    # paired with exactly one replica of each right row — no dedup that
+    # would eat legitimately-duplicated right rows
+    def join_part(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["__side"] == 0].reindex(columns=lcols + ["__salt"]).astype(lcasts)
+        rg = g[g["__side"] == 1].reindex(columns=rcols + ["__salt"]).astype(rcasts)
+        merged = lg.merge(
+            rg,
+            left_on=[left_key, "__salt"],
+            right_on=[right_key, "__salt"],
+            how="inner",
+            suffixes=suffixes,
+        )
+        return merged.drop(columns="__salt")
+
+    return lt.union(rt).groupby("__jp").map_groups(join_part, batch_format="pandas")
