@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_zscore": q.q_user_value_zscore,
         "doc_compression": q.q_doc_compression,
         "events_user_salted_join": q.q_events_user_salted_join,
+        "events_profile": q.q_events_profile,
         # --- crawl engine (rows-only; gated by oracle conformance tests) ---
         "crawl_ledger": cq.q_crawl_ledger,
         "crawl_order": cq.q_crawl_order,
@@ -176,4 +177,5 @@ def oracle_sql() -> dict[str, str]:
         "doc_split_assign": q.SQL_DOC_SPLIT_ASSIGN,
         "user_value_zscore": q.SQL_USER_VALUE_ZSCORE,
         "events_user_salted_join": q.SQL_EVENTS_USER_SALTED_JOIN,
+        "events_profile": q.SQL_EVENTS_PROFILE,
     }

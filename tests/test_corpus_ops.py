@@ -745,3 +745,41 @@ def test_events_user_salted_join_matches_duckdb_oracle():
     theirs = con.execute(e.oracle_sql()["events_user_salted_join"]).df()
     assert len(mine) == len(theirs)
     assert value_hash(mine) == value_hash(theirs)
+
+
+def test_events_profile_matches_duckdb_oracle():
+    import duckdb
+    import glob
+    import os
+
+    import __ray_entry__ as e
+    from scripts.check_correctness import to_pandas, value_hash
+
+    con = duckdb.connect()
+    for p in glob.glob(f"{SF}/*.parquet"):
+        con.execute(
+            f"CREATE VIEW {os.path.basename(p)[:-8]} AS SELECT * FROM read_parquet('{p}')"
+        )
+    mine = to_pandas(e.queries()["events_profile"](SF))
+    theirs = con.execute(e.oracle_sql()["events_profile"]).df()
+    assert len(mine) == len(theirs)
+    assert value_hash(mine) == value_hash(theirs)
+
+
+def test_table_profile_nulls_and_empty_column():
+    import ray.data
+
+    from webcrawl_lowres_lang_ray.stages.profile import table_profile
+
+    df = pd.DataFrame(
+        {
+            "a": pd.array([1, None, 3, None], dtype="Int64"),
+            "b": [None, None, None, None],
+            "c": ["x", "y", "x", None],
+        }
+    )
+    out = table_profile(ray.data.from_pandas(df), ["a", "b", "c"]).set_index("column")
+    assert out.loc["a", "n_null"] == 2 and out.loc["a", "n_distinct"] == 2
+    assert out.loc["b", "n_null"] == 4 and out.loc["b", "n_distinct"] == 0
+    assert out.loc["b", "min_v"] is None or pd.isna(out.loc["b", "min_v"])
+    assert out.loc["c", "min_v"] == "x" and out.loc["c", "max_v"] == "y"

@@ -939,6 +939,54 @@ FROM events e JOIN u USING (user_id)
 """
 
 
+def q_events_profile(sf_dir: str):
+    """Table profiler ("describe"): per-column counts, nulls, min/max and
+    exact distinct counts in two bounded passes (partials + a distinct
+    value-partition groupby; HLL is the documented at-scale swap)."""
+    from ..stages.profile import table_profile
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    ev = _read(sf_dir, "events", cols)
+    return table_profile(ev, cols)
+
+
+SQL_EVENTS_PROFILE = """
+WITH p AS (
+  SELECT 'event_id' AS "column", CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         CAST(min(event_id) AS VARCHAR) AS min_v,
+         CAST(max(event_id) AS VARCHAR) AS max_v,
+         CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct
+  FROM events
+  UNION ALL
+  SELECT 'ts', CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(min(ts) AS VARCHAR), CAST(max(ts) AS VARCHAR),
+         CAST(count(DISTINCT ts) AS BIGINT)
+  FROM events
+  UNION ALL
+  SELECT 'user_id', CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR),
+         CAST(count(DISTINCT user_id) AS BIGINT)
+  FROM events
+  UNION ALL
+  SELECT 'event_type', CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         min(event_type), max(event_type),
+         CAST(count(DISTINCT event_type) AS BIGINT)
+  FROM events
+  UNION ALL
+  SELECT 'value', CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(min(value) AS VARCHAR), CAST(max(value) AS VARCHAR),
+         CAST(count(DISTINCT value) AS BIGINT)
+  FROM events
+)
+SELECT * FROM p ORDER BY "column"
+"""
+
+
 def q_user_value_zscore(sf_dir: str):
     """Per-user mean deviation from the population in population-σ units —
     the anomalous-user detector.  One pass of per-key (sum, sumsq, n)

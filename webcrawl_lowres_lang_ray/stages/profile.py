@@ -1,0 +1,121 @@
+"""Table profiling — the ``describe`` operator of a data-engineering
+pipeline: per-column row/null counts, min/max, and exact distinct counts,
+in two bounded passes.
+
+* counts/min/max: per-batch partials (one row per column per batch —
+  mergeable by sum/min/max) folded on the driver;
+* exact distinct: one ``(column, value-string)`` distinct emission per
+  batch into a hash-partitioned groupby — the exchange carries each
+  batch's DISTINCT values only, and the per-partition count is a
+  vectorized nunique.  At corpus scale swap this stage for the HLL sketch
+  (``sketch.approx_distinct``) — same output shape, bounded exchange.
+
+Values are compared/emitted through their shortest-round-trip string form
+(injective for the supported dtypes), which is also what the SQL oracle's
+``CAST(x AS VARCHAR)`` produces — pinned by the ``events_profile`` gate.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+
+def _val_str(v) -> str:
+    if isinstance(v, float):
+        return repr(v)  # shortest round-trip, matches DuckDB VARCHAR cast
+    if isinstance(v, pd.Timestamp):
+        return str(v)
+    return str(v)
+
+
+def table_profile(
+    ds: "ray.data.Dataset",
+    columns: list[str],
+    parts: int = 32,
+) -> pd.DataFrame:
+    """Profile ``columns``: returns one row per column —
+    ``(column, n, n_null, min_v, max_v, n_distinct)`` with min/max as
+    strings — sorted by column name."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for c in columns:
+            s = b[c]
+            nn = s.notna()
+            sub = s[nn]
+            rows.append(
+                {
+                    "column": c,
+                    "n": np.int64(len(s)),
+                    "n_null": np.int64((~nn).sum()),
+                    "min_v": _val_str(sub.min()) if len(sub) else None,
+                    "max_v": _val_str(sub.max()) if len(sub) else None,
+                }
+            )
+        return pd.DataFrame(rows)
+
+    parts_df = ds.map_batches(partial, batch_format="pandas").to_pandas()
+
+    def distinct_rows(b: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for c in columns:
+            s = b[c].dropna()
+            vals = pd.unique(np.array([_val_str(v) for v in s], dtype=object))
+            frames.append(pd.DataFrame({"column": c, "v": vals}))
+        out = pd.concat(frames, ignore_index=True)
+        out["__part"] = (
+            pd.util.hash_array(out["v"].to_numpy(object)) % np.uint64(parts)
+        ).astype(np.int64)
+        return out
+
+    def count_part(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.groupby("column", sort=False)["v"].nunique().reset_index(name="nd")
+        )
+        return out.astype({"nd": "int64"})
+
+    nd = (
+        ds.map_batches(distinct_rows, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(count_part, batch_format="pandas")
+        .to_pandas()
+        .groupby("column")["nd"]
+        .sum()
+    )
+
+    g = parts_df.groupby("column")
+    out = pd.DataFrame(
+        {
+            "column": sorted(columns),
+        }
+    )
+    out["n"] = [int(g.get_group(c)["n"].sum()) for c in out["column"]]
+    out["n_null"] = [int(g.get_group(c)["n_null"].sum()) for c in out["column"]]
+
+    def best(c, col, fn):
+        vals = g.get_group(c)[col].dropna()
+        if not len(vals):
+            return None
+        # compare in the ORIGINAL domain, not lexicographically: parse back
+        # through the column's first value type is fragile, so partials keep
+        # per-batch extrema and the fold re-compares as strings only for
+        # string columns; numeric/timestamp columns re-parse
+        return fn(vals, key=_sort_key)
+
+    out["min_v"] = [best(c, "min_v", min) for c in out["column"]]
+    out["max_v"] = [best(c, "max_v", max) for c in out["column"]]
+    out["n_distinct"] = [int(nd.get(c, 0)) for c in out["column"]]
+    return out.reset_index(drop=True)
+
+
+def _sort_key(s: str):
+    """Order partial extrema in their original domain: numeric strings by
+    value, timestamps chronologically (ISO strings sort lexicographically),
+    everything else lexicographically."""
+    try:
+        return (0, float(s), "")
+    except (TypeError, ValueError):
+        return (1, 0.0, s)
