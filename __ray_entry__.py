@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "training_shards": q.q_training_shards,
         "dup_ngram_fraction": q.q_dup_ngram_fraction,
         "doc_quality_ntile": q.q_doc_quality_ntile,
+        "doc_quality_percentile": q.q_doc_quality_percentile,
         "tfidf_top_terms": q.q_tfidf_top_terms,
         "user_running_totals": q.q_user_running_totals,
         "order_customer_join": q.q_order_customer_join,
@@ -171,6 +172,7 @@ def oracle_sql() -> dict[str, str]:
         "training_shards": q.SQL_TRAINING_SHARDS,
         "dup_ngram_fraction": q.SQL_DUP_NGRAM_FRACTION,
         "doc_quality_ntile": q.SQL_DOC_QUALITY_NTILE,
+        "doc_quality_percentile": q.SQL_DOC_QUALITY_PERCENTILE,
         "tfidf_top_terms": q.SQL_TFIDF_TOP_TERMS,
         "user_running_totals": q.SQL_USER_RUNNING_TOTALS,
         "order_customer_join": q.SQL_ORDER_CUSTOMER_JOIN,

@@ -26,7 +26,8 @@ def _docs(rows):
 
 @pytest.mark.parametrize(
     "name",
-    ["dup_ngram_fraction", "doc_quality_ntile", "tfidf_top_terms"],
+    ["dup_ngram_fraction", "doc_quality_ntile", "doc_quality_percentile",
+     "tfidf_top_terms"],
 )
 def test_matches_duckdb_oracle(name):
     import duckdb

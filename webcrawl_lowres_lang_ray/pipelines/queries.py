@@ -799,6 +799,25 @@ FROM documents
 """
 
 
+def q_doc_quality_percentile(sf_dir: str):
+    """SQL PERCENT_RANK over (n_chars, doc_id) — same distributed rank
+    machinery as the NTILE query (value-histogram broadcast + tie
+    ranking), no ties under the total order so RANK == ROW_NUMBER."""
+    from ..stages.textstats import quality_ntile
+
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    return quality_ntile(docs, k=10, with_percent_rank=True).select_columns(
+        ["doc_id", "n_chars", "pct_rank"]
+    )
+
+
+SQL_DOC_QUALITY_PERCENTILE = """
+SELECT doc_id, n_chars,
+       round(percent_rank() OVER (ORDER BY n_chars, doc_id), 6) AS pct_rank
+FROM documents
+"""
+
+
 def q_tfidf_top_terms(sf_dir: str):
     """Per-doc top-3 TF-IDF terms; df computed inside a token-hash
     partition groupby (no broadcast IDF table), partial top-k per

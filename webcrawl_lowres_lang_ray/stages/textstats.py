@@ -232,6 +232,7 @@ def quality_ntile(
     value_col: str = "n_chars",
     id_col: str = "doc_id",
     parts: int = 64,
+    with_percent_rank: bool = False,
 ) -> "ray.data.Dataset":
     """Exact global NTILE(k) quality binning by ``(value_col, id_col)`` —
     the "assign every document a corpus-wide quality decile" step of a
@@ -285,13 +286,20 @@ def quality_ntile(
         base = pd.Series(vals).map(offset_by_value).to_numpy(np.int64)
         rank0 = base + within
         bucket = ntile_bucket(rank0, sz, r)
-        return pd.DataFrame(
+        res = pd.DataFrame(
             {
                 id_col: out[id_col].to_numpy(np.int64),
                 value_col: out[value_col].to_numpy(np.int64),
                 "decile": bucket,
             }
         )
+        if with_percent_rank:
+            # no ties under the (value, id) total order, so SQL RANK ==
+            # ROW_NUMBER and percent_rank = rank0 / (N - 1)
+            res["pct_rank"] = round_half_away(
+                rank0 / max(_n - 1, 1), 6
+            )
+        return res
 
     def add_part(b: pd.DataFrame) -> pd.DataFrame:
         b = b[[id_col, value_col]].copy()
