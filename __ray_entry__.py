@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": cq.q_ann_lsh_topk,
         "multimodal_decode": cq.q_multimodal_decode,
         "multimodal_thumbnail": cq.q_multimodal_thumbnail,
+        "multimodal_audio_features": cq.q_multimodal_audio_features,
         "lexicon_regen": cq.q_lexicon_regen,
         "query_generation": cq.q_query_generation,
         "sentence_split": cq.q_sentence_split,

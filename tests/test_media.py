@@ -174,3 +174,49 @@ class TestStages:
         assert (pngs[["thumb_w", "thumb_h"]].max(axis=1) <= 8).all()
         arr = png_decode(pngs["thumb"].iloc[0])
         assert arr.shape[:2] == (pngs["thumb_h"].iloc[0], pngs["thumb_w"].iloc[0])
+
+
+class TestAudioFeatures:
+    def test_known_signals(self):
+        """Sine wave: near-zero silence, ZCR = 2f/rate; silent clip: full
+        silence; clipped square wave: clip_ratio 1."""
+        import json
+
+        import pandas as pd
+
+        from webcrawl_lowres_lang_ray.functions.media import wav_encode
+        from webcrawl_lowres_lang_ray.stages.multimodal import AudioFeatureStage
+
+        rate = 16000
+        t = np.arange(rate)  # 1 second
+        sine = (20000 * np.sin(2 * np.pi * 400 * t / rate)).astype(np.int16)
+        silent = np.zeros(rate, dtype=np.int16)
+        square = np.where(t % 40 < 20, 32767, -32767).astype(np.int16)
+        b = pd.DataFrame(
+            {
+                "media_id": np.array([0, 1, 2], dtype=np.int64),
+                "media_type": ["audio/wav"] * 3,
+                "payload": [wav_encode(s, rate) for s in (sine, silent, square)],
+                "meta": [json.dumps({})] * 3,
+            }
+        )
+        out = AudioFeatureStage()(b).set_index("media_id")
+        assert out.loc[0, "silence_ratio"] == 0.0
+        # 400 Hz sine: 800 sign changes/sec -> ZCR ~= 800/16000 = 0.05
+        assert abs(out.loc[0, "zero_cross_rate"] - 0.05) < 0.005
+        assert out.loc[0, "clip_ratio"] == 0.0
+        assert out.loc[1, "silence_ratio"] == 1.0 and out.loc[1, "rms"] == 0.0
+        assert out.loc[2, "clip_ratio"] == 1.0
+        assert out.loc[0, "duration_ms"] == 1000
+
+    def test_pipeline_runs_and_is_deterministic(self):
+        from webcrawl_lowres_lang_ray.pipelines.crawl_queries import (
+            q_multimodal_audio_features,
+        )
+
+        a = q_multimodal_audio_features("/root/testdata/sf0.001")
+        b = q_multimodal_audio_features("/root/testdata/sf0.001")
+        pd.testing.assert_frame_equal(a, b)
+        # synth table: every third row is audio/wav
+        assert len(a) > 50
+        assert (a["rms"] > 0).all()

@@ -269,6 +269,23 @@ def q_ann_lsh_topk(sf_dir: str) -> pd.DataFrame:
     return srp_lsh_topk(indexed, q, dim, k=10, bits=8, probe_hamming=2)
 
 
+def q_multimodal_audio_features(sf_dir: str) -> pd.DataFrame:
+    """Framewise audio features (RMS, zero-cross, silence, clipping) over
+    the WAV rows of the synthetic media table — actor-pool map_batches over
+    real stdlib PCM16 decode.  Rows-only gate: determinism + known-signal
+    values pinned in tests/test_media.py."""
+    from ..stages.multimodal import AudioFeatureStage, synth_media_batch
+
+    media = ray.data.from_pandas(synth_media_batch(200))
+    out = media.map_batches(
+        AudioFeatureStage,
+        batch_format="pandas",
+        batch_size=16,
+        concurrency=2,
+    )
+    return out.to_pandas().sort_values("media_id").reset_index(drop=True)
+
+
 def q_multimodal_decode(sf_dir: str) -> pd.DataFrame:
     """Multimodal decode plumbing (stubbed kernels, real Ray wiring)."""
     from ..stages.multimodal import DecodeStage, synth_media_batch

@@ -174,3 +174,61 @@ class FrameSampleStage:
         return pd.DataFrame(rows, columns=["media_id", "frame_idx"]).astype(
             {"media_id": "int64", "frame_idx": "int64"}
         )
+
+
+class AudioFeatureStage:
+    """Actor-pool audio feature extraction over WAV PCM16 payloads — the
+    standard framewise features a speech-data curation pipeline computes
+    before filtering/clustering (silence ratio, clipping, energy):
+
+    * ``rms`` — root-mean-square amplitude of the full clip (int16 scale);
+    * ``zero_cross_rate`` — fraction of adjacent-sample sign changes;
+    * ``silence_ratio`` — fraction of 20 ms frames with RMS < 1% full scale;
+    * ``clip_ratio`` — fraction of samples at |32767|;
+    * ``duration_ms`` — from the header sample rate.
+
+    All math is vectorized numpy over the decoded sample array; non-audio
+    rows pass through with null features (same convention as DecodeStage).
+    Deterministic; 4 dp half-away rounding.
+    """
+
+    def __init__(self, frame_ms: int = 20):
+        self.frame_ms = frame_ms
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        from .textstats import round_half_away
+
+        rows = []
+        for mid, mt, payload in zip(
+            batch["media_id"], batch["media_type"], batch["payload"]
+        ):
+            if mt != "audio/wav":
+                continue
+            samples, rate = wav_decode(bytes(payload))
+            x = samples.astype(np.float64)
+            n = len(x)
+            if n == 0:
+                rows.append((int(mid), 0, 0.0, 0.0, 1.0, 0.0))
+                continue
+            rms = float(np.sqrt((x * x).mean()))
+            zc = float((np.signbit(x[1:]) != np.signbit(x[:-1])).mean()) if n > 1 else 0.0
+            clip = float((np.abs(samples) >= 32767).mean())
+            frame = max(1, rate * self.frame_ms // 1000)
+            nfr = n // frame
+            if nfr:
+                fr = x[: nfr * frame].reshape(nfr, frame)
+                fr_rms = np.sqrt((fr * fr).mean(axis=1))
+                silence = float((fr_rms < 0.01 * 32767).mean())
+            else:
+                silence = 1.0 if rms < 0.01 * 32767 else 0.0
+            rows.append(
+                (int(mid), int(n * 1000 // rate), rms, zc, silence, clip)
+            )
+        out = pd.DataFrame(
+            rows,
+            columns=["media_id", "duration_ms", "rms", "zero_cross_rate",
+                     "silence_ratio", "clip_ratio"],
+        ).astype({"media_id": "int64", "duration_ms": "int64"})
+        for c in ("rms", "zero_cross_rate", "silence_ratio", "clip_ratio"):
+            out[c] = round_half_away(out[c].to_numpy(np.float64), 4)
+        return out
