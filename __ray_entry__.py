@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_compression": q.q_doc_compression,
         "events_user_salted_join": q.q_events_user_salted_join,
         "events_profile": q.q_events_profile,
+        "label_centroids": q.q_label_centroids,
         # --- crawl engine (rows-only; gated by oracle conformance tests) ---
         "crawl_ledger": cq.q_crawl_ledger,
         "crawl_order": cq.q_crawl_order,
@@ -112,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_decode": cq.q_multimodal_decode,
         "multimodal_thumbnail": cq.q_multimodal_thumbnail,
         "multimodal_audio_features": cq.q_multimodal_audio_features,
+        "multimodal_image_stats": cq.q_multimodal_image_stats,
         "lexicon_regen": cq.q_lexicon_regen,
         "query_generation": cq.q_query_generation,
         "sentence_split": cq.q_sentence_split,
@@ -181,4 +183,5 @@ def oracle_sql() -> dict[str, str]:
         "user_value_zscore": q.SQL_USER_VALUE_ZSCORE,
         "events_user_salted_join": q.SQL_EVENTS_USER_SALTED_JOIN,
         "events_profile": q.SQL_EVENTS_PROFILE,
+        "label_centroids": q.SQL_LABEL_CENTROIDS,
     }

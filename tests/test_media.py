@@ -220,3 +220,42 @@ class TestAudioFeatures:
         # synth table: every third row is audio/wav
         assert len(a) > 50
         assert (a["rms"] > 0).all()
+
+
+class TestImageStats:
+    def test_known_images(self):
+        import json
+
+        import pandas as pd
+
+        from webcrawl_lowres_lang_ray.functions.media import png_encode
+        from webcrawl_lowres_lang_ray.stages.multimodal import ImageStatStage
+
+        black = np.zeros((8, 10, 3), dtype=np.uint8)
+        white = np.full((8, 10, 3), 255, dtype=np.uint8)
+        rng = np.random.RandomState(2)
+        noise = rng.randint(0, 256, size=(32, 32, 3), dtype=np.uint8)
+        b = pd.DataFrame(
+            {
+                "media_id": np.array([0, 1, 2], dtype=np.int64),
+                "media_type": ["image/png"] * 3,
+                "payload": [png_encode(x) for x in (black, white, noise)],
+                "meta": [json.dumps({})] * 3,
+            }
+        )
+        out = ImageStatStage()(b).set_index("media_id")
+        assert out.loc[0, "mean_lum"] == 0.0 and out.loc[0, "entropy_bits"] == 0.0
+        assert abs(out.loc[1, "mean_lum"] - 254.999) < 1.0  # 255*(.299+.587+.114)
+        assert out.loc[1, "std_lum"] == 0.0 and out.loc[1, "entropy_bits"] == 0.0
+        assert out.loc[2, "entropy_bits"] > 6.0  # noise is near max entropy
+        assert out.loc[0, "w"] == 10 and out.loc[0, "h"] == 8
+
+    def test_pipeline_runs_and_is_deterministic(self):
+        from webcrawl_lowres_lang_ray.pipelines.crawl_queries import (
+            q_multimodal_image_stats,
+        )
+
+        a = q_multimodal_image_stats("/root/testdata/sf0.001")
+        b = q_multimodal_image_stats("/root/testdata/sf0.001")
+        pd.testing.assert_frame_equal(a, b)
+        assert len(a) > 50

@@ -286,6 +286,19 @@ def q_multimodal_audio_features(sf_dir: str) -> pd.DataFrame:
     return out.to_pandas().sort_values("media_id").reset_index(drop=True)
 
 
+def q_multimodal_image_stats(sf_dir: str) -> pd.DataFrame:
+    """Luminance/entropy statistics over the PNG rows of the synthetic
+    media table (real stdlib decode).  Rows-only gate: known-image values
+    pinned in tests/test_media.py."""
+    from ..stages.multimodal import ImageStatStage, synth_media_batch
+
+    media = ray.data.from_pandas(synth_media_batch(200))
+    out = media.map_batches(
+        ImageStatStage, batch_format="pandas", batch_size=16, concurrency=2
+    )
+    return out.to_pandas().sort_values("media_id").reset_index(drop=True)
+
+
 def q_multimodal_decode(sf_dir: str) -> pd.DataFrame:
     """Multimodal decode plumbing (stubbed kernels, real Ray wiring)."""
     from ..stages.multimodal import DecodeStage, synth_media_batch

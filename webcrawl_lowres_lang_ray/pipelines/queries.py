@@ -958,6 +958,24 @@ FROM events e JOIN u USING (user_id)
 """
 
 
+def q_label_centroids(sf_dir: str):
+    """Per-label embedding centroids in (label, dim, mean_val) long form —
+    one combiner pass, vectors summed per batch, exchange carries only
+    labels x dims floats."""
+    from ..stages.ann import label_centroids
+
+    emb = _read(sf_dir, "embeddings", ["label", "embedding"])
+    return label_centroids(emb)
+
+
+SQL_LABEL_CENTROIDS = """
+SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS dim,
+       round(avg(embedding[CAST(i AS INTEGER)]), 5) AS mean_val
+FROM embeddings, unnest(range(1, 65)) AS t(i)
+GROUP BY label, i
+"""
+
+
 def q_events_profile(sf_dir: str):
     """Table profiler ("describe"): per-column counts, nulls, min/max and
     exact distinct counts in two bounded passes (partials + a distinct

@@ -504,3 +504,59 @@ def semantic_dedup(
         .groupby("cluster")
         .map_groups(dedup_cluster, batch_format="pandas")
     )
+
+
+def label_centroids(
+    ds: "ray.data.Dataset",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    round_dp: int = 5,
+) -> pd.DataFrame:
+    """Per-label embedding centroids, one row per (label, dim): the class
+    prototypes of prototype-based classification / clustering QA — and the
+    'train' half of a nearest-centroid labeler.
+
+    Combiner shape: each batch reduces to one (label, sum-vector, n) row
+    per label (vectors summed with one np.add.at), so the exchange carries
+    ``labels x dims`` floats per batch, never raw vectors; the driver fold
+    divides and emits the (label, dim, mean_val) long form the SQL oracle
+    can express with ``embedding[i]`` indexing."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        mat = _batch_matrix(b, vec_col)
+        labels = b[label_col].to_numpy(np.int64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), mat.shape[1]), dtype=np.float64)
+        np.add.at(sums, inv, mat)
+        cnt = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pd.DataFrame(
+            {
+                label_col: uniq,
+                "s": [v.tobytes() for v in sums],
+                "n": cnt,
+            }
+        )
+
+    parts = ds.select_columns([label_col, vec_col]).map_batches(
+        partial, batch_format="pandas"
+    ).to_pandas()
+    if not len(parts):
+        return pd.DataFrame({label_col: [], "dim": [], "mean_val": []})
+    dim = len(np.frombuffer(parts["s"].iloc[0], dtype=np.float64))
+    agg: dict[int, tuple[np.ndarray, int]] = {}
+    for lbl, blob, n in zip(parts[label_col], parts["s"], parts["n"]):
+        v = np.frombuffer(blob, dtype=np.float64)
+        if int(lbl) in agg:
+            pv, pn = agg[int(lbl)]
+            agg[int(lbl)] = (pv + v, pn + int(n))
+        else:
+            agg[int(lbl)] = (v.copy(), int(n))
+    rows = []
+    for lbl in sorted(agg):
+        v, n = agg[lbl]
+        mean = round_half_away(v / n, round_dp)
+        for i in range(dim):
+            rows.append((lbl, i + 1, mean[i]))
+    return pd.DataFrame(rows, columns=[label_col, "dim", "mean_val"]).astype(
+        {label_col: "int64", "dim": "int64", "mean_val": "float64"}
+    )

@@ -232,3 +232,50 @@ class AudioFeatureStage:
         for c in ("rms", "zero_cross_rate", "silence_ratio", "clip_ratio"):
             out[c] = round_half_away(out[c].to_numpy(np.float64), 4)
         return out
+
+
+class ImageStatStage:
+    """Actor-pool image statistics over PNG payloads — the
+    brightness/contrast/entropy screen an image-curation pipeline applies
+    before training (all-black thumbnails, low-information banners):
+
+    * ``mean_lum`` / ``std_lum`` — luminance (ITU-R BT.601 weights) mean
+      and spread, 0-255 scale;
+    * ``entropy_bits`` — Shannon entropy of the 256-bin luminance
+      histogram (0 for flat images, up to 8 for uniform noise);
+    * ``w`` / ``h`` — decoded dimensions.
+
+    Vectorized numpy per image over the real stdlib PNG decode; non-image
+    rows are skipped (same convention as AudioFeatureStage)."""
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        from .textstats import round_half_away
+
+        rows = []
+        for mid, mt, payload in zip(
+            batch["media_id"], batch["media_type"], batch["payload"]
+        ):
+            if mt != "image/png":
+                continue
+            img = png_decode(bytes(payload)).astype(np.float64)
+            lum = img[..., 0] * 0.299 + img[..., 1] * 0.587 + img[..., 2] * 0.114
+            hist = np.bincount(
+                np.clip(lum, 0, 255).astype(np.int64).ravel(), minlength=256
+            )
+            p = hist[hist > 0] / hist.sum()
+            rows.append(
+                (
+                    int(mid),
+                    int(img.shape[1]),
+                    int(img.shape[0]),
+                    float(lum.mean()),
+                    float(lum.std()),
+                    float(-(p * np.log2(p)).sum()),
+                )
+            )
+        out = pd.DataFrame(
+            rows, columns=["media_id", "w", "h", "mean_lum", "std_lum", "entropy_bits"]
+        ).astype({"media_id": "int64", "w": "int64", "h": "int64"})
+        for c in ("mean_lum", "std_lum", "entropy_bits"):
+            out[c] = round_half_away(out[c].to_numpy(np.float64), 4)
+        return out
