@@ -99,6 +99,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_salted_join": q.q_events_user_salted_join,
         "events_profile": q.q_events_profile,
         "label_centroids": q.q_label_centroids,
+        "events_pivot": q.q_events_pivot,
+        "events_props_extract": q.q_events_props_extract,
         # --- crawl engine (rows-only; gated by oracle conformance tests) ---
         "crawl_ledger": cq.q_crawl_ledger,
         "crawl_order": cq.q_crawl_order,
@@ -184,4 +186,6 @@ def oracle_sql() -> dict[str, str]:
         "events_user_salted_join": q.SQL_EVENTS_USER_SALTED_JOIN,
         "events_profile": q.SQL_EVENTS_PROFILE,
         "label_centroids": q.SQL_LABEL_CENTROIDS,
+        "events_pivot": q.SQL_EVENTS_PIVOT,
+        "events_props_extract": q.SQL_EVENTS_PROPS_EXTRACT,
     }

@@ -784,3 +784,24 @@ def test_table_profile_nulls_and_empty_column():
     assert out.loc["b", "n_null"] == 4 and out.loc["b", "n_distinct"] == 0
     assert out.loc["b", "min_v"] is None or pd.isna(out.loc["b", "min_v"])
     assert out.loc["c", "min_v"] == "x" and out.loc["c", "max_v"] == "y"
+
+
+@pytest.mark.parametrize("name", ["events_pivot", "events_props_extract", "label_centroids"])
+def test_round3_late_queries_match_duckdb_oracle(name):
+    import duckdb
+    import glob
+    import os
+
+    import __ray_entry__ as e
+    from scripts.check_correctness import to_pandas, value_hash
+
+    con = duckdb.connect()
+    for p in glob.glob(f"{SF}/*.parquet"):
+        con.execute(
+            f"CREATE VIEW {os.path.basename(p)[:-8]} AS SELECT * FROM read_parquet('{p}')"
+        )
+    mine = to_pandas(e.queries()[name](SF))
+    theirs = con.execute(e.oracle_sql()[name]).df()
+    assert len(mine) == len(theirs)
+    assert sorted(mine.columns) == sorted(theirs.columns)
+    assert value_hash(mine) == value_hash(theirs)

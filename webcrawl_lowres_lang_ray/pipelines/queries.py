@@ -976,6 +976,87 @@ GROUP BY label, i
 """
 
 
+def q_events_pivot(sf_dir: str):
+    """Pivot: per-user event counts spread into one column per event type
+    (the classic long->wide reshape).  Combiner agg on (user, type) —
+    exchange carries one row per pair per batch — then a vectorized pandas
+    pivot inside a user-partition groupby; missing combinations fill 0."""
+    from ..stages.agg import combiner_agg
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    pairs = combiner_agg(
+        ev, ["user_id", "event_type"], [("n", None, "count")], parts=16
+    )
+    types = ["click", "error", "purchase", "signup", "view"]
+
+    def add_part(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__up"] = (
+            pd.util.hash_array(b["user_id"].to_numpy(np.int64)) % np.uint64(16)
+        ).astype(np.int64)
+        return b
+
+    def pivot_part(g: pd.DataFrame) -> pd.DataFrame:
+        w = (
+            g.pivot_table(
+                index="user_id", columns="event_type", values="n",
+                aggfunc="sum", fill_value=0,
+            )
+            .reindex(columns=types, fill_value=0)
+            .reset_index()
+        )
+        w.columns = ["user_id"] + [f"n_{t}" for t in types]
+        return w.astype({c: "int64" for c in w.columns})
+
+    return (
+        pairs.map_batches(add_part, batch_format="pandas")
+        .groupby("__up")
+        .map_groups(pivot_part, batch_format="pandas")
+    )
+
+
+SQL_EVENTS_PIVOT = """
+SELECT user_id,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+FROM events GROUP BY user_id
+"""
+
+
+def q_events_props_extract(sf_dir: str):
+    """Semi-structured extraction: parse the JSON ``props`` column, pull
+    the ``k`` field, bucket it and count — the JSON-sidecar pattern of an
+    event log.  Parsing is per-batch Python json (the column is opaque
+    string); the aggregation is the usual combiner."""
+    import json as _json
+
+    from ..stages.agg import combiner_agg
+
+    ev = _read(sf_dir, "events", ["props"])
+
+    def extract(b: pd.DataFrame) -> pd.DataFrame:
+        ks = np.array(
+            [int(_json.loads(p)["k"]) if p else -1 for p in b["props"]],
+            dtype=np.int64,
+        )
+        return pd.DataFrame({"k_bucket": ks // 10})
+
+    buckets = ev.map_batches(extract, batch_format="pandas")
+    out = _combiner_agg(buckets, ["k_bucket"], [("n", None, "count")])
+    return out.astype({"k_bucket": "int64", "n": "int64"})
+
+
+SQL_EVENTS_PROPS_EXTRACT = """
+SELECT CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS BIGINT)
+         AS k_bucket,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY 1
+"""
+
+
 def q_events_profile(sf_dir: str):
     """Table profiler ("describe"): per-column counts, nulls, min/max and
     exact distinct counts in two bounded passes (partials + a distinct
