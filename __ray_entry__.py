@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": q.q_label_centroids,
         "events_pivot": q.q_events_pivot,
         "events_props_extract": q.q_events_props_extract,
+        "user_moving_avg": q.q_user_moving_avg,
         # --- crawl engine (rows-only; gated by oracle conformance tests) ---
         "crawl_ledger": cq.q_crawl_ledger,
         "crawl_order": cq.q_crawl_order,
@@ -188,4 +189,5 @@ def oracle_sql() -> dict[str, str]:
         "label_centroids": q.SQL_LABEL_CENTROIDS,
         "events_pivot": q.SQL_EVENTS_PIVOT,
         "events_props_extract": q.SQL_EVENTS_PROPS_EXTRACT,
+        "user_moving_avg": q.SQL_USER_MOVING_AVG,
     }

@@ -805,3 +805,22 @@ def test_round3_late_queries_match_duckdb_oracle(name):
     assert len(mine) == len(theirs)
     assert sorted(mine.columns) == sorted(theirs.columns)
     assert value_hash(mine) == value_hash(theirs)
+
+
+def test_user_moving_avg_matches_duckdb_oracle():
+    import duckdb
+    import glob
+    import os
+
+    import __ray_entry__ as e
+    from scripts.check_correctness import to_pandas, value_hash
+
+    con = duckdb.connect()
+    for p in glob.glob(f"{SF}/*.parquet"):
+        con.execute(
+            f"CREATE VIEW {os.path.basename(p)[:-8]} AS SELECT * FROM read_parquet('{p}')"
+        )
+    mine = to_pandas(e.queries()["user_moving_avg"](SF))
+    theirs = con.execute(e.oracle_sql()["user_moving_avg"]).df()
+    assert len(mine) == len(theirs)
+    assert value_hash(mine) == value_hash(theirs)

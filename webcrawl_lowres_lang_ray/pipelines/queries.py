@@ -976,6 +976,24 @@ GROUP BY label, i
 """
 
 
+def q_user_moving_avg(sf_dir: str):
+    """Bounded window frame: trailing 3-row moving average per user —
+    same one-shuffle key-partition plan as the running totals."""
+    from ..stages.windows import moving_avg_cols
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    return moving_avg_cols(ev, window=3)
+
+
+SQL_USER_MOVING_AVG = """
+SELECT event_id, user_id,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+         AS moving_avg
+FROM events
+"""
+
+
 def q_events_pivot(sf_dir: str):
     """Pivot: per-user event counts spread into one column per event type
     (the classic long->wide reshape).  Combiner agg on (user, type) —
