@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pivot": q.q_events_pivot,
         "events_props_extract": q.q_events_props_extract,
         "user_moving_avg": q.q_user_moving_avg,
+        "events_unpivot": q.q_events_unpivot,
         # --- crawl engine (rows-only; gated by oracle conformance tests) ---
         "crawl_ledger": cq.q_crawl_ledger,
         "crawl_order": cq.q_crawl_order,
@@ -190,4 +191,5 @@ def oracle_sql() -> dict[str, str]:
         "events_pivot": q.SQL_EVENTS_PIVOT,
         "events_props_extract": q.SQL_EVENTS_PROPS_EXTRACT,
         "user_moving_avg": q.SQL_USER_MOVING_AVG,
+        "events_unpivot": q.SQL_EVENTS_UNPIVOT,
     }

@@ -824,3 +824,24 @@ def test_user_moving_avg_matches_duckdb_oracle():
     theirs = con.execute(e.oracle_sql()["user_moving_avg"]).df()
     assert len(mine) == len(theirs)
     assert value_hash(mine) == value_hash(theirs)
+
+
+def test_events_unpivot_roundtrips_pivot():
+    """melt(pivot(x)) must equal the direct (user, type) counts — and the
+    registered SQL oracle is exactly that direct aggregation."""
+    import duckdb
+    import glob
+    import os
+
+    import __ray_entry__ as e
+    from scripts.check_correctness import to_pandas, value_hash
+
+    con = duckdb.connect()
+    for p in glob.glob(f"{SF}/*.parquet"):
+        con.execute(
+            f"CREATE VIEW {os.path.basename(p)[:-8]} AS SELECT * FROM read_parquet('{p}')"
+        )
+    mine = to_pandas(e.queries()["events_unpivot"](SF))
+    theirs = con.execute(e.oracle_sql()["events_unpivot"]).df()
+    assert len(mine) == len(theirs)
+    assert value_hash(mine) == value_hash(theirs)

@@ -1075,6 +1075,34 @@ FROM events GROUP BY 1
 """
 
 
+def q_events_unpivot(sf_dir: str):
+    """Unpivot (wide->long reshape): the pivoted per-user type counts melt
+    back to (user_id, event_type, n) rows, dropping empty combinations —
+    an embarrassingly-parallel map_batches over the pivot output (melt is
+    row-local; no extra shuffle beyond the pivot's own)."""
+    pivoted = q_events_pivot(sf_dir)
+    types = ["click", "error", "purchase", "signup", "view"]
+
+    def melt(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.melt(
+            id_vars=["user_id"],
+            value_vars=[f"n_{t}" for t in types],
+            var_name="event_type",
+            value_name="n",
+        )
+        out["event_type"] = out["event_type"].str.slice(2)
+        out = out[out["n"] > 0].reset_index(drop=True)
+        return out.astype({"user_id": "int64", "n": "int64"})
+
+    return pivoted.map_batches(melt, batch_format="pandas")
+
+
+SQL_EVENTS_UNPIVOT = """
+SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY user_id, event_type
+"""
+
+
 def q_events_profile(sf_dir: str):
     """Table profiler ("describe"): per-column counts, nulls, min/max and
     exact distinct counts in two bounded passes (partials + a distinct
