@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_users": q.q_approx_distinct_users,
         "approx_top_users": q.q_approx_top_users,
         "semantic_dedup": q.q_semantic_dedup,
+        "winnow_neardup": q.q_winnow_neardup,
         "lm_perplexity": q.q_lm_perplexity,
         "bpe_token_stats": q.q_bpe_token_stats,
     }

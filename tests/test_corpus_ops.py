@@ -845,3 +845,61 @@ def test_events_unpivot_roundtrips_pivot():
     theirs = con.execute(e.oracle_sql()["events_unpivot"]).df()
     assert len(mine) == len(theirs)
     assert value_hash(mine) == value_hash(theirs)
+
+
+class TestWinnowNeardup:
+    def _brute(self, rows, window, select, min_shared):
+        from webcrawl_lowres_lang_ray.stages.textstats import winnow_fingerprints
+
+        fps = {r["doc_id"]: set(winnow_fingerprints(r["text"], window, select)) for r in rows}
+        out = []
+        ids = sorted(fps)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                shared = len(fps[a] & fps[b])
+                if shared >= min_shared:
+                    out.append((a, b, shared))
+        return sorted(out)
+
+    def test_matches_brute_force(self):
+        import ray.data
+
+        from webcrawl_lowres_lang_ray.stages.dedup import winnow_neardup_pairs
+
+        rng = np.random.RandomState(12)
+        vocab = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot"]
+        rows = []
+        for i in range(30):
+            words = [vocab[j] for j in rng.randint(0, len(vocab), size=25)]
+            rows.append({"doc_id": i, "text": " ".join(words)})
+            if i % 4 == 0:  # planted near-dup: copy with a small edit
+                w2 = list(words)
+                w2[5] = vocab[rng.randint(0, len(vocab))]
+                rows.append({"doc_id": 100 + i, "text": " ".join(w2)})
+        got = (
+            winnow_neardup_pairs(
+                ray.data.from_pandas(pd.DataFrame(rows)), min_shared=3
+            )
+            .to_pandas()
+            .sort_values(["id_a", "id_b"])
+            .reset_index(drop=True)
+        )
+        expect = self._brute(rows, 16, 8, 3)
+        assert list(map(tuple, got.to_numpy())) == expect
+        # the planted copies must appear
+        planted = {(i, 100 + i) for i in range(0, 30, 4)}
+        assert planted <= set(zip(got["id_a"], got["id_b"]))
+
+    def test_clone_shares_all_fingerprints(self):
+        import ray.data
+
+        from webcrawl_lowres_lang_ray.stages.dedup import winnow_neardup_pairs
+        from webcrawl_lowres_lang_ray.stages.textstats import winnow_fingerprints
+
+        text = "the quick brown fox jumps over the lazy dog again and again"
+        rows = [{"doc_id": 0, "text": text}, {"doc_id": 1, "text": text}]
+        got = winnow_neardup_pairs(
+            ray.data.from_pandas(pd.DataFrame(rows)), min_shared=1
+        ).to_pandas()
+        assert len(got) == 1
+        assert got.iloc[0]["shared_fps"] == len(set(winnow_fingerprints(text, 16, 8)))

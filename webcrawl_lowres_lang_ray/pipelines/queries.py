@@ -857,6 +857,17 @@ FROM ranked WHERE rk <= 3
 """
 
 
+def q_winnow_neardup(sf_dir: str):
+    """Winnowing (MOSS) fingerprint near-dup pairs — the position-robust
+    shared-substring family: guarantees a shared fingerprint for any
+    common run of >= window+select-1 chars.  Rows-only gate; parity vs a
+    serial brute-force fingerprint-overlap oracle pinned in tests."""
+    from ..stages.dedup import winnow_neardup_pairs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return winnow_neardup_pairs(docs, min_shared=3)
+
+
 def q_semantic_dedup(sf_dir: str):
     """SemDeDup (Abbas et al. 2023): k-means clusters + greedy first-wins
     intra-cluster cosine dedup over the embeddings table.  Rows-only gate

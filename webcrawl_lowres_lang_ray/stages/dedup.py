@@ -824,3 +824,98 @@ def dup_ngram_fraction(
         .groupby("__dpart")
         .map_groups(finish, batch_format="pandas")
     )
+
+
+def winnow_neardup_pairs(
+    ds: "ray.data.Dataset",
+    window: int = 16,
+    select: int = 8,
+    min_shared: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    parts: int = 64,
+) -> "ray.data.Dataset":
+    """Winnowing near-dup pairs (Schleimer, Wilkerson & Aiken 2003, "Winnowing:
+    Local Algorithms for Document Fingerprinting" — the MOSS algorithm):
+    each doc keeps the minimum Rabin-Karp hash per sliding window of
+    ``select`` rolling hashes (``textstats.winnow_fingerprints``), and two
+    docs sharing >= ``min_shared`` selected fingerprints form a candidate
+    near-dup pair.  Winnowing guarantees any shared substring of length
+    >= window + select - 1 contributes a shared fingerprint, making this
+    the position-robust complement of the fixed-stride exact-substring
+    family above.
+
+    Same exchange shape as ``substring_dedup_pairs``: (fingerprint, doc)
+    rows partition by fingerprint hash, each partition emits its pairs
+    vectorized, and a pair-key partition sums shared counts — no
+    broadcast, no driver collection.  Returns (id_a, id_b, shared_fps),
+    id_a < id_b, shared_fps >= min_shared."""
+    from .textstats import winnow_fingerprints
+
+    def fp_rows(b: pd.DataFrame) -> pd.DataFrame:
+        ids: list[int] = []
+        fps: list[int] = []
+        for i, t in zip(b[id_col].to_numpy(np.int64), b[text_col]):
+            sel = set(winnow_fingerprints(t if isinstance(t, str) else "", window, select))
+            ids.extend([int(i)] * len(sel))
+            fps.extend(sel)
+        # fingerprints are uint64; reinterpret as int64 (bijective) so the
+        # partition/groupby keys stay a native pandas dtype
+        fp_arr = np.fromiter(fps, dtype=np.uint64, count=len(fps)).view(np.int64)
+        return pd.DataFrame(
+            {
+                id_col: np.asarray(ids, dtype=np.int64),
+                "fp": fp_arr,
+                "part": (
+                    pd.util.hash_array(fp_arr) % np.uint64(parts)
+                ).astype(np.int64),
+            }
+        )
+
+    def pairs_in_part(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, grp in g.groupby("fp", sort=False):
+            ids = np.sort(grp[id_col].to_numpy(np.int64))
+            if len(ids) < 2:
+                continue
+            a, b = np.triu_indices(len(ids), k=1)
+            out.append(pd.DataFrame({"id_a": ids[a], "id_b": ids[b]}))
+        if not out:
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
+                 "n": pd.Series(dtype="int64"), "pair_part": pd.Series(dtype="int64")}
+            )
+        c = (
+            pd.concat(out, ignore_index=True)
+            .groupby(["id_a", "id_b"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        c["pair_part"] = (
+            pd.util.hash_array(
+                c["id_a"].to_numpy(np.int64) * np.int64(1_000_003)
+                + c["id_b"].to_numpy(np.int64)
+            )
+            % parts
+        ).astype(np.int64)
+        return c
+
+    def sum_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.groupby(["id_a", "id_b"], sort=False)["n"]
+            .sum()
+            .reset_index(name="shared_fps")
+        )
+        out = out[out["shared_fps"] >= min_shared].reset_index(drop=True)
+        return out.astype(
+            {"id_a": "int64", "id_b": "int64", "shared_fps": "int64"}
+        )
+
+    return (
+        ds.select_columns([id_col, text_col])
+        .map_batches(fp_rows, batch_format="pandas")
+        .groupby("part")
+        .map_groups(pairs_in_part, batch_format="pandas")
+        .groupby("pair_part")
+        .map_groups(sum_pairs, batch_format="pandas")
+    )
