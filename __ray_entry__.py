@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_extract": q.q_events_props_extract,
         "user_moving_avg": q.q_user_moving_avg,
         "events_unpivot": q.q_events_unpivot,
+        "doc_table_checksum": q.q_doc_table_checksum,
         # --- crawl engine (rows-only; gated by oracle conformance tests) ---
         "crawl_ledger": cq.q_crawl_ledger,
         "crawl_order": cq.q_crawl_order,
@@ -193,4 +194,5 @@ def oracle_sql() -> dict[str, str]:
         "events_props_extract": q.SQL_EVENTS_PROPS_EXTRACT,
         "user_moving_avg": q.SQL_USER_MOVING_AVG,
         "events_unpivot": q.SQL_EVENTS_UNPIVOT,
+        "doc_table_checksum": q.SQL_DOC_TABLE_CHECKSUM,
     }

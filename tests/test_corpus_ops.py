@@ -903,3 +903,40 @@ class TestWinnowNeardup:
         ).to_pandas()
         assert len(got) == 1
         assert got.iloc[0]["shared_fps"] == len(set(winnow_fingerprints(text, 16, 8)))
+
+
+class TestTableChecksum:
+    def test_matches_duckdb_oracle(self):
+        import duckdb
+        import glob
+        import os
+
+        import __ray_entry__ as e
+        from scripts.check_correctness import to_pandas, value_hash
+
+        con = duckdb.connect()
+        for p in glob.glob(f"{SF}/*.parquet"):
+            con.execute(
+                f"CREATE VIEW {os.path.basename(p)[:-8]} AS SELECT * FROM read_parquet('{p}')"
+            )
+        mine = to_pandas(e.queries()["doc_table_checksum"](SF))
+        theirs = con.execute(e.oracle_sql()["doc_table_checksum"]).df()
+        assert value_hash(mine) == value_hash(theirs)
+
+    def test_order_insensitive_and_change_sensitive(self):
+        import ray.data
+
+        from webcrawl_lowres_lang_ray.stages.profile import table_checksum
+
+        df = pd.DataFrame(
+            {"doc_id": np.arange(50, dtype=np.int64),
+             "text": [f"doc {i}" for i in range(50)]}
+        )
+        a = table_checksum(ray.data.from_pandas(df), ["doc_id", "text"])
+        shuffled = df.sample(frac=1.0, random_state=3).reset_index(drop=True)
+        b = table_checksum(ray.data.from_pandas(shuffled), ["doc_id", "text"])
+        pd.testing.assert_frame_equal(a, b)  # row order cannot matter
+        df2 = df.copy()
+        df2.loc[17, "text"] = "doc 17 CHANGED"
+        c = table_checksum(ray.data.from_pandas(df2), ["doc_id", "text"])
+        assert int(c["checksum"][0]) != int(a["checksum"][0])

@@ -1114,6 +1114,33 @@ FROM events GROUP BY user_id, event_type
 """
 
 
+def q_doc_table_checksum(sf_dir: str):
+    """Order-insensitive documents-table checksum (migration/copy
+    validation without co-locating either side): sum of the first-8-hex
+    md5 of each '|'-joined row mod 2^31-1; per-batch partial sums only on
+    the exchange, driver folds in Python big ints."""
+    from ..stages.profile import table_checksum
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return table_checksum(docs, ["doc_id", "text"])
+
+
+SQL_DOC_TABLE_CHECKSUM = """
+WITH h AS (
+  SELECT substr(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 8) AS hx
+  FROM documents
+), v AS (
+  SELECT CAST(list_sum(list_transform(range(1, 9),
+      i -> (strpos('0123456789abcdef', substr(hx, CAST(i AS INTEGER), 1)) - 1)
+           * power(16, 8 - i))) AS BIGINT) AS val
+  FROM h
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(val) % 2147483647 AS BIGINT) AS checksum
+FROM v
+"""
+
+
 def q_events_profile(sf_dir: str):
     """Table profiler ("describe"): per-column counts, nulls, min/max and
     exact distinct counts in two bounded passes (partials + a distinct

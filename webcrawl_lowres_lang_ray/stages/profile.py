@@ -119,3 +119,36 @@ def _sort_key(s: str):
         return (0, float(s), "")
     except (TypeError, ValueError):
         return (1, 0.0, s)
+
+
+def table_checksum(
+    ds: "ray.data.Dataset",
+    cols: list[str],
+    mod: int = 2147483647,
+) -> pd.DataFrame:
+    """Order-insensitive content checksum — the migration/copy validator:
+    two tables match iff their row multisets match, checked without
+    co-locating or sorting either side.  Per row: md5 of the '|'-joined
+    column strings, first 8 hex digits as an integer; the checksum is the
+    SUM of those integers mod ``mod`` (addition commutes, so row order,
+    partitioning and parallelism cannot change it).
+
+    Per-batch partial sums ride the exchange as ONE int per batch; the
+    driver folds them in arbitrary-precision Python ints, so 10^10-row
+    sums cannot overflow.  Returns one row: (n_rows, checksum)."""
+    import hashlib
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        md5 = hashlib.md5
+        total = 0
+        for tup in zip(*[b[c] for c in cols]):
+            h = md5("|".join(str(v) for v in tup).encode()).hexdigest()
+            total += int(h[:8], 16)
+        return pd.DataFrame({"n": [np.int64(len(b))], "s": [str(total)]})
+
+    parts = ds.select_columns(cols).map_batches(partial, batch_format="pandas").to_pandas()
+    n = int(parts["n"].sum())
+    s = sum(int(x) for x in parts["s"])
+    return pd.DataFrame(
+        {"n_rows": [np.int64(n)], "checksum": [np.int64(s % mod)]}
+    )
