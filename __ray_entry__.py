@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_moving_avg": q.q_user_moving_avg,
         "events_unpivot": q.q_events_unpivot,
         "doc_table_checksum": q.q_doc_table_checksum,
+        "orders_building_bloom_join": q.q_orders_building_bloom_join,
         # --- crawl engine (rows-only; gated by oracle conformance tests) ---
         "crawl_ledger": cq.q_crawl_ledger,
         "crawl_order": cq.q_crawl_order,
@@ -195,4 +196,5 @@ def oracle_sql() -> dict[str, str]:
         "user_moving_avg": q.SQL_USER_MOVING_AVG,
         "events_unpivot": q.SQL_EVENTS_UNPIVOT,
         "doc_table_checksum": q.SQL_DOC_TABLE_CHECKSUM,
+        "orders_building_bloom_join": q.SQL_ORDERS_BUILDING_BLOOM_JOIN,
     }

@@ -940,3 +940,56 @@ class TestTableChecksum:
         df2.loc[17, "text"] = "doc 17 CHANGED"
         c = table_checksum(ray.data.from_pandas(df2), ["doc_id", "text"])
         assert int(c["checksum"][0]) != int(a["checksum"][0])
+
+
+class TestBloomFilteredJoin:
+    def test_equals_plain_join_and_prunes(self):
+        import ray.data
+
+        from webcrawl_lowres_lang_ray.stages.join import (
+            bloom_filtered_join,
+            hash_join,
+        )
+
+        rng = np.random.RandomState(5)
+        left = pd.DataFrame(
+            {"k": rng.randint(0, 1000, size=500).astype(np.int64),
+             "lv": np.arange(500, dtype=np.int64)}
+        )
+        # selective right side: only 5 keys survive
+        right = pd.DataFrame(
+            {"k": np.array([3, 7, 11, 13, 17], dtype=np.int64),
+             "rv": np.arange(5, dtype=np.int64)}
+        )
+        a = (
+            bloom_filtered_join(
+                ray.data.from_pandas(left), ray.data.from_pandas(right),
+                left_key="k", parts=8,
+            )
+            .to_pandas().sort_values(["lv"]).reset_index(drop=True)
+        )
+        b = (
+            hash_join(
+                ray.data.from_pandas(left), ray.data.from_pandas(right),
+                left_key="k", parts=8,
+            )
+            .to_pandas().sort_values(["lv"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a[b.columns.tolist()], b)
+
+    def test_sql_oracle(self):
+        import duckdb
+        import glob
+        import os
+
+        import __ray_entry__ as e
+        from scripts.check_correctness import to_pandas, value_hash
+
+        con = duckdb.connect()
+        for p in glob.glob(f"{SF}/*.parquet"):
+            con.execute(
+                f"CREATE VIEW {os.path.basename(p)[:-8]} AS SELECT * FROM read_parquet('{p}')"
+            )
+        mine = to_pandas(e.queries()["orders_building_bloom_join"](SF))
+        theirs = con.execute(e.oracle_sql()["orders_building_bloom_join"]).df()
+        assert value_hash(mine) == value_hash(theirs)

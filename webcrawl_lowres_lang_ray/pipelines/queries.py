@@ -1189,6 +1189,39 @@ SELECT * FROM p ORDER BY "column"
 """
 
 
+def q_orders_building_bloom_join(sf_dir: str):
+    """Selective join via the Bloom pre-filter: only BUILDING-segment
+    customers survive the right side, so the broadcast bitmap prunes most
+    order rows BEFORE the exchange; exact results equal the plain join
+    (one-sided error).  Rolled up per orderstatus."""
+    from ..stages.join import bloom_filtered_join
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).filter(
+        expr="c_mktsegment == 'BUILDING'"
+    )
+    joined = bloom_filtered_join(
+        orders, cust, left_key="o_custkey", right_key="c_custkey"
+    )
+    out = _combiner_agg(
+        joined,
+        ["o_orderstatus"],
+        [("n_orders", None, "count"), ("total_price", "o_totalprice", "sum")],
+    )
+    out["total_price"] = round_half_away(out["total_price"].to_numpy(np.float64), 2)
+    return out
+
+
+SQL_ORDERS_BUILDING_BLOOM_JOIN = """
+SELECT o.o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o.o_totalprice), 2) AS total_price
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY o.o_orderstatus
+"""
+
+
 def q_user_value_zscore(sf_dir: str):
     """Per-user mean deviation from the population in population-σ units —
     the anomalous-user detector.  One pass of per-key (sum, sumsq, n)

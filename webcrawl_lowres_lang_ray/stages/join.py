@@ -44,12 +44,28 @@ def hash_join(
     import pyarrow as pa
 
     def _cols_and_casts(ds: "ray.data.Dataset"):
+        # upstream map_batches stages surface pandas block schemas (numpy
+        # dtypes) instead of pyarrow types — handle both
+        def is_int(t):
+            return (
+                pa.types.is_integer(t)
+                if isinstance(t, pa.DataType)
+                else np.issubdtype(t, np.integer)
+            )
+
+        def is_bool(t):
+            return (
+                pa.types.is_boolean(t)
+                if isinstance(t, pa.DataType)
+                else np.issubdtype(t, np.bool_)
+            )
+
         sch = ds.schema()
         cols = list(sch.names)
         casts = {
-            n: ("int64" if pa.types.is_integer(t) else "bool")
+            n: ("int64" if is_int(t) else "bool")
             for n, t in zip(sch.names, sch.types)
-            if pa.types.is_integer(t) or pa.types.is_boolean(t)
+            if is_int(t) or is_bool(t)
         }
         return cols, casts
 
@@ -112,12 +128,28 @@ def salted_hash_join(
     import pyarrow as pa
 
     def _cols_and_casts(ds: "ray.data.Dataset"):
+        # upstream map_batches stages surface pandas block schemas (numpy
+        # dtypes) instead of pyarrow types — handle both
+        def is_int(t):
+            return (
+                pa.types.is_integer(t)
+                if isinstance(t, pa.DataType)
+                else np.issubdtype(t, np.integer)
+            )
+
+        def is_bool(t):
+            return (
+                pa.types.is_boolean(t)
+                if isinstance(t, pa.DataType)
+                else np.issubdtype(t, np.bool_)
+            )
+
         sch = ds.schema()
         cols = list(sch.names)
         casts = {
-            n: ("int64" if pa.types.is_integer(t) else "bool")
+            n: ("int64" if is_int(t) else "bool")
             for n, t in zip(sch.names, sch.types)
-            if pa.types.is_integer(t) or pa.types.is_boolean(t)
+            if is_int(t) or is_bool(t)
         }
         return cols, casts
 
@@ -181,3 +213,65 @@ def salted_hash_join(
         return merged.drop(columns="__salt")
 
     return lt.union(rt).groupby("__jp").map_groups(join_part, batch_format="pandas")
+
+
+def bloom_filtered_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    left_key: str,
+    right_key: str | None = None,
+    parts: int = 64,
+    suffixes: tuple[str, str] = ("", "_r"),
+) -> "ray.data.Dataset":
+    """``hash_join`` with a BLOOM PRE-FILTER on the big side — the classic
+    selective-join optimization: when the right side matches only a small
+    fraction of left keys, most left rows would ride the exchange just to
+    find no partner.  A mergeable Bloom bitmap of the right keys (128 KiB,
+    built from per-batch partial bitmaps — ``curation.bloom_build``)
+    broadcasts once via ``ray.put``; a ``map_batches`` filter drops left
+    rows whose key is definitely absent BEFORE the shuffle.  One-sided
+    error makes this transparent: false positives just ride the exchange
+    and fall out of the exact partition merge, so results equal the plain
+    join exactly.
+
+    Keys are bloomed through their md5-hex string form on both sides
+    (dtype-independent)."""
+    import hashlib
+
+    import ray as _ray
+
+    from .curation import _BLOOM_BITS, bloom_build, bloom_probe
+
+    right_key = right_key or left_key
+    md5 = hashlib.md5
+
+    def keyhash(col):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"__kh": [md5(str(v).encode()).hexdigest() for v in b[col]]}
+            )
+
+        return fn
+
+    bitmap_blob = bloom_build(
+        right.select_columns([right_key]).map_batches(
+            keyhash(right_key), batch_format="pandas"
+        ),
+        "__kh",
+    )
+    bitmap_ref = _ray.put(np.frombuffer(bitmap_blob, dtype=np.uint8))
+
+    def prefilter(b: pd.DataFrame) -> pd.DataFrame:
+        bm = _ray.get(bitmap_ref)
+        hexes = [md5(str(v).encode()).hexdigest() for v in b[left_key]]
+        keep = bloom_probe(bm, hexes, _BLOOM_BITS)
+        return b[keep].reset_index(drop=True)
+
+    return hash_join(
+        left.map_batches(prefilter, batch_format="pandas"),
+        right,
+        left_key=left_key,
+        right_key=right_key,
+        parts=parts,
+        suffixes=suffixes,
+    )
