@@ -126,6 +126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_curate": cq.q_crawl_curate,
         "crawl_pagerank": cq.q_crawl_pagerank,
         "crawl_priority_pagerank": cq.q_crawl_priority_pagerank,
+        "crawl_host_degrees": cq.q_crawl_host_degrees,
         "crawl_dedup_clusters": cq.q_crawl_dedup_clusters,
         "event_value_quantiles_approx": q.q_event_value_quantiles_approx,
         "approx_distinct_users": q.q_approx_distinct_users,

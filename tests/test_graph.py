@@ -173,3 +173,17 @@ class TestPagerank:
                 if len(later):
                     # every seed fetched in wave w beats every later one
                     assert prios[waves == w].min() > later.max()
+
+    def test_crawl_host_degrees(self):
+        from webcrawl_lowres_lang_ray.pipelines.crawl_queries import (
+            q_crawl_host_degrees,
+        )
+
+        a = q_crawl_host_degrees("/root/testdata/sf0.001")
+        b = q_crawl_host_degrees("/root/testdata/sf0.001")
+        pd.testing.assert_frame_equal(a, b)
+        assert len(a) > 0
+        # conservation: total out-links == total in-links (every edge has
+        # one src host and one dst host)
+        assert a["out_links"].sum() == a["in_links"].sum()
+        assert (a["out_peer_hosts"] <= a["out_links"]).all()

@@ -583,6 +583,52 @@ def q_crawl_priority_pagerank(sf_dir: str) -> pd.DataFrame:
 _PRIO_SEEDS_CACHE: dict[str, pd.DataFrame] = {}
 
 
+def q_crawl_host_degrees(sf_dir: str) -> pd.DataFrame:
+    """Host-level link-graph degree statistics: per host, outbound links,
+    inbound links, and distinct peer hosts linked to — the connectivity
+    report a crawl operator reads before re-budgeting politeness.  Edges
+    come from the shared extraction (`_corpus_link_ranks`'s edge pass);
+    host pairs pre-aggregate per batch (combiner) so the exchange carries
+    (src_host, dst_host, n) partials, never raw edges.  Rows-only gate:
+    determinism + hand-checked toy-graph values in tests/test_graph.py."""
+    from urllib.parse import urlparse
+
+    from ..stages.agg import combiner_agg
+
+    corpus = corpus_dir_for_sf(sf_dir)
+    edge_urls, _ranks = _corpus_link_ranks(corpus)
+
+    def host_pairs(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "src_host": [urlparse(u).netloc for u in b["src_url"]],
+                "dst_host": [urlparse(u).netloc for u in b["dst_url"]],
+            }
+        )
+
+    pairs = combiner_agg(
+        edge_urls.map_batches(host_pairs, batch_format="pandas"),
+        ["src_host", "dst_host"],
+        [("n", None, "count")],
+        parts=16,
+    ).to_pandas()
+    out_deg = pairs.groupby("src_host")["n"].sum()
+    in_deg = pairs.groupby("dst_host")["n"].sum()
+    out_peers = pairs.groupby("src_host")["dst_host"].nunique()
+    hosts = sorted(set(out_deg.index) | set(in_deg.index))
+    res = pd.DataFrame(
+        {
+            "host": hosts,
+            "out_links": [int(out_deg.get(h, 0)) for h in hosts],
+            "in_links": [int(in_deg.get(h, 0)) for h in hosts],
+            "out_peer_hosts": [int(out_peers.get(h, 0)) for h in hosts],
+        }
+    )
+    return res.astype(
+        {"out_links": "int64", "in_links": "int64", "out_peer_hosts": "int64"}
+    )
+
+
 def q_crawl_dedup_clusters(sf_dir: str) -> pd.DataFrame:
     """Transitive near-dup clustering: MinHash+LSH pairs over the crawl's
     fetched texts (q_minhash_neardup's exact settings) -> connected
