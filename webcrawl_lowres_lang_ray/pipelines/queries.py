@@ -1026,6 +1026,14 @@ def q_events_pivot(sf_dir: str):
         return b
 
     def pivot_part(g: pd.DataFrame) -> pd.DataFrame:
+        # the wide schema is fixed by the SQL oracle's column list; a new
+        # event_type in the data must fail loudly, not vanish from the output
+        extra = set(g["event_type"]) - set(types)
+        if extra:
+            raise ValueError(
+                f"events_pivot: unexpected event_type values {sorted(extra)}; "
+                "extend the pivoted column list (and the SQL oracle) to match"
+            )
         w = (
             g.pivot_table(
                 index="user_id", columns="event_type", values="n",
@@ -1067,8 +1075,15 @@ def q_events_props_extract(sf_dir: str):
     ev = _read(sf_dir, "events", ["props"])
 
     def extract(b: pd.DataFrame) -> pd.DataFrame:
+        # null/empty props rows are dropped on BOTH sides (the SQL oracle
+        # filters `props IS NOT NULL AND props <> ''`) — SQL would group
+        # them under a NULL key, which has no integer-bucket equivalent
         ks = np.array(
-            [int(_json.loads(p)["k"]) if p else -1 for p in b["props"]],
+            [
+                int(_json.loads(p)["k"])
+                for p in b["props"]
+                if isinstance(p, str) and p
+            ],
             dtype=np.int64,
         )
         return pd.DataFrame({"k_bucket": ks // 10})
@@ -1082,7 +1097,9 @@ SQL_EVENTS_PROPS_EXTRACT = """
 SELECT CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS BIGINT)
          AS k_bucket,
        CAST(count(*) AS BIGINT) AS n
-FROM events GROUP BY 1
+FROM events
+WHERE props IS NOT NULL AND props <> ''
+GROUP BY 1
 """
 
 
@@ -1092,12 +1109,13 @@ def q_events_unpivot(sf_dir: str):
     an embarrassingly-parallel map_batches over the pivot output (melt is
     row-local; no extra shuffle beyond the pivot's own)."""
     pivoted = q_events_pivot(sf_dir)
-    types = ["click", "error", "purchase", "signup", "view"]
 
     def melt(b: pd.DataFrame) -> pd.DataFrame:
+        # derive the value columns from the pivot output itself so a wider
+        # pivot schema melts completely instead of silently dropping columns
         out = b.melt(
             id_vars=["user_id"],
-            value_vars=[f"n_{t}" for t in types],
+            value_vars=[c for c in b.columns if c.startswith("n_")],
             var_name="event_type",
             value_name="n",
         )

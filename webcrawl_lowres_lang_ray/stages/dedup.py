@@ -763,6 +763,8 @@ def dup_ngram_fraction(
         ids: list[int] = []
         grams: list[str] = []
         for i, t in zip(b[id_col].to_numpy(np.int64), b[text_col]):
+            if not isinstance(t, str):
+                continue
             ws = t.split()
             if len(ws) < n:
                 continue

@@ -48,7 +48,7 @@ def train_bigram_lm(
     text_col: str = "text",
     mask_fn=None,
     buckets: int = _LM_BUCKETS,
-) -> tuple[dict[int, int], np.ndarray]:
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Fit hashed-bigram counts on ``docs`` rows passing ``mask_fn``.
 
     Returns ``(joint_ids, joint_cnt, ctx)``: a SORTED sparse composite-id ->

@@ -46,9 +46,19 @@ def table_profile(
             s = b[c]
             nn = s.notna()
             sub = s[nn]
+            # record the SOURCE dtype kind so the driver fold compares
+            # extrema in the column's own domain — a VARCHAR column holding
+            # numeric-looking strings must stay lexicographic (as the SQL
+            # oracle's CAST AS VARCHAR min/max does), not get float-parsed
+            kind = (
+                "num"
+                if pd.api.types.is_numeric_dtype(s)
+                else ("ts" if pd.api.types.is_datetime64_any_dtype(s) else "str")
+            )
             rows.append(
                 {
                     "column": c,
+                    "kind": kind,
                     "n": np.int64(len(s)),
                     "n_null": np.int64((~nn).sum()),
                     "min_v": _val_str(sub.min()) if len(sub) else None,
@@ -96,29 +106,23 @@ def table_profile(
     out["n_null"] = [int(g.get_group(c)["n_null"].sum()) for c in out["column"]]
 
     def best(c, col, fn):
-        vals = g.get_group(c)[col].dropna()
+        grp = g.get_group(c)
+        vals = grp[col].dropna()
         if not len(vals):
             return None
-        # compare in the ORIGINAL domain, not lexicographically: parse back
-        # through the column's first value type is fragile, so partials keep
-        # per-batch extrema and the fold re-compares as strings only for
-        # string columns; numeric/timestamp columns re-parse
-        return fn(vals, key=_sort_key)
+        # compare in the column's SOURCE domain, recorded by the partials:
+        # numeric columns re-parse their string extrema; timestamp (ISO) and
+        # string columns compare lexicographically — so a VARCHAR column of
+        # numeric-looking strings keeps the SQL oracle's string ordering
+        kind = grp["kind"].iloc[0]
+        if kind == "num":
+            return fn(vals, key=float)
+        return fn(vals)
 
     out["min_v"] = [best(c, "min_v", min) for c in out["column"]]
     out["max_v"] = [best(c, "max_v", max) for c in out["column"]]
     out["n_distinct"] = [int(nd.get(c, 0)) for c in out["column"]]
     return out.reset_index(drop=True)
-
-
-def _sort_key(s: str):
-    """Order partial extrema in their original domain: numeric strings by
-    value, timestamps chronologically (ISO strings sort lexicographically),
-    everything else lexicographically."""
-    try:
-        return (0, float(s), "")
-    except (TypeError, ValueError):
-        return (1, 0.0, s)
 
 
 def table_checksum(
