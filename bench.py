@@ -46,11 +46,10 @@ BENCH_QUERIES = [
     "top_users_by_value",
     "ann_topk",
     "doc_quality",
-    "token_counts",
     "asof_click_view",
     "events_sliding_window",
     "user_value_salted",
-    "embedding_neardup",
+    "embedding_neardup_lsh",
     # round-3 additions (new keys are additive; BASELINE.md tracks bands
     # per query, cross-round totals compare on the shared prefix)
     "dup_ngram_fraction",

@@ -2,7 +2,11 @@
 entry at a given sf and compares against oracle_sql() via DuckDB
 (row count + column names + order-insensitive value hash).
 
-Usage: python scripts/check_correctness.py [sf_dir] [query ...]
+Usage: python scripts/check_correctness.py [--write] [sf_dir] [query ...]
+
+With --write, also records every entry (SQL-checked AND rows-only) into
+CORRECTNESS_FULL.json at the repo root — the committed full-surface
+artifact covering the queries the driver's 50-row prefix cannot reach.
 """
 
 from __future__ import annotations
@@ -41,8 +45,10 @@ def value_hash(df: pd.DataFrame) -> str:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--write"]
+    write = "--write" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import ray
 
@@ -68,6 +74,7 @@ def main():
     qs = entrymod.queries()
     sqls = entrymod.oracle_sql()
     failures = 0
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -77,17 +84,28 @@ def main():
         except Exception as e:
             print(f"FAIL {name}: query raised {type(e).__name__}: {e}")
             failures += 1
+            results[name] = {"rows_match": False, "schema_match": False,
+                             "hash_match": False, "spark_rows": None,
+                             "oracle_rows": None,
+                             "err": f"{type(e).__name__}: {e}"}
             continue
         el = time.time() - t0
         sql = sqls.get(name)
         if sql is None:
             print(f"rows-only {name}: {len(mine)} rows, cols={list(mine.columns)[:6]}..., {el:.1f}s")
+            results[name] = {"rows_match": None, "schema_match": None,
+                             "hash_match": None, "spark_rows": int(len(mine)),
+                             "oracle_rows": None, "err": "no_oracle",
+                             "sec": round(el, 2)}
             continue
         try:
             theirs = con.execute(sql).df()
         except Exception as e:
             print(f"FAIL {name}: SQL raised {e}")
             failures += 1
+            results[name] = {"rows_match": False, "schema_match": False,
+                             "hash_match": False, "spark_rows": int(len(mine)),
+                             "oracle_rows": None, "err": f"sql: {e}"}
             continue
         ok_rows = len(mine) == len(theirs)
         ok_cols = sorted(mine.columns) == sorted(theirs.columns)
@@ -95,6 +113,10 @@ def main():
         status = "OK  " if (ok_rows and ok_cols and ok_hash) else "FAIL"
         if status == "FAIL":
             failures += 1
+        results[name] = {"rows_match": bool(ok_rows), "schema_match": bool(ok_cols),
+                         "hash_match": bool(ok_hash), "spark_rows": int(len(mine)),
+                         "oracle_rows": int(len(theirs)), "err": None,
+                         "sec": round(el, 2)}
         print(f"{status} {name}: rows {len(mine)}/{len(theirs)} cols_ok={ok_cols} hash_ok={ok_hash} ({el:.1f}s)")
         if status == "FAIL" and ok_rows and ok_cols:
             m = mine[sorted(mine.columns)].copy()
@@ -107,6 +129,16 @@ def main():
             print(pd.concat([m.loc[diff].head(3).add_suffix("_ray"),
                              t.loc[diff].head(3).add_suffix("_sql")], axis=1).to_string())
     ray.shutdown()
+    if write:
+        import json
+
+        out_path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "CORRECTNESS_FULL.json",
+        )
+        with open(out_path, "w") as f:
+            json.dump({"sf_dir": sf_dir, "results": results}, f, indent=1)
+        print("wrote", out_path, f"({len(results)} entries)")
     print("FAILURES:", failures)
     sys.exit(1 if failures else 0)
 

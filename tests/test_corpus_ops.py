@@ -26,7 +26,7 @@ def _docs(rows):
 
 @pytest.mark.parametrize(
     "name",
-    ["dup_ngram_fraction", "doc_quality_ntile", "doc_quality_percentile",
+    ["dup_ngram_fraction", "doc_quality_ranks", "doc_signatures",
      "tfidf_top_terms"],
 )
 def test_matches_duckdb_oracle(name):
@@ -478,7 +478,7 @@ class TestBpe:
 # ---------------------------------------------------------------------------
 
 
-@pytest.mark.parametrize("name", ["user_running_totals", "order_customer_join"])
+@pytest.mark.parametrize("name", ["user_window_stats", "order_customer_join"])
 def test_window_join_match_duckdb_oracle(name):
     import duckdb
     import glob
@@ -807,7 +807,7 @@ def test_round3_late_queries_match_duckdb_oracle(name):
     assert value_hash(mine) == value_hash(theirs)
 
 
-def test_user_moving_avg_matches_duckdb_oracle():
+def test_user_window_stats_matches_duckdb_oracle():
     import duckdb
     import glob
     import os
@@ -820,8 +820,8 @@ def test_user_moving_avg_matches_duckdb_oracle():
         con.execute(
             f"CREATE VIEW {os.path.basename(p)[:-8]} AS SELECT * FROM read_parquet('{p}')"
         )
-    mine = to_pandas(e.queries()["user_moving_avg"](SF))
-    theirs = con.execute(e.oracle_sql()["user_moving_avg"]).df()
+    mine = to_pandas(e.queries()["user_window_stats"](SF))
+    theirs = con.execute(e.oracle_sql()["user_window_stats"]).df()
     assert len(mine) == len(theirs)
     assert value_hash(mine) == value_hash(theirs)
 

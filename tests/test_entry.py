@@ -28,6 +28,32 @@ def test_every_oracle_key_has_a_query():
     assert len(qs) >= 30 and len(sqls) >= 20
 
 
+def test_driver_prefix_is_fully_sql_oracled():
+    """The driver's correctness harness records ONLY the first
+    DRIVER_CORRECTNESS_PREFIX queries() entries (measured r1-r3: always an
+    exact dict-order prefix of 50).  Every one of those slots must carry a
+    SQL oracle so every driver-recorded row is a hard value-hash check —
+    this test makes the round-3 'orphaned SQL query' gap impossible to
+    reintroduce: a new entry added above the line without an oracle_sql()
+    twin (or a SQL entry pushed below it) fails here."""
+    import __ray_entry__ as e
+
+    qs, sqls = e.queries(), e.oracle_sql()
+    prefix = list(qs)[: e.DRIVER_CORRECTNESS_PREFIX]
+    missing = [n for n in prefix if n not in sqls]
+    assert not missing, (
+        f"driver-visible queries without SQL oracles: {missing} — either add "
+        "oracle_sql() entries or move them below the prefix marker"
+    )
+    # the demoted-SQL set below the line is a conscious, frozen choice
+    below = set(list(qs)[e.DRIVER_CORRECTNESS_PREFIX:])
+    demoted_sql = {n for n in below if n in sqls}
+    assert demoted_sql == {
+        "embedding_neardup", "ngram_jaccard", "lang_counts",
+        "order_priority_counts", "top_docs_by_chars",
+    }, f"unexpected SQL-oracled entries below the driver prefix: {demoted_sql}"
+
+
 def test_entry_returns_ledger():
     import __ray_entry__ as e
 
@@ -35,6 +61,25 @@ def test_entry_returns_ledger():
     df = res.to_pandas()
     assert len(df) > 0
     assert {"seq", "url", "nlp_full_lang", "rejected"}.issubset(df.columns)
+
+
+@pytest.mark.parametrize(
+    "exact,lsh",
+    [("embedding_neardup", "embedding_neardup_lsh"),
+     ("ngram_jaccard", "ngram_jaccard_lsh")],
+)
+def test_lsh_scale_paths_equal_exact_at_test_scale(exact, lsh):
+    """The LSH near-dup queries share their exact twins' SQL oracles, which
+    is sound only while their operating points yield recall 1.0 on the
+    deterministic test corpora — pin the EQUALITY itself, not just recall."""
+    import __ray_entry__ as e
+    from scripts.check_correctness import to_pandas, value_hash
+
+    qs = e.queries()
+    a = to_pandas(qs[exact](SF))
+    b = to_pandas(qs[lsh](SF))
+    assert len(a) == len(b)
+    assert value_hash(a) == value_hash(b)
 
 
 @pytest.mark.parametrize(

@@ -121,14 +121,21 @@ SQL_LANG_COUNTS = "SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GRO
 
 
 def q_doc_quality(sf_dir: str):
-    """Quality scoring: token/punct/stopword metrics per doc (4dp)."""
+    """Quality scoring: token/punct/stopword metrics per doc (4dp), plus
+    the training-data token accounting (whitespace + BPE-ish regex token
+    counts — the former token_counts query) in the SAME single pass over
+    the text column."""
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def fn(b: pd.DataFrame) -> pd.DataFrame:
-        from ..stages.textstats import quality_batch
+        from ..stages.textstats import add_token_counts_frame, quality_batch
 
         out = quality_batch(b)
-        return out[["doc_id", "n_tokens", "punct_ratio", "stopword_ratio", "mean_token_len"]]
+        tok = add_token_counts_frame(b)
+        out = out[["doc_id", "n_tokens", "punct_ratio", "stopword_ratio", "mean_token_len"]]
+        out["ws_tokens"] = tok["ws_tokens"].to_numpy(np.int64)
+        out["bpeish_tokens"] = tok["bpeish_tokens"].to_numpy(np.int64)
+        return out
 
     return docs.map_batches(fn, batch_format="pandas")
 
@@ -142,7 +149,9 @@ SELECT doc_id,
                                 x -> lower(x) IN ('the','a','and','of','to')))
              / greatest(length(string_split(text, ' ')), 1), 4) AS stopword_ratio,
        round((length(text) - (length(string_split(text, ' ')) - 1))
-             / CAST(length(string_split(text, ' ')) AS DOUBLE), 4) AS mean_token_len
+             / CAST(length(string_split(text, ' ')) AS DOUBLE), 4) AS mean_token_len,
+       len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS ws_tokens,
+       len(regexp_extract_all(text, '\w+|[^\w\s]')) AS bpeish_tokens
 FROM documents
 """
 
@@ -209,38 +218,28 @@ FROM documents GROUP BY 1
 """
 
 
-def q_doc_hashes(sf_dir: str):
-    """F4 (fileutils.py:101, lrl-crawler.py:231-233): md5 + sha256 parity."""
-    docs = _read(sf_dir, "documents", ["doc_id", "text"])
-
-    def fn(b: pd.DataFrame) -> pd.DataFrame:
-        b["md5_hash"] = [hashlib.md5(t.encode()).hexdigest() for t in b["text"]]
-        b["sha256_hash"] = [hashlib.sha256(t.encode()).hexdigest() for t in b["text"]]
-        return b[["doc_id", "md5_hash", "sha256_hash"]]
-
-    return docs.map_batches(fn, batch_format="pandas")
-
-
-SQL_DOC_HASHES = """
-SELECT doc_id, md5(text) AS md5_hash, sha256(text) AS sha256_hash FROM documents
-"""
-
-
-def q_doc_fingerprint(sf_dir: str):
-    """Document fingerprint: md5 of whitespace-normalized lowercase text."""
+def q_doc_signatures(sf_dir: str):
+    """Per-doc content signatures in ONE pass: md5 + sha256 content hashes
+    (F4 — fileutils.py:101, lrl-crawler.py:231-233 parity) plus the
+    whitespace-normalized-lowercase fingerprint — the former doc_hashes and
+    doc_fingerprint queries merged so one map_batches (and one driver
+    correctness slot) covers both operators."""
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def fn(b: pd.DataFrame) -> pd.DataFrame:
         from ..stages.textstats import fingerprint
 
+        b["md5_hash"] = [hashlib.md5(t.encode()).hexdigest() for t in b["text"]]
+        b["sha256_hash"] = [hashlib.sha256(t.encode()).hexdigest() for t in b["text"]]
         b["fp"] = [fingerprint(t) for t in b["text"]]
-        return b[["doc_id", "fp"]]
+        return b[["doc_id", "md5_hash", "sha256_hash", "fp"]]
 
     return docs.map_batches(fn, batch_format="pandas")
 
 
-SQL_DOC_FINGERPRINT = r"""
-SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+SQL_DOC_SIGNATURES = r"""
+SELECT doc_id, md5(text) AS md5_hash, sha256(text) AS sha256_hash,
+       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
 FROM documents
 """
 
@@ -570,20 +569,10 @@ SELECT doc_id, lang FROM (
 """
 
 
-def q_label_counts(sf_dir: str):
-    out = (
-        _read(sf_dir, "embeddings", ["label"])
-        .groupby("label")
-        .aggregate(Count(alias_name="n"))
-    )
-    return out
-
-
-SQL_LABEL_COUNTS = "SELECT label, CAST(count(*) AS BIGINT) AS n FROM embeddings GROUP BY label"
-
-
 def q_embedding_norms(sf_dir: str):
-    """Per-label mean L2 norm (vectorized numpy kernel per batch)."""
+    """Per-label mean L2 norm (vectorized numpy kernel per batch) plus the
+    per-label row count (the former label_counts query) from the same
+    grouped aggregation."""
     emb = _read(sf_dir, "embeddings", ["label", "embedding"])
 
     def norms(b: pd.DataFrame) -> pd.DataFrame:
@@ -594,15 +583,17 @@ def q_embedding_norms(sf_dir: str):
     out = (
         emb.map_batches(norms, batch_format="pandas")
         .groupby("label")
-        .aggregate(Mean("norm", alias_name="mean_norm"))
+        .aggregate(Mean("norm", alias_name="mean_norm"), Count(alias_name="n"))
     ).to_pandas()
     out["mean_norm"] = round_half_away(out["mean_norm"], 4)
+    out["n"] = out["n"].astype(np.int64)
     return out
 
 
 SQL_EMBEDDING_NORMS = """
 SELECT label,
-       round(avg(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))), 4) AS mean_norm
+       round(avg(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))), 4) AS mean_norm,
+       CAST(count(*) AS BIGINT) AS n
 FROM embeddings GROUP BY label
 """
 
@@ -657,12 +648,18 @@ def q_doc_embed_neardup(sf_dir: str):
 
 def q_embedding_neardup_lsh(sf_dir: str):
     """SRP-LSH bucketed near-dup (the shipped scale path: probe-bucket
-    candidates + shuffle-joined exact cosine, nothing broadcast; recall
-    >= 0.95 vs the exact pair set is pinned in tests/test_stages.py)."""
+    candidates + shuffle-joined exact cosine, nothing broadcast).
+
+    Operating point: 24 tables x 8 bits with 1-bit probes — per-pair miss
+    probability ~0.654^24 ~ 4e-5 at the cos-0.35 worst case, so on the
+    deterministic test corpora the output EQUALS the exact all-pairs set
+    (driver-checked against the same SQL oracle as embedding_neardup;
+    equality at sf0.001/0.01/0.1 pinned in tests).  Tune bits up / tables
+    down for cheaper-but-lossier recall at corpus scale."""
     from ..stages.ann import srp_neardup_pairs
 
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return srp_neardup_pairs(emb, dim=64, threshold=0.35)
+    return srp_neardup_pairs(emb, dim=64, threshold=0.35, n_tables=24)
 
 
 SQL_EMBEDDING_NEARDUP = """
@@ -782,37 +779,21 @@ GROUP BY d.doc_id
 """
 
 
-def q_doc_quality_ntile(sf_dir: str):
-    """Exact global NTILE(10) quality binning by (n_chars, doc_id) —
-    distributed as a distinct-value histogram broadcast + value-partition
-    tie ranking (no global row sort, no driver frame)."""
+def q_doc_quality_ranks(sf_dir: str):
+    """Exact global NTILE(10) binning AND PERCENT_RANK over (n_chars,
+    doc_id) from ONE distributed rank pass — distinct-value histogram
+    broadcast + value-partition tie ranking (no global row sort, no driver
+    frame); the former doc_quality_ntile and doc_quality_percentile
+    queries merged."""
     from ..stages.textstats import quality_ntile
 
     docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
-    return quality_ntile(docs, k=10)
+    return quality_ntile(docs, k=10, with_percent_rank=True)
 
 
-SQL_DOC_QUALITY_NTILE = """
+SQL_DOC_QUALITY_RANKS = """
 SELECT doc_id, n_chars,
-       CAST(NTILE(10) OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS decile
-FROM documents
-"""
-
-
-def q_doc_quality_percentile(sf_dir: str):
-    """SQL PERCENT_RANK over (n_chars, doc_id) — same distributed rank
-    machinery as the NTILE query (value-histogram broadcast + tie
-    ranking), no ties under the total order so RANK == ROW_NUMBER."""
-    from ..stages.textstats import quality_ntile
-
-    docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
-    return quality_ntile(docs, k=10, with_percent_rank=True).select_columns(
-        ["doc_id", "n_chars", "pct_rank"]
-    )
-
-
-SQL_DOC_QUALITY_PERCENTILE = """
-SELECT doc_id, n_chars,
+       CAST(NTILE(10) OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS decile,
        round(percent_rank() OVER (ORDER BY n_chars, doc_id), 6) AS pct_rank
 FROM documents
 """
@@ -889,21 +870,26 @@ def q_lm_perplexity(sf_dir: str):
     return lm_perplexity(docs, target_lang="en")
 
 
-def q_user_running_totals(sf_dir: str):
-    """Per-user ordered window columns (row_number, running sum, lag) —
-    one key-hash partition shuffle, vectorized grouped cumsum inside."""
+def q_user_window_stats(sf_dir: str):
+    """Per-user ordered window columns — row_number, running sum, lag AND
+    the trailing-3-row moving average — ALL from one key-hash partition
+    shuffle (the former user_running_totals and user_moving_avg queries
+    merged; the bounded frame rides the same vectorized grouped pass)."""
     from ..stages.windows import running_window_cols
 
     ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
-    return running_window_cols(ev)
+    return running_window_cols(ev, moving_window=3)
 
 
-SQL_USER_RUNNING_TOTALS = """
+SQL_USER_WINDOW_STATS = """
 SELECT event_id, user_id,
        CAST(row_number() OVER w AS BIGINT) AS rn,
        round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS UNBOUNDED PRECEDING), 2) AS cum_value,
-       round(COALESCE(lag(value) OVER w, 0.0), 2) AS prev_value
+       round(COALESCE(lag(value) OVER w, 0.0), 2) AS prev_value,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+         AS moving_avg
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
@@ -984,24 +970,6 @@ SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS dim,
        round(avg(embedding[CAST(i AS INTEGER)]), 5) AS mean_val
 FROM embeddings, unnest(range(1, 65)) AS t(i)
 GROUP BY label, i
-"""
-
-
-def q_user_moving_avg(sf_dir: str):
-    """Bounded window frame: trailing 3-row moving average per user —
-    same one-shuffle key-partition plan as the running totals."""
-    from ..stages.windows import moving_avg_cols
-
-    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
-    return moving_avg_cols(ev, window=3)
-
-
-SQL_USER_MOVING_AVG = """
-SELECT event_id, user_id,
-       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
-         AS moving_avg
-FROM events
 """
 
 
@@ -1324,23 +1292,6 @@ def q_bpe_token_stats(sf_dir: str):
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     return bpe_token_stats(docs, num_merges=40)
-
-
-def q_token_counts(sf_dir: str):
-    """Whitespace + BPE-ish regex token counts per document (training-data
-    token accounting)."""
-    from ..stages.textstats import add_token_counts
-
-    docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    return add_token_counts(docs).select_columns(["doc_id", "ws_tokens", "bpeish_tokens"])
-
-
-SQL_TOKEN_COUNTS = r"""
-SELECT doc_id,
-       len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS ws_tokens,
-       len(regexp_extract_all(text, '\w+|[^\w\s]')) AS bpeish_tokens
-FROM documents
-"""
 
 
 # ===========================================================================

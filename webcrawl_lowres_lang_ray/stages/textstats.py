@@ -63,13 +63,17 @@ def token_count_bpeish(text: str) -> int:
     return len(_BPE_ISH_RE.findall(text))
 
 
+def add_token_counts_frame(b: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    b["ws_tokens"] = np.array([len(t.split()) for t in b[text_col]], dtype=np.int64)
+    b["bpeish_tokens"] = np.array(
+        [token_count_bpeish(t) for t in b[text_col]], dtype=np.int64
+    )
+    return b
+
+
 def add_token_counts(ds: "ray.data.Dataset", text_col: str = "text") -> "ray.data.Dataset":
     def fn(b: pd.DataFrame) -> pd.DataFrame:
-        b["ws_tokens"] = np.array([len(t.split()) for t in b[text_col]], dtype=np.int64)
-        b["bpeish_tokens"] = np.array(
-            [token_count_bpeish(t) for t in b[text_col]], dtype=np.int64
-        )
-        return b
+        return add_token_counts_frame(b, text_col)
 
     return ds.map_batches(fn, batch_format="pandas")
 

@@ -348,11 +348,16 @@ def running_window_cols(
     value_col: str = "value",
     parts: int = 64,
     round_dp: int = 2,
+    moving_window: int | None = None,
+    moving_round_dp: int = 4,
 ) -> "ray.data.Dataset":
     """Per-key ordered window columns — SQL ``row_number() /
     sum() ROWS UNBOUNDED PRECEDING / lag() OVER (PARTITION BY key ORDER BY
     ts, id)`` — the running-total / previous-event features of a
-    sessionized event table.
+    sessionized event table.  With ``moving_window`` set, the same single
+    shuffle also yields the bounded-frame trailing mean (``moving_avg``,
+    SQL ``ROWS BETWEEN w-1 PRECEDING AND CURRENT ROW``) — all four window
+    columns for the price of one key-hash exchange.
 
     One key-hash partition shuffle; inside each partition a single
     vectorized pass (sort + grouped cumsum/cumcount/shift) computes every
@@ -380,7 +385,7 @@ def running_window_cols(
         rn = (grp.cumcount() + 1).to_numpy(np.int64)
         cum = grp[value_col].cumsum().to_numpy(np.float64)
         prev = grp[value_col].shift(1).fillna(0.0).to_numpy(np.float64)
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {
                 id_col: g[id_col].to_numpy(np.int64),
                 key_col: g[key_col].to_numpy(np.int64),
@@ -389,6 +394,16 @@ def running_window_cols(
                 "prev_value": round_half_away(prev, round_dp),
             }
         )
+        if moving_window is not None:
+            mov = (
+                grp[value_col]
+                .rolling(moving_window, min_periods=1)
+                .mean()
+                .reset_index(drop=True)
+                .to_numpy(np.float64)
+            )
+            out["moving_avg"] = round_half_away(mov, moving_round_dp)
+        return out
 
     return (
         ds.map_batches(add_part, batch_format="pandas")
