@@ -187,3 +187,35 @@ class TestPagerank:
         # one src host and one dst host)
         assert a["out_links"].sum() == a["in_links"].sum()
         assert (a["out_peer_hosts"] <= a["out_links"]).all()
+
+
+class TestPagerankAuto:
+    def test_dispatch_paths_agree(self, monkeypatch):
+        """pagerank_auto must return the identical (id, rank) table
+        whichever variant the edge-count dispatch picks."""
+        from webcrawl_lowres_lang_ray.stages import graph
+
+        edges = _random_edges()
+        small = (
+            graph.pagerank_auto(_ds(edges), iterations=5)
+            .to_pandas().sort_values("id").reset_index(drop=True)
+        )
+        monkeypatch.setattr(graph, "BROADCAST_PAGERANK_MAX_EDGES", 0)
+        big = (
+            graph.pagerank_auto(_ds(edges), iterations=5)
+            .to_pandas().sort_values("id").reset_index(drop=True)
+        )
+        assert (small["id"].to_numpy() == big["id"].to_numpy()).all()
+        assert np.allclose(small["rank"], big["rank"], atol=1e-9)
+
+    def test_dispatch_selects_exchanged_above_threshold(self, monkeypatch):
+        from webcrawl_lowres_lang_ray.stages import graph
+
+        calls = []
+        monkeypatch.setattr(
+            graph, "pagerank",
+            lambda *a, **k: calls.append("exchanged") or _ds(pd.DataFrame({"id": [0], "rank": [1.0]})),
+        )
+        monkeypatch.setattr(graph, "BROADCAST_PAGERANK_MAX_EDGES", 1)
+        graph.pagerank_auto(_ds(_random_edges()), iterations=1)
+        assert calls == ["exchanged"]

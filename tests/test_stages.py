@@ -963,3 +963,58 @@ class TestSubstringDedup:
         ).sort_values(["id_a", "id_b"]).reset_index(drop=True)
         pd.testing.assert_frame_equal(got, exp_df.astype(got.dtypes.to_dict()))
         assert len(exp_df) > 0  # the fixture must actually exercise pairs
+
+
+# ---------------------------------------------------------------------------
+# guardrails: the broadcast verification oracles fail loudly above their caps
+# ---------------------------------------------------------------------------
+
+
+class TestOracleGuardrails:
+    def _docs(self, n):
+        import ray.data
+
+        return ray.data.from_pandas(
+            pd.DataFrame(
+                {"doc_id": np.arange(n, dtype=np.int64),
+                 "text": [f"alpha beta gamma doc {i} delta" for i in range(n)]}
+            )
+        )
+
+    def _vecs(self, n):
+        import ray.data
+
+        rng = np.random.RandomState(3)
+        return ray.data.from_pandas(
+            pd.DataFrame(
+                {"vec_id": np.arange(n, dtype=np.int64),
+                 "embedding": [rng.randn(8).tolist() for _ in range(n)]}
+            )
+        )
+
+    def test_cosine_oracle_raises_above_cap(self, monkeypatch):
+        from webcrawl_lowres_lang_ray.stages import ann
+
+        monkeypatch.setattr(ann, "COSINE_ORACLE_MAX_ROWS", 4)
+        with pytest.raises(ValueError, match="srp_neardup_pairs"):
+            ann.cosine_neardup_pairs(self._vecs(5))
+
+    def test_ngram_oracle_raises_above_cap(self, monkeypatch):
+        from webcrawl_lowres_lang_ray.stages import dedup
+
+        monkeypatch.setattr(dedup, "NGRAM_ORACLE_MAX_ROWS", 4)
+        with pytest.raises(ValueError, match="ngram_jaccard_lsh"):
+            dedup.ngram_jaccard_allpairs(self._docs(5))
+
+    def test_minhash_broadcast_raises_above_cap(self, monkeypatch):
+        from webcrawl_lowres_lang_ray.stages import dedup
+
+        monkeypatch.setattr(dedup, "MINHASH_BROADCAST_MAX_ROWS", 4)
+        with pytest.raises(ValueError, match="minhash_lsh_pairs"):
+            dedup.minhash_lsh_pairs_broadcast(self._docs(5))
+
+    def test_under_cap_still_works(self):
+        from webcrawl_lowres_lang_ray.stages import ann
+
+        out = ann.cosine_neardup_pairs(self._vecs(6), threshold=-1.1).to_pandas()
+        assert len(out) == 15  # all C(6,2) pairs at an always-true threshold

@@ -422,13 +422,15 @@ def q_lexicon_regen(sf_dir: str) -> pd.DataFrame:
 
 def _corpus_link_ranks(corpus: str):
     """Shared PageRank core: extract <a href> edges from the corpus pages,
-    run the vertex-state-broadcast PageRank.  Returns ``(edge_urls,
-    ranks)`` — the materialized (src_url, dst_url) Dataset (for url naming)
-    and the driver-side (id, rank) frame (vertex-count-bounded)."""
+    run the scale-dispatching ``pagerank_auto`` (vertex-broadcast fast path
+    below BROADCAST_PAGERANK_MAX_EDGES edges, fully-exchanged 10^10-safe
+    plan above it).  Returns ``(edge_urls, ranks_ds)`` — the materialized
+    (src_url, dst_url) Dataset (for url naming) and the (id, rank)
+    Dataset (never collected to the driver here)."""
     import pyarrow as pa
 
     from ..functions.html_text import extract_links_batch
-    from ..stages.graph import pagerank_broadcast, url_ids
+    from ..stages.graph import pagerank_auto, url_ids
 
     pages = ray.data.read_parquet(
         os.path.join(corpus, "pages"), columns=["url", "html"]
@@ -457,24 +459,35 @@ def _corpus_link_ranks(corpus: str):
             }
         )
 
-    ranks = pagerank_broadcast(edge_urls.map_batches(to_ids, batch_format="pandas"))
-    return edge_urls, ranks
+    ranks_ds = pagerank_auto(
+        edge_urls.map_batches(to_ids, batch_format="pandas"),
+        n_edges=edge_urls.count(),
+    )
+    return edge_urls, ranks_ds
 
 
 def q_crawl_pagerank(sf_dir: str) -> pd.DataFrame:
     """Link-graph PageRank over the corpus pages (stages/graph.py): extract
-    <a href> edges from the page HTML, run 5 sweeps of the vertex-state-
-    broadcast variant (edges never re-shuffled after the one-time outdeg
-    attach), return the top-50 (url, rank).  Rows-only gate: numpy-oracle
-    parity, determinism and mass bounds pinned in tests/test_graph.py."""
+    <a href> edges from the page HTML, run 5 sweeps through the
+    scale-dispatching ``pagerank_auto`` (broadcast fast path small-N,
+    fully-exchanged 10^10-safe plan large-N; both oracle-pinned), take the
+    top-50 (url, rank) via a distributed sort+limit — the full rank table
+    never visits the driver.  Rows-only gate: numpy-oracle parity,
+    determinism and mass bounds pinned in tests/test_graph.py."""
     import ray as _ray
 
     from ..stages.graph import url_ids
 
     corpus = corpus_dir_for_sf(sf_dir)
-    edge_urls, ranks = _corpus_link_ranks(corpus)
+    edge_urls, ranks_ds = _corpus_link_ranks(corpus)
 
-    top = ranks.nlargest(50, "rank")
+    # (rank DESC, id ASC) matches pandas nlargest's stable tie behavior on
+    # the id-ascending rank frame, so both dispatch paths pick the same set
+    top = (
+        ranks_ds.sort(["rank", "id"], descending=[True, False])
+        .limit(50)
+        .to_pandas()
+    )
     top_ref = _ray.put(set(int(i) for i in top["id"]))
 
     def name_batch(b: pd.DataFrame) -> pd.DataFrame:
@@ -533,12 +546,27 @@ def q_crawl_priority_pagerank(sf_dir: str) -> pd.DataFrame:
     prio_corpus = out + "_corpus"
     done = os.path.join(out, "DONE")
     if not os.path.exists(done):
-        _, ranks = _corpus_link_ranks(corpus)
-        rank_by_id = dict(
-            zip(ranks["id"].to_numpy(np.int64).tolist(), ranks["rank"].to_numpy())
-        )
+        import ray as _ray
+
+        _, ranks_ds = _corpus_link_ranks(corpus)
         seeds = pq.read_table(os.path.join(corpus, "seeds.parquet")).to_pandas()
         ids = url_ids(list(seeds["url"]))
+        # seed-filtered semi-join against the rank Dataset: broadcast the
+        # (small) seed-id set, collect only the matching rows — the full
+        # rank table stays distributed on the exchanged dispatch path too
+        want_ref = _ray.put(set(int(i) for i in ids))
+
+        def seed_ranks(b: pd.DataFrame) -> pd.DataFrame:
+            want = _ray.get(want_ref)
+            keep = np.fromiter(
+                (int(i) in want for i in b["id"]), dtype=bool, count=len(b)
+            )
+            return b.loc[keep]
+
+        sub = ranks_ds.map_batches(seed_ranks, batch_format="pandas").to_pandas()
+        rank_by_id = dict(
+            zip(sub["id"].to_numpy(np.int64).tolist(), sub["rank"].to_numpy())
+        )
         rank_vals = np.array([rank_by_id.get(int(i), 0.0) for i in ids])
         # priority ints: best-ranked seed gets N, worst gets 1 (ties broken
         # by seq so the assignment is total and deterministic)

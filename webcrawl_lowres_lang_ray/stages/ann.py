@@ -24,6 +24,10 @@ import ray.data
 
 from .textstats import round_half_away
 
+# cosine_neardup_pairs broadcasts the full normalized matrix and computes
+# O(N^2 D): fine as a verification oracle, a scale-killer beyond this.
+COSINE_ORACLE_MAX_ROWS = 50_000
+
 
 def _batch_matrix(batch: pd.DataFrame, vec_col: str) -> np.ndarray:
     return np.stack([np.asarray(v, dtype=np.float64) for v in batch[vec_col]])
@@ -313,8 +317,19 @@ def cosine_neardup_pairs(
     what fits one worker's heap (N x D float64); beyond that use the
     SRP-LSH bucketed variant (``build_srp_index`` + within-bucket pairs) —
     the documented scale path, same pattern as dedup's MinHash-LSH.
+
+    Guarded: raises above ``COSINE_ORACLE_MAX_ROWS`` rows instead of
+    OOMing/stalling — this operator is the small-N verification oracle,
+    not the scale path.
     """
     tbl = ds.select_columns([id_col, vec_col]).to_pandas()
+    if len(tbl) > COSINE_ORACLE_MAX_ROWS:
+        raise ValueError(
+            f"cosine_neardup_pairs is the quadratic small-N oracle "
+            f"(got {len(tbl)} rows > cap {COSINE_ORACLE_MAX_ROWS}); "
+            "use srp_neardup_pairs (SRP-LSH bucketed candidates + exact "
+            "verify) for corpus-scale near-dup"
+        )
     ids = tbl[id_col].to_numpy(np.int64)
     mat = np.stack([np.asarray(v, dtype=np.float64) for v in tbl[vec_col]])
     norms = np.linalg.norm(mat, axis=1)

@@ -39,6 +39,12 @@ import ray.data
 _MERSENNE = (1 << 61) - 1
 _N_PERM = 64
 _PAIR_PARTITIONS = 64
+
+# caps for the BROADCAST verification oracles — they exist to pin the
+# shuffle-join scale paths on small corpora and must fail loudly, not OOM,
+# if someone feeds them corpus-scale input
+NGRAM_ORACLE_MAX_ROWS = 20_000
+MINHASH_BROADCAST_MAX_ROWS = 100_000
 _POLY = np.uint64(1099511628211)  # FNV prime, shingle combine multiplier
 
 
@@ -359,6 +365,12 @@ def minhash_lsh_pairs_broadcast(
     a, b = _perm_params(bands * rows_per_band)
     sigs_ds = _minhash_sigs(ds, text_col, id_col, a, b).materialize()
     sig_df = sigs_ds.to_pandas()
+    if len(sig_df) > MINHASH_BROADCAST_MAX_ROWS:
+        raise ValueError(
+            f"minhash_lsh_pairs_broadcast collects the full signature matrix "
+            f"(got {len(sig_df)} rows > cap {MINHASH_BROADCAST_MAX_ROWS}); "
+            "use minhash_lsh_pairs (shuffle-joined verify) at scale"
+        )
     ids_all = sig_df[id_col].to_numpy(np.int64)
     sigmat = np.frombuffer(b"".join(sig_df["sig"]), dtype=np.uint64).reshape(
         len(sig_df), -1
@@ -598,6 +610,13 @@ def ngram_jaccard_allpairs(
         .sort_values(id_col, kind="mergesort")
         .reset_index(drop=True)
     )
+    if len(sets_df) > NGRAM_ORACLE_MAX_ROWS:
+        raise ValueError(
+            f"ngram_jaccard_allpairs is the quadratic small-N oracle "
+            f"(got {len(sets_df)} rows > cap {NGRAM_ORACLE_MAX_ROWS}); "
+            "use ngram_jaccard_lsh (banded MinHash candidates + exact "
+            "Jaccard verify) for corpus-scale near-dup"
+        )
     ids = sets_df[id_col].to_numpy(np.int64)
     shingle_sets = [set(s) for s in sets_df["sh"]]
     ref = ray.put((ids, shingle_sets))

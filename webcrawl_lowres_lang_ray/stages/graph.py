@@ -336,6 +336,39 @@ def pagerank_broadcast(
     return pd.DataFrame({"id": ids, "rank": round_half_away(rank, round_dp)})
 
 
+# dispatch threshold for pagerank_auto: below this many edges the node
+# vector comfortably fits one process (nodes <= 2 x edges) and the
+# broadcast variant's one-map-per-sweep plan wins; above it the rank
+# vector itself is the scale risk and the fully-exchanged plan takes over
+BROADCAST_PAGERANK_MAX_EDGES = 50_000_000
+
+
+def pagerank_auto(
+    edges_ds: "ray.data.Dataset",
+    iterations: int = 5,
+    damping: float = 0.85,
+    parts: int = 32,
+    round_dp: int = 8,
+    n_edges: int | None = None,
+) -> "ray.data.Dataset":
+    """Scale-dispatching PageRank — the SHIPPED entry point: picks the
+    vertex-state-broadcast fast path for small graphs and the
+    fully-exchanged ``pagerank()`` (rank table never leaves the cluster,
+    valid at 10^10 nodes) above ``BROADCAST_PAGERANK_MAX_EDGES`` edges.
+    Both variants implement the identical update rule (equality on the test
+    corpus pinned in tests/test_graph.py); returns an (id, rank) Dataset
+    either way.  Pass ``n_edges`` when the caller already knows the edge
+    count (e.g. from a materialized upstream Dataset) to skip the count
+    execution."""
+    if n_edges is None:
+        n_edges = edges_ds.count()
+    if n_edges <= BROADCAST_PAGERANK_MAX_EDGES:
+        return ray.data.from_pandas(
+            pagerank_broadcast(edges_ds, iterations, damping, parts, round_dp)
+        )
+    return pagerank(edges_ds, iterations, damping, parts, round_dp)
+
+
 def pagerank_numpy(
     edges: pd.DataFrame, iterations: int = 5, damping: float = 0.85
 ) -> pd.DataFrame:
