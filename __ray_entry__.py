@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_audio_features": cq.q_multimodal_audio_features,
         "multimodal_image_stats": cq.q_multimodal_image_stats,
         "lexicon_regen": cq.q_lexicon_regen,
+        "lexicon_growth": cq.q_lexicon_growth,
         "query_generation": cq.q_query_generation,
         "sentence_split": cq.q_sentence_split,
         "crawl_curate": cq.q_crawl_curate,

@@ -1018,3 +1018,80 @@ class TestOracleGuardrails:
 
         out = ann.cosine_neardup_pairs(self._vecs(6), threshold=-1.1).to_pandas()
         assert len(out) == 15  # all C(6,2) pairs at an always-true threshold
+
+
+# ---------------------------------------------------------------------------
+# multi-phase lexicon-growth experiment
+# ---------------------------------------------------------------------------
+
+
+class TestLexiconGrowth:
+    def _texts(self, small_corpus, n_files=4):
+        import glob
+
+        import pyarrow.parquet as pq
+
+        texts = []
+        for f in sorted(glob.glob(small_corpus + "/pages/bucket=*.parquet"))[:n_files]:
+            texts.extend(pq.read_table(f, columns=["text"])["text"].to_pylist())
+        return texts
+
+    def _serial_curve(self, texts, seed_lex, cfg, phases):
+        """Single-process oracle: the same harvest->count->merge loop run
+        with plain Python over the rows — no Ray, no partitioning."""
+        import collections
+
+        from webcrawl_lowres_lang_ray.functions.scoring import LangScoringModel
+        from webcrawl_lowres_lang_ray.functions.tokenize import tokenize_batch
+        from webcrawl_lowres_lang_ray.stages.lexicon import merge_lexicons
+
+        lex = dict(seed_lex)
+        rows = []
+        for phase in range(1, phases + 1):
+            model = LangScoringModel(lex, cfg)
+            paras = []
+            for t in texts:
+                paras.extend(model.score_text(t).termdist_match_paras)
+            counter = collections.Counter()
+            for toks in tokenize_batch(np.array(paras, dtype=object)):
+                counter.update(toks)
+            before = set(lex)
+            lex = merge_lexicons(lex, dict(counter))
+            rows.append((phase, len(paras), len(lex),
+                         len(set(lex) - before), int(sum(lex.values()))))
+        return rows, lex
+
+    def test_matches_serial_oracle_and_grows(self, small_corpus):
+        import ray.data
+
+        from webcrawl_lowres_lang_ray.config import CrawlConfig
+        from webcrawl_lowres_lang_ray.sources.synth import load_lexicon
+        from webcrawl_lowres_lang_ray.stages.lexicon import lexicon_growth_experiment
+
+        texts = self._texts(small_corpus)
+        cfg = CrawlConfig()
+        seed = load_lexicon(small_corpus)
+        ds = ray.data.from_pandas(pd.DataFrame({"text": texts}))
+        curve, final_lex = lexicon_growth_experiment(ds, seed, cfg, phases=3)
+        want_rows, want_lex = self._serial_curve(texts, seed, cfg, phases=3)
+        got_rows = [tuple(int(v) for v in r) for r in curve.to_numpy()]
+        assert got_rows == want_rows
+        assert final_lex == want_lex
+        # growth-curve shape: term count never shrinks under merge mode,
+        # and the experiment must actually harvest something
+        assert curve["n_terms"].is_monotonic_increasing
+        assert int(curve["n_matched_paras"].iloc[0]) > 0
+
+    def test_deterministic(self, small_corpus):
+        import ray.data
+
+        from webcrawl_lowres_lang_ray.config import CrawlConfig
+        from webcrawl_lowres_lang_ray.sources.synth import load_lexicon
+        from webcrawl_lowres_lang_ray.stages.lexicon import lexicon_growth_experiment
+
+        texts = self._texts(small_corpus, n_files=2)
+        ds = ray.data.from_pandas(pd.DataFrame({"text": texts}))
+        a, la = lexicon_growth_experiment(ds, load_lexicon(small_corpus), CrawlConfig(), phases=2)
+        b, lb = lexicon_growth_experiment(ds, load_lexicon(small_corpus), CrawlConfig(), phases=2)
+        pd.testing.assert_frame_equal(a, b)
+        assert la == lb

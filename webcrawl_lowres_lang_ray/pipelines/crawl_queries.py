@@ -420,6 +420,32 @@ def q_lexicon_regen(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def q_lexicon_growth(sf_dir: str) -> pd.DataFrame:
+    """The END-TO-END multi-phase lexicon-growth experiment (reference
+    DH2025-TONGAN-EXPT-LEXICON-GROWTH.sh:14-28): 3 phases of
+    harvest -> count -> merge over the crawl's accepted texts, each phase
+    re-scoring through a FRESH actor pool built from the grown lexicon.
+    Returns the per-phase growth curve (phase, n_matched_paras, n_terms,
+    new_terms, total_count).  Rows-only gate: serial-oracle parity and
+    monotone growth pinned in tests/test_stages.py."""
+    from ..stages.lexicon import lexicon_growth_experiment
+
+    corpus = corpus_dir_for_sf(sf_dir)
+
+    def keep_accepted(b: pd.DataFrame) -> pd.DataFrame:
+        return b.loc[b["downloaded"] & ~b["rejected"], ["text"]]
+
+    docs = ledger_dataset(
+        crawl_output_dir(sf_dir),
+        columns=["text", "downloaded", "rejected"],
+        include_pending=False,
+    ).map_batches(keep_accepted, batch_format="pandas")
+    curve, _ = lexicon_growth_experiment(
+        docs, load_lexicon(corpus), QUERY_CFG, phases=3
+    )
+    return curve
+
+
 def _corpus_link_ranks(corpus: str):
     """Shared PageRank core: extract <a href> edges from the corpus pages,
     run the scale-dispatching ``pagerank_auto`` (vertex-broadcast fast path

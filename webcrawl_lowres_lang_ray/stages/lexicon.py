@@ -53,33 +53,56 @@ def merge_lexicons(core: dict[str, int], topup: dict[str, int]) -> dict[str, int
     return out
 
 
+class HarvestParasStage:
+    """Actor-pool harvest stage: the scorer (n-gram model + lexicon termvec)
+    is built ONCE per actor from the broadcast lexicon ref in ``__init__``;
+    each phase of the growth loop spawns a fresh pool against the newly
+    grown lexicon — the per-phase actor-state swap."""
+
+    def __init__(self, lex_ref, cfg: CrawlConfig, algorithm: str, text_col: str):
+        self.model = LangScoringModel(ray.get(lex_ref), cfg)
+        self.algorithm = algorithm
+        self.text_col = text_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        paras = []
+        for t in batch[self.text_col]:
+            sr = self.model.score_text(t)
+            matches = (
+                sr.termdist_match_paras
+                if self.algorithm == "cossim"
+                else sr.primary_match_paras
+            )
+            paras.extend(matches)
+        return pd.DataFrame({"para": paras})
+
+
 def harvest_matching_paras(
     ds: "ray.data.Dataset",
     lexicon: dict[str, int],
     cfg: CrawlConfig,
     algorithm: str = "cossim",
     text_col: str = "text",
+    concurrency: int = 2,
 ) -> "ray.data.Dataset":
     """N6 (extract.py:150-184): re-score docs, keep matching paragraphs.
 
     algorithm: 'cossim' -> termdist-matching paras; 'primary' -> the
     n-gram-detector-matching paras (the reference's lingua branch,
-    enums.py:15-20).
+    enums.py:15-20).  Stateful actor pool: model built once per actor.
     """
     lex_ref = ray.put(lexicon)
-
-    def fn(batch: pd.DataFrame) -> pd.DataFrame:
-        model = LangScoringModel(ray.get(lex_ref), cfg)
-        paras = []
-        for t in batch[text_col]:
-            sr = model.score_text(t)
-            matches = (
-                sr.termdist_match_paras if algorithm == "cossim" else sr.primary_match_paras
-            )
-            paras.extend(matches)
-        return pd.DataFrame({"para": paras})
-
-    return ds.select_columns([text_col]).map_batches(fn, batch_format="pandas")
+    return ds.select_columns([text_col]).map_batches(
+        HarvestParasStage,
+        fn_constructor_kwargs={
+            "lex_ref": lex_ref,
+            "cfg": cfg,
+            "algorithm": algorithm,
+            "text_col": text_col,
+        },
+        batch_format="pandas",
+        concurrency=concurrency,
+    )
 
 
 def regenerate_lexicon(
@@ -102,6 +125,51 @@ def regenerate_lexicon(
     if output_mode == "merge":
         return merge_lexicons(core_lexicon, grown)
     return grown
+
+
+def lexicon_growth_experiment(
+    ds: "ray.data.Dataset",
+    seed_lexicon: dict[str, int],
+    cfg: CrawlConfig,
+    phases: int = 3,
+    algorithm: str = "cossim",
+    text_col: str = "text",
+) -> tuple[pd.DataFrame, dict[str, int]]:
+    """The full multi-phase iterative lexicon-growth experiment (reference
+    DH2025-TONGAN-EXPT-LEXICON-GROWTH.sh:14-28 driving extract.py:187-238
+    once per phase): each phase re-scores the corpus with the CURRENT
+    lexicon (fresh actor pool per phase -> per-phase scorer-state swap),
+    harvests the matching paragraphs distributed, counts token frequencies
+    through the combiner aggregation, merges into the lexicon, and records
+    the growth curve — the reference's hand-collected "N paras / N terms
+    after phase K" table as a first-class output.
+
+    Returns ``(curve, final_lexicon)``; curve has one row per phase:
+    (phase, n_matched_paras, n_terms, new_terms, total_count).  Fully
+    deterministic given the input corpus and seed lexicon.
+    """
+    lex = dict(seed_lexicon)
+    rows = []
+    for phase in range(1, phases + 1):
+        paras = harvest_matching_paras(ds, lex, cfg, algorithm, text_col).materialize()
+        freq = token_frequencies_ds(paras, text_col="para").to_pandas()
+        grown = dict(zip(freq["token"], freq["count"].astype(int)))
+        before = set(lex)
+        lex = merge_lexicons(lex, grown)
+        rows.append(
+            {
+                "phase": phase,
+                "n_matched_paras": int(paras.count()),
+                "n_terms": len(lex),
+                "new_terms": len(set(lex) - before),
+                "total_count": int(sum(lex.values())),
+            }
+        )
+    curve = pd.DataFrame(rows).astype(
+        {c: "int64" for c in
+         ["phase", "n_matched_paras", "n_terms", "new_terms", "total_count"]}
+    )
+    return curve, lex
 
 
 def bootstrap_lexicon_from_text(text: str) -> dict[str, int]:
