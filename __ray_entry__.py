@@ -128,9 +128,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_counts": q.q_lang_counts,
         "order_priority_counts": q.q_order_priority_counts,
         "top_docs_by_chars": q.q_top_docs_by_chars,
+        "doc_dsir_score": q.q_doc_dsir_score,
         # --- rows-only: no SQL form (pytest-gated) ---
         "doc_embed_neardup": q.q_doc_embed_neardup,
-        "doc_dsir_score": q.q_doc_dsir_score,
         "pack_sequences": q.q_pack_sequences,
         "doc_compression": q.q_doc_compression,
         # --- crawl engine (rows-only; gated by oracle conformance tests) ---
@@ -229,4 +229,6 @@ def oracle_sql() -> dict[str, str]:
         "lang_counts": q.SQL_LANG_COUNTS,
         "order_priority_counts": q.SQL_ORDER_PRIORITY_COUNTS,
         "top_docs_by_chars": q.SQL_TOP_DOCS_BY_CHARS,
+        # md5-bucketed, micro-unit-quantized DSIR (curation.py:dsir_log_weights)
+        "doc_dsir_score": q.SQL_DOC_DSIR_SCORE,
     }

@@ -50,7 +50,7 @@ def test_driver_prefix_is_fully_sql_oracled():
     demoted_sql = {n for n in below if n in sqls}
     assert demoted_sql == {
         "embedding_neardup", "ngram_jaccard", "lang_counts",
-        "order_priority_counts", "top_docs_by_chars",
+        "order_priority_counts", "top_docs_by_chars", "doc_dsir_score",
     }, f"unexpected SQL-oracled entries below the driver prefix: {demoted_sql}"
 
 

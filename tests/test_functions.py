@@ -105,6 +105,37 @@ class TestTokenize:
         assert batch[0] == tokenize.filter_words(tokenize.unigram_words(texts[0]))
         assert batch[1] == [] and batch[2] == []
 
+    def test_arrow_partial_counts_parity(self):
+        """token_partial_counts_arrow (the G1 Arrow fast path) must equal
+        the per-row reference path token-for-token — on the ASCII kernel
+        route AND on the null/non-ASCII fallback route."""
+        import collections
+
+        import pyarrow as pa
+
+        cases = [
+            # ASCII kernel route
+            ["", "  a  b ", "a_b c-d", "ab3c xyz", "Hello, WORLD!!",
+             "x\x1cy zzz", "tab\tsep\nnl", "UPPER lower MiXeD", "1234 56ab cdef"],
+            # fallback route: null + non-ASCII (unicode digit, macron word)
+            ["Kia ora! te ao Māori", None, "foßball x٤y abc", ""],
+        ]
+        for texts in cases:
+            got = (
+                tokenize.token_partial_counts_arrow(pa.chunked_array([pa.array(texts, type=pa.string())]))
+                .to_pandas().sort_values("token").reset_index(drop=True)
+            )
+            c: collections.Counter = collections.Counter()
+            for toks in tokenize.tokenize_batch(np.array(texts, dtype=object)):
+                c.update(toks)
+            assert dict(zip(got["token"], got["count"])) == dict(c)
+
+    def test_arrow_partial_counts_empty(self):
+        import pyarrow as pa
+
+        t = tokenize.token_partial_counts_arrow(pa.chunked_array([pa.array([], type=pa.string())]))
+        assert t.num_rows == 0 and t.column_names == ["token", "count"]
+
 
 # ---------------------------------------------------------------- hashing
 class TestHashing:

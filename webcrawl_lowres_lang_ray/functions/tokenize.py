@@ -111,6 +111,55 @@ def tokenize_batch(texts: np.ndarray, min_char_len: int = 3) -> list[list[str]]:
     return out
 
 
+def token_partial_counts_arrow(col, min_char_len: int = 3):
+    """(token, count) partial-count table for one batch — the Arrow-native
+    fast path for the G1 lexicon aggregation (reference extract.py:35-78).
+
+    All four steps (punct->space, whitespace split, len/digit filter,
+    lower) run as pyarrow.compute kernels over the whole column — no
+    Python loop, no Arrow->pandas object conversion.  RE2's ``\\w \\s
+    [0-9]`` agree exactly with the Python reference semantics on ASCII
+    text (``\\x1c``-class control chars differ in *classification* but
+    yield identical token boundaries either way); any batch containing a
+    null or non-ASCII row falls back to the per-row reference path
+    (``tokenize_batch``), so output parity is exact in ALL cases — pinned
+    against tokenize_batch in tests/test_functions.py."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.Table):
+        col = col.column(0)
+    empty = pa.table(
+        {"token": pa.array([], type=pa.string()),
+         "count": pa.array([], type=pa.int64())}
+    )
+    if len(col) == 0:
+        return empty
+    if col.null_count or not pc.all(pc.string_is_ascii(col)).as_py():
+        counter: collections.Counter = collections.Counter()
+        for toks in tokenize_batch(col.to_numpy(zero_copy_only=False), min_char_len):
+            counter.update(toks)
+        if not counter:
+            return empty
+        return pa.table(
+            {"token": pa.array(list(counter.keys()), type=pa.string()),
+             "count": pa.array(list(counter.values()), type=pa.int64())}
+        )
+    cleaned = pc.replace_substring_regex(col, r"[^\w\s]", " ")
+    toks = pc.list_flatten(pc.utf8_split_whitespace(cleaned))
+    keep = pc.and_(
+        pc.greater_equal(pc.utf8_length(toks), min_char_len),
+        pc.invert(pc.match_substring_regex(toks, r"[0-9]")),
+    )
+    toks = pc.utf8_lower(pc.filter(toks, keep))
+    if len(toks) == 0:
+        return empty
+    vc = pc.value_counts(toks)
+    return pa.table(
+        {"token": vc.field("values"), "count": pc.cast(vc.field("counts"), pa.int64())}
+    )
+
+
 def token_count_batch(texts: np.ndarray) -> np.ndarray:
     """Whitespace token count per row (vectorized split)."""
     return np.array(

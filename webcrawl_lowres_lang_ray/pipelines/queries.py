@@ -1784,10 +1784,57 @@ FROM j GROUP BY 1
 
 
 def q_doc_dsir_score(sf_dir: str):
-    """DSIR-style hashed-bigram importance log-ratios (target lang = 'en');
-    rows-only — the hashed feature space has no SQL form (gate:
-    tests/test_curation.py property suite)."""
+    """DSIR-style hashed-bigram importance log-ratios (target lang = 'en').
+    SQL-oracled: the bucket hash is the first 4 hex chars of md5(gram) and
+    the per-bucket log-weights are quantized to integer micro-units before
+    the per-doc sum, so DuckDB reproduces the score bit-for-bit (see
+    stages/curation.py:dsir_log_weights)."""
     from ..stages.curation import dsir_scores
 
     docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
     return dsir_scores(docs, target_lang="en")
+
+
+SQL_DOC_DSIR_SCORE = r"""
+WITH t AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents
+),
+g AS (
+  SELECT doc_id, lang,
+         substr(md5(ws[CAST(i AS INTEGER)] || ' ' || ws[CAST(i AS INTEGER) + 1]),
+                1, 4) AS hx
+  FROM t, LATERAL (SELECT unnest(range(1, len(ws))) AS i) AS r
+),
+gb AS (
+  SELECT doc_id, lang,
+         (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 4096
+       + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 256
+       + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16
+       + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1) AS bucket
+  FROM g
+),
+tot AS (
+  SELECT count(*) AS r_tot,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS t_tot
+  FROM gb
+),
+cnt AS (
+  SELECT bucket, count(*) AS rc,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tc
+  FROM gb GROUP BY bucket
+),
+w AS (
+  SELECT bucket,
+         CAST(ROUND(1e6 * (ln((tc + 1.0) / (t_tot + 65536.0))
+                         - ln((rc + 1.0) / (r_tot + 65536.0)))) AS BIGINT) AS lwq
+  FROM cnt, tot
+),
+s AS (
+  SELECT gb.doc_id, count(*) AS nb, sum(w.lwq) AS sq
+  FROM gb JOIN w USING (bucket) GROUP BY gb.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(s.nb, 0) AS BIGINT) AS n_bigrams,
+       ROUND(COALESCE(s.sq, 0) / 1e6, 4) AS dsir_logratio
+FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+"""

@@ -320,13 +320,24 @@ _DSIR_BUCKETS = 1 << 16
 
 
 def _bigram_buckets(text: str, buckets: int = _DSIR_BUCKETS) -> np.ndarray:
-    """Hashed word-bigram bucket ids (pd.util.hash_array — process-stable
-    SipHash, same convention as the rest of the repo)."""
-    ws = text.split()
+    """Hashed word-bigram bucket ids: the first 16 bits (4 hex chars) of
+    ``md5("a b")`` — a convention DuckDB reproduces exactly with
+    ``substr(md5(g), 1, 4)``, which is what makes the whole DSIR score
+    SQL-oracle-checkable (SQL_DOC_DSIR_SCORE in pipelines/queries.py)."""
+    import hashlib
+
+    ws = text.split() if isinstance(text, str) else []
     if len(ws) < 2:
         return np.zeros(0, dtype=np.int64)
-    grams = np.array([f"{a} {b}" for a, b in zip(ws, ws[1:])], dtype=object)
-    return (pd.util.hash_array(grams) % np.uint64(buckets)).astype(np.int64)
+    shift = 128 - (buckets - 1).bit_length()
+    return np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(f"{a} {b}".encode()).digest(), "big") >> shift
+            for a, b in zip(ws, ws[1:])
+        ),
+        dtype=np.int64,
+        count=len(ws) - 1,
+    )
 
 
 def _hashed_counts(
@@ -334,24 +345,59 @@ def _hashed_counts(
     text_col: str,
     mask_fn,
     buckets: int = _DSIR_BUCKETS,
-) -> np.ndarray:
-    """Per-batch bincount partials (one length-``buckets`` blob per batch on
-    the exchange), summed on the driver — the mergeable-sketch shape."""
+) -> tuple[np.ndarray, np.ndarray]:
+    """Fused single-pass (masked, unmasked) bincount partials — two
+    length-``buckets`` blobs per batch on the exchange, summed on the
+    driver: the mergeable-sketch shape, and each text is hashed once."""
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
-        counts = np.zeros(buckets, dtype=np.int64)
-        sel = b[mask_fn(b)] if mask_fn is not None else b
-        for t in sel[text_col]:
+        masked = np.zeros(buckets, dtype=np.int64)
+        total = np.zeros(buckets, dtype=np.int64)
+        mask = mask_fn(b).to_numpy() if mask_fn is not None else None
+        for i, t in enumerate(b[text_col]):
             ids = _bigram_buckets(t, buckets)
             if len(ids):
-                counts += np.bincount(ids, minlength=buckets)
-        return pd.DataFrame({"counts": [counts.tobytes()]})
+                c = np.bincount(ids, minlength=buckets)
+                total += c
+                if mask is not None and mask[i]:
+                    masked += c
+        return pd.DataFrame({"masked": [masked.tobytes()], "total": [total.tobytes()]})
 
     parts = docs.map_batches(partial, batch_format="pandas").to_pandas()
+    masked = np.zeros(buckets, dtype=np.int64)
     total = np.zeros(buckets, dtype=np.int64)
-    for blob in parts["counts"]:
+    for blob in parts["masked"]:
+        masked += np.frombuffer(blob, dtype=np.int64)
+    for blob in parts["total"]:
         total += np.frombuffer(blob, dtype=np.int64)
-    return total
+    return masked, total
+
+
+def dsir_log_weights(
+    tgt: np.ndarray, raw: np.ndarray, buckets: int = _DSIR_BUCKETS
+) -> np.ndarray:
+    """Integer micro-unit (1e-6) per-bucket log-ratio weights
+    ``round(1e6 * (log p_target(b) - log p_raw(b)))`` with add-1 smoothing.
+
+    Quantizing each weight to an int64 BEFORE the per-doc sum makes the
+    score exactly order-independent across batch/partition boundaries and
+    bit-identical to the DuckDB oracle's ``CAST(ROUND(...*1e6) AS BIGINT)``
+    — a float sum would drift with Ray's nondeterministic batch order.
+    ``math.log`` (libm) is used instead of np.log so the driver computes
+    the same doubles DuckDB's ``ln`` does."""
+    import math
+
+    t_den = float(tgt.sum() + buckets)
+    r_den = float(raw.sum() + buckets)
+    lw = np.fromiter(
+        (
+            1e6 * (math.log((t + 1.0) / t_den) - math.log((r + 1.0) / r_den))
+            for t, r in zip(tgt.tolist(), raw.tolist())
+        ),
+        dtype=np.float64,
+        count=buckets,
+    )
+    return (np.floor(np.abs(lw) + 0.5) * np.sign(lw)).astype(np.int64)
 
 
 def dsir_scores(
@@ -364,30 +410,29 @@ def dsir_scores(
 ) -> "ray.data.Dataset":
     """Per-doc DSIR importance log-ratio ``sum_b log(p_target(b) /
     p_raw(b))`` over the doc's hashed bigrams (add-1 smoothing), target =
-    docs with ``lang == target_lang``.  The two count vectors (2^16 int64
-    each) broadcast via ray.put; scoring is one np.take + sum per doc."""
+    docs with ``lang == target_lang``.  The quantized weight vector (2^16
+    int64) broadcasts via ray.put; scoring is one np.take + int sum per
+    doc.  SQL-oracled end-to-end (SQL_DOC_DSIR_SCORE)."""
     from ..stages.textstats import round_half_away
 
-    tgt = _hashed_counts(docs, text_col, lambda b: b["lang"] == target_lang, buckets)
-    raw = _hashed_counts(docs, text_col, None, buckets)
-    log_w = np.log((tgt + 1.0) / (tgt.sum() + buckets)) - np.log(
-        (raw + 1.0) / (raw.sum() + buckets)
+    tgt, raw = _hashed_counts(
+        docs, text_col, lambda b: b["lang"] == target_lang, buckets
     )
-    w_ref = ray.put(log_w)
+    w_ref = ray.put(dsir_log_weights(tgt, raw, buckets))
 
     def score(b: pd.DataFrame) -> pd.DataFrame:
         w = ray.get(w_ref)
         n = np.zeros(len(b), dtype=np.int64)
-        s = np.zeros(len(b), dtype=np.float64)
+        s = np.zeros(len(b), dtype=np.int64)
         for i, t in enumerate(b[text_col]):
             ids = _bigram_buckets(t, buckets)
             n[i] = len(ids)
-            s[i] = w[ids].sum() if len(ids) else 0.0
+            s[i] = w[ids].sum() if len(ids) else 0
         return pd.DataFrame(
             {
                 "doc_id": b[id_col].to_numpy(np.int64),
                 "n_bigrams": n,
-                "dsir_logratio": round_half_away(pd.Series(s), round_dp),
+                "dsir_logratio": round_half_away(pd.Series(s / 1e6), round_dp),
             }
         )
 

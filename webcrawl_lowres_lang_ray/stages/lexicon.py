@@ -10,8 +10,6 @@ so the shuffle moves counts, not tokens.
 
 from __future__ import annotations
 
-import collections
-
 import pandas as pd
 
 import ray
@@ -20,24 +18,25 @@ from .agg import combiner_agg
 
 from ..config import CrawlConfig
 from ..functions.scoring import LangScoringModel
-from ..functions.tokenize import tokenize_batch
+from ..functions.tokenize import token_partial_counts_arrow
 
 
 def token_frequencies_ds(
     ds: "ray.data.Dataset", text_col: str = "text", min_char_len: int = 3
 ) -> "ray.data.Dataset":
-    """tokenize (reference extract.py:35-70 semantics) -> (token, count)."""
+    """tokenize (reference extract.py:35-70 semantics) -> (token, count).
 
-    def partial_counts(batch: pd.DataFrame) -> pd.DataFrame:
-        counter: collections.Counter = collections.Counter()
-        for toks in tokenize_batch(batch[text_col].to_numpy(), min_char_len):
-            counter.update(toks)
-        return pd.DataFrame(
-            {"token": list(counter.keys()), "count": list(counter.values())}
-        )
+    The per-batch partial counts run zero-copy Arrow end-to-end
+    (``token_partial_counts_arrow``: pyarrow.compute regex/split/filter/
+    value_counts kernels, exact-parity Python fallback for null/non-ASCII
+    batches) — measured 5.05x over the previous pandas+Counter stage at
+    sf0.1x10 (BASELINE.md round-4 Arrow-hot-path note)."""
+
+    def partial_counts(batch):
+        return token_partial_counts_arrow(batch.column(text_col), min_char_len)
 
     partials = ds.select_columns([text_col]).map_batches(
-        partial_counts, batch_format="pandas"
+        partial_counts, batch_format="pyarrow"
     )
     # final merge via the combiner operator (stages/agg.py): the partials
     # are already one row per token per batch; ray.data's aggregate would
