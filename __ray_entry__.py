@@ -36,7 +36,11 @@ Round-4 query merges (one driver slot each, same operators covered):
   user_running_totals + user_moving_avg   -> user_window_stats
 Demoted below the prefix (still SQL-oracled, checked locally):
   embedding_neardup / ngram_jaccard (quadratic small-N oracles whose
-  IDENTICAL SQL is driver-checked through their LSH scale-path twins),
+  IDENTICAL SQL is driver-checked through scale-path twins above the
+  line), embedding_neardup_lsh (SQL-equal recall-1.0 point, but on this
+  corpus's cosine continuum LSH degenerates to all-pairs — the exact
+  blocked join embedding_neardup_blocked is the driver-checked scale
+  path; BASELINE.md round 4), doc_dsir_score (SQL-oracled round 4),
   lang_counts, order_priority_counts, top_docs_by_chars (trivial
   groupbys/sort-limit, triple-green r1-r3, redundant with other rows).
 """
@@ -93,8 +97,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": q.q_ann_topk,
         "ann_ivf_topk": q.q_ann_ivf_topk,
         "embedding_norms": q.q_embedding_norms,
-        "embedding_neardup_lsh": q.q_embedding_neardup_lsh,
-        "ngram_jaccard_lsh": q.q_ngram_jaccard_lsh,
+        "embedding_neardup_blocked": q.q_embedding_neardup_blocked,
+        "ngram_jaccard_inverted": q.q_ngram_jaccard_inverted,
         "label_centroids": q.q_label_centroids,
         # --- analytics: joins / aggs / top-k ---
         "lineitem_pricing": q.q_lineitem_pricing,
@@ -124,16 +128,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ================= END DRIVER-VISIBLE PREFIX =====================
         # --- SQL-oracled but demoted (locally checked; see module doc) ---
         "embedding_neardup": q.q_embedding_neardup,
+        "embedding_neardup_lsh": q.q_embedding_neardup_lsh,
         "ngram_jaccard": q.q_ngram_jaccard,
+        "ngram_jaccard_lsh": q.q_ngram_jaccard_lsh,
         "lang_counts": q.q_lang_counts,
         "order_priority_counts": q.q_order_priority_counts,
         "top_docs_by_chars": q.q_top_docs_by_chars,
         "doc_dsir_score": q.q_doc_dsir_score,
-        # --- rows-only: no SQL form (pytest-gated) ---
         "doc_embed_neardup": q.q_doc_embed_neardup,
+        # --- rows-only: no SQL form (pytest-gated) ---
         "pack_sequences": q.q_pack_sequences,
         "doc_compression": q.q_doc_compression,
         # --- crawl engine (rows-only; gated by oracle conformance tests) ---
+        "warc_ingest": cq.q_warc_ingest,
         "crawl_ledger": cq.q_crawl_ledger,
         "crawl_order": cq.q_crawl_order,
         "crawl_extracted_text": cq.q_crawl_extracted_text,
@@ -193,11 +200,10 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": q.SQL_ANN_TOPK,
         "ann_ivf_topk": q.SQL_ANN_IVF_TOPK,
         "embedding_norms": q.SQL_EMBEDDING_NORMS,
-        # deterministic recall-1 operating points: the LSH scale paths
-        # reproduce the exact pair sets on the test corpora, so they share
-        # their exact twins' SQL (equality pinned in tests/test_stages.py)
-        "embedding_neardup_lsh": q.SQL_EMBEDDING_NEARDUP,
-        "ngram_jaccard_lsh": q.SQL_NGRAM_JACCARD,
+        # exact distributed scale paths — same result sets as the
+        # broadcast/quadratic oracles, so they share those SQLs
+        "embedding_neardup_blocked": q.SQL_EMBEDDING_NEARDUP,
+        "ngram_jaccard_inverted": q.SQL_NGRAM_JACCARD,
         "label_centroids": q.SQL_LABEL_CENTROIDS,
         "lineitem_pricing": q.SQL_LINEITEM_PRICING,
         "orders_by_segment": q.SQL_ORDERS_BY_SEGMENT,
@@ -225,10 +231,16 @@ def oracle_sql() -> dict[str, str]:
         "events_unpivot": q.SQL_EVENTS_UNPIVOT,
         # --- demoted SQL-oracled entries (below the driver prefix) ---
         "embedding_neardup": q.SQL_EMBEDDING_NEARDUP,
+        "embedding_neardup_lsh": q.SQL_EMBEDDING_NEARDUP,
         "ngram_jaccard": q.SQL_NGRAM_JACCARD,
+        # recall-1.0 operating point: equals the exact pair set on the
+        # test corpora (pinned in tests/test_stages.py)
+        "ngram_jaccard_lsh": q.SQL_NGRAM_JACCARD,
         "lang_counts": q.SQL_LANG_COUNTS,
         "order_priority_counts": q.SQL_ORDER_PRIORITY_COUNTS,
         "top_docs_by_chars": q.SQL_TOP_DOCS_BY_CHARS,
         # md5-bucketed, micro-unit-quantized DSIR (curation.py:dsir_log_weights)
         "doc_dsir_score": q.SQL_DOC_DSIR_SCORE,
+        # full text->hash-embed->cosine-join pipeline reproduced in DuckDB
+        "doc_embed_neardup": q.SQL_DOC_EMBED_NEARDUP,
     }

@@ -49,7 +49,7 @@ BENCH_QUERIES = [
     "asof_click_view",
     "events_sliding_window",
     "user_value_salted",
-    "embedding_neardup_lsh",
+    "embedding_neardup_blocked",
     # round-3 additions (new keys are additive; BASELINE.md tracks bands
     # per query, cross-round totals compare on the shared prefix)
     "dup_ngram_fraction",

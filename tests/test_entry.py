@@ -49,8 +49,9 @@ def test_driver_prefix_is_fully_sql_oracled():
     below = set(list(qs)[e.DRIVER_CORRECTNESS_PREFIX:])
     demoted_sql = {n for n in below if n in sqls}
     assert demoted_sql == {
-        "embedding_neardup", "ngram_jaccard", "lang_counts",
-        "order_priority_counts", "top_docs_by_chars", "doc_dsir_score",
+        "embedding_neardup", "embedding_neardup_lsh", "ngram_jaccard",
+        "ngram_jaccard_lsh", "lang_counts", "order_priority_counts",
+        "top_docs_by_chars", "doc_dsir_score", "doc_embed_neardup",
     }, f"unexpected SQL-oracled entries below the driver prefix: {demoted_sql}"
 
 

@@ -528,6 +528,32 @@ class TestCosineNearDup:
         assert set(zip(got["id_a"], got["id_b"])) == want
         assert (0, 1) in want  # the planted near-dup was actually planted
 
+    def test_blocked_pairs_equal_broadcast_oracle(self):
+        """cosine_pairs_blocked (no-broadcast block all-pairs, the shipped
+        low-threshold scale path) must equal cosine_neardup_pairs exactly —
+        values included — across block counts, including blocks larger
+        than the corpus and the single-block degenerate case."""
+        from webcrawl_lowres_lang_ray.stages.ann import (
+            cosine_neardup_pairs,
+            cosine_pairs_blocked,
+        )
+
+        ds, _ = self._emb_ds(n=80)
+        want = (
+            cosine_neardup_pairs(ds, threshold=0.5)
+            .to_pandas()
+            .sort_values(["id_a", "id_b"])
+            .reset_index(drop=True)
+        )
+        for nb in (1, 5, 100):
+            got = (
+                cosine_pairs_blocked(ds, threshold=0.5, n_blocks=nb)
+                .to_pandas()
+                .sort_values(["id_a", "id_b"])
+                .reset_index(drop=True)
+            )
+            pd.testing.assert_frame_equal(got, want[got.columns])
+
 
 class TestIvf:
     def test_full_probe_equals_brute_force(self):
@@ -604,6 +630,38 @@ class TestNgramJaccardAllPairs:
         got_set = set(zip(got["id_a"], got["id_b"], got["jaccard"]))
         assert got_set == set(want)
         assert any(a == 0 and b == 1 for a, b, _ in want)  # exact dup pair present
+
+    def test_inverted_index_join_equals_allpairs(self):
+        """ngram_jaccard_inverted (the exact inverted-index scale path —
+        no all-pairs stage, no broadcast) must equal the quadratic oracle
+        exactly, INCLUDING the empty-empty jaccard-1.0 edge case, which an
+        inverted index only sees via the pseudo-shingle routing."""
+        import ray.data as ray_data
+
+        from webcrawl_lowres_lang_ray.stages.dedup import (
+            ngram_jaccard_allpairs,
+            ngram_jaccard_inverted,
+        )
+
+        df = _docs_with_dups()
+        extra = pd.DataFrame(
+            {"doc_id": [900, 901, 902],
+             "text": ["", "", "one two"]}  # two empties + one sub-k doc
+        )
+        df = pd.concat([df, extra], ignore_index=True)
+        ds = ray_data.from_pandas(df)
+        for thr in (0.3, 0.5):
+            want = (
+                ngram_jaccard_allpairs(ds, threshold=thr)
+                .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+            )
+            got = (
+                ngram_jaccard_inverted(ds, threshold=thr)
+                .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+            )
+            pd.testing.assert_frame_equal(got, want[got.columns])
+        # the empty-empty pair is present at jaccard 1.0
+        assert ((got["id_a"] == 900) & (got["id_b"] == 901)).any()
 
 
 class TestWindows:

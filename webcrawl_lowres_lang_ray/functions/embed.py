@@ -4,19 +4,42 @@ A large-scale training-data pipeline needs embeddings over raw text columns
 without shipping a model into every worker: the hashing trick (feature
 hashing, Weinberger et al. 2009) maps each token to one of ``dim`` buckets
 with a +-1 sign, accumulates token counts, and l2-normalizes — fully
-deterministic (pandas SipHash with its fixed key; no Python hash()), no
-vocabulary state, vectorized per batch.  The output column is the same
-``list<float>`` shape as the provided embeddings table, so every downstream
-embedding operator (brute/SRP/IVF ANN, SRP-bucketed near-dup) runs on it
-unchanged.
+deterministic, no vocabulary state, vectorized per batch.  The output
+column is the same ``list<float>`` shape as the provided embeddings table,
+so every downstream embedding operator (brute/SRP/IVF ANN, SRP-bucketed
+near-dup) runs on it unchanged.
+
+Hash convention (round 4): bucket = first 4 hex chars of md5(token) mod
+``dim``; sign = -1 iff the 5th hex nibble's top bit is set.  md5 is the
+one hash both numpy-side code and DuckDB compute identically, which makes
+the WHOLE text->embed->cosine-pair pipeline SQL-oracle-checkable
+(SQL_DOC_EMBED_NEARDUP) — tokenizer, vectorizer and similarity join all
+reproduced in one DuckDB query.
 """
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
-import pandas as pd
 
 from .tokenize import tokenize_filtered
+
+# token -> (bucket_base, sign) memo; Zipf streams hit ~1 (same pattern as
+# tokenize._FILTER_MEMO).  bucket_base is the raw 16-bit value so one memo
+# serves every ``dim``.
+_HASH_MEMO: dict[str, tuple[int, float]] = {}
+_HASH_MEMO_MAX = 1 << 18
+
+
+def _token_hash(tok: str) -> tuple[int, float]:
+    r = _HASH_MEMO.get(tok)
+    if r is None:
+        hx = hashlib.md5(tok.encode()).hexdigest()
+        r = (int(hx[:4], 16), -1.0 if int(hx[4], 16) >= 8 else 1.0)
+        if len(_HASH_MEMO) < _HASH_MEMO_MAX:
+            _HASH_MEMO[tok] = r
+    return r
 
 
 def hashing_embed(text: str, dim: int = 256) -> np.ndarray:
@@ -24,9 +47,9 @@ def hashing_embed(text: str, dim: int = 256) -> np.ndarray:
     toks = tokenize_filtered(text)
     vec = np.zeros(dim, dtype=np.float64)
     if toks:
-        h = pd.util.hash_array(np.asarray(toks, dtype=object))
-        idx = (h % np.uint64(dim)).astype(np.int64)
-        sign = np.where((h >> np.uint64(63)) & np.uint64(1), -1.0, 1.0)
+        hs = [_token_hash(t) for t in toks]
+        idx = np.fromiter((h % dim for h, _ in hs), dtype=np.int64, count=len(hs))
+        sign = np.fromiter((s for _, s in hs), dtype=np.float64, count=len(hs))
         np.add.at(vec, idx, sign)
         n = np.linalg.norm(vec)
         if n > 0:

@@ -706,3 +706,48 @@ def q_crawl_dedup_clusters(sf_dir: str) -> pd.DataFrame:
     )
     out["keep"] = out["seq"] == out["cluster"]
     return out.sort_values("seq", kind="mergesort").reset_index(drop=True)
+
+
+def q_warc_ingest(sf_dir: str):
+    """WARC source ingestion (sources/warc.py): export a deterministic
+    2,000-page slice of the synthetic Common-Crawl-style page table as
+    4 per-record-gzip'd WARC archives (the Common Crawl layout), then
+    stream them back through the Ray datasource — one read task per
+    archive, bounded Arrow batches — and project ``(url, warc_ts,
+    n_bytes)``.  Rows-only gate; byte-identity of the html payloads vs
+    the page table is pinned in tests/test_warc.py."""
+    import glob
+
+    import pyarrow.compute as pc
+
+    from ..sources import warc
+
+    corpus = corpus_dir_for_sf(sf_dir)
+    cache = os.path.join("/tmp/wllr_warc", os.path.basename(corpus))
+    done = os.path.join(cache, "DONE")
+    if not os.path.exists(done):
+        os.makedirs(cache, exist_ok=True)
+        first = sorted(glob.glob(os.path.join(corpus, "pages", "*.parquet")))[0]
+        df = (
+            pd.read_parquet(first, columns=["url", "warc_ts", "html"])
+            .sort_values("url", kind="mergesort")
+            .head(2000)
+            .reset_index(drop=True)
+        )
+        for shard in range(4):
+            part = df.iloc[shard::4]
+            warc.write_warc(
+                os.path.join(cache, f"shard-{shard}.warc.gz"),
+                part.to_dict("records"),
+            )
+        with open(done, "w") as f:
+            f.write("ok\n")
+
+    paths = sorted(glob.glob(os.path.join(cache, "shard-*.warc.gz")))
+
+    def project(t):
+        return t.select(["url", "warc_ts"]).append_column(
+            "n_bytes", pc.cast(pc.binary_length(t.column("html")), "int64")
+        )
+
+    return warc.read_warc(paths).map_batches(project, batch_format="pyarrow")

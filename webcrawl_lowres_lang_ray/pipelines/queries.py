@@ -624,14 +624,16 @@ def q_approx_top_users(sf_dir: str) -> pd.DataFrame:
 
 
 def q_doc_embed_neardup(sf_dir: str):
-    """Text -> embedding bridge: hash-embed the documents table (feature
-    hashing, no model state) and find near-dup pairs through the SRP-LSH
-    scale path — the end-to-end 'embed raw text, dedup by cosine' pipeline
-    a training-data curation run needs.  Rows-only (the hashing vectorizer
-    has no SQL form); recall vs the exact all-pairs oracle on the same
-    embedded vectors is pinned in tests/test_stages.py."""
+    """Text -> embedding bridge: hash-embed the documents table (md5
+    feature hashing, functions/embed.py — no model state) and find
+    cos>=0.9 pairs through the exact distributed block join — the
+    end-to-end 'embed raw text, dedup by cosine' pipeline a training-data
+    curation run needs.  SQL-oracled END-TO-END since round 4: DuckDB
+    reproduces the tokenizer, the signed hashing vectorizer AND the cosine
+    pair join (SQL_DOC_EMBED_NEARDUP).  The SRP-LSH path over the same
+    embeddings keeps its recall gate in tests/test_stages.py."""
     from ..functions.embed import HashingEmbedStage
-    from ..stages.ann import srp_neardup_pairs
+    from ..stages.ann import cosine_pairs_blocked
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     emb = docs.map_batches(
@@ -641,21 +643,80 @@ def q_doc_embed_neardup(sf_dir: str):
         batch_size=256,
         concurrency=2,
     ).drop_columns(["text"])
-    return srp_neardup_pairs(
-        emb, dim=256, threshold=0.9, id_col="doc_id", vec_col="embedding"
+    return cosine_pairs_blocked(
+        emb, threshold=0.9, id_col="doc_id", vec_col="embedding"
     )
 
 
+SQL_DOC_EMBED_NEARDUP = r"""
+WITH toks AS (
+  SELECT doc_id, lower(w) AS w
+  FROM (
+    SELECT doc_id,
+           unnest(list_filter(
+               regexp_split_to_array(regexp_replace(text, '[^\w\s]', ' ', 'g'),
+                                     '\s+'),
+               x -> length(x) >= 3 AND NOT regexp_matches(x, '[0-9]')
+           )) AS w
+    FROM documents
+  )
+), h AS (
+  SELECT doc_id, md5(w) AS hx FROM toks
+), feat AS (
+  SELECT doc_id,
+         ((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 4096
+        + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 256
+        + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16
+        + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1)) % 256 AS bucket,
+         CASE WHEN strpos('0123456789abcdef', substr(hx, 5, 1)) - 1 >= 8
+              THEN -1.0 ELSE 1.0 END AS s
+  FROM h
+), vec AS (
+  SELECT doc_id, bucket, sum(s) AS v FROM feat GROUP BY doc_id, bucket
+), nrm AS (
+  SELECT doc_id, sqrt(sum(v * v)) AS n FROM vec GROUP BY doc_id
+), dot AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.v * b.v) AS d
+  FROM vec a JOIN vec b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT dot.id_a, dot.id_b,
+       round(dot.d / (na.n * nb.n), 3) AS cos_sim
+FROM dot
+JOIN nrm na ON na.doc_id = dot.id_a
+JOIN nrm nb ON nb.doc_id = dot.id_b
+WHERE dot.d / (na.n * nb.n) >= 0.9
+"""
+
+
+def q_embedding_neardup_blocked(sf_dir: str):
+    """Exact cosine>=0.35 pair join via distributed block all-pairs
+    (stages/ann.py:cosine_pairs_blocked): no broadcast, no driver
+    collection, one O(N*B)-row exchange, B(B+1)/2 evenly-sized matmul
+    tasks.  The shipped scale path for the low-threshold regime, where a
+    cosine continuum defeats LSH pruning (see cosine_pairs_blocked
+    docstring + BASELINE.md round 4); driver-checked against the same SQL
+    oracle as the broadcast verification oracle."""
+    from ..stages.ann import cosine_pairs_blocked
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return cosine_pairs_blocked(emb, threshold=0.35)
+
+
 def q_embedding_neardup_lsh(sf_dir: str):
-    """SRP-LSH bucketed near-dup (the shipped scale path: probe-bucket
-    candidates + shuffle-joined exact cosine, nothing broadcast).
+    """SRP-LSH bucketed near-dup (probe-bucket candidates + shuffle-joined
+    exact cosine, nothing broadcast) — the scale path for TRUE near-dup
+    regimes (cos >= ~0.7 clusters), where buckets prune.
 
     Operating point: 24 tables x 8 bits with 1-bit probes — per-pair miss
     probability ~0.654^24 ~ 4e-5 at the cos-0.35 worst case, so on the
     deterministic test corpora the output EQUALS the exact all-pairs set
-    (driver-checked against the same SQL oracle as embedding_neardup;
-    equality at sf0.001/0.01/0.1 pinned in tests).  Tune bits up / tables
-    down for cheaper-but-lossier recall at corpus scale."""
+    (checked against the same SQL oracle as embedding_neardup; equality at
+    sf0.001/0.01/0.1 pinned in tests).  NOTE on this corpus's cosine
+    continuum this recall-1.0 point degenerates to all-pairs with probe
+    overhead (measured in BASELINE.md round 4) — the exact blocked join
+    (q_embedding_neardup_blocked) is the right tool there; this query
+    stays as the LSH surface + its SQL-equality gate at small sf."""
     from ..stages.ann import srp_neardup_pairs
 
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
@@ -702,10 +763,26 @@ def q_ngram_jaccard(sf_dir: str):
     return ngram_jaccard_allpairs(docs, threshold=0.5)
 
 
+def q_ngram_jaccard_inverted(sf_dir: str):
+    """EXACT n-gram Jaccard >= 0.5 via the inverted-index set-similarity
+    join (stages/dedup.py:ngram_jaccard_inverted): docs sharing a shingle
+    meet in a shingle-partitioned self-merge, per-pair intersection
+    partials sum in a pair-keyed exchange, sizes shuffle-join on — no
+    all-pairs stage, no broadcast, no per-pair set shipping.  Same SQL
+    oracle as the quadratic verification oracle."""
+    from ..stages.dedup import ngram_jaccard_inverted
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ngram_jaccard_inverted(docs, threshold=0.5)
+
+
 def q_ngram_jaccard_lsh(sf_dir: str):
-    """Scale path: MinHash-LSH candidates + EXACT Jaccard on shuffle-joined
-    shingle sets (no broadcast, no driver collection; recall vs the exact
-    oracle pinned in tests/test_stages.py)."""
+    """MinHash-LSH candidates + EXACT Jaccard on shuffle-joined shingle
+    sets (no broadcast, no driver collection; recall vs the exact oracle
+    pinned in tests/test_stages.py).  At its recall-1.0 operating point it
+    equals the exact pair set on the test corpora (same SQL oracle); the
+    inverted-index join (q_ngram_jaccard_inverted) is the exact scale path
+    when the jaccard distribution defeats banding."""
     from ..stages.dedup import ngram_jaccard_lsh
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])

@@ -369,6 +369,127 @@ def cosine_neardup_pairs(
     )
 
 
+def cosine_pairs_blocked(
+    ds: "ray.data.Dataset",
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rows_per_block: int = 1024,
+    n_blocks: int | None = None,
+    round_dp: int = 3,
+) -> "ray.data.Dataset":
+    """EXACT cosine >= threshold pair join with NO broadcast and NO driver
+    collection — the shipped scale path for the low-threshold regime.
+
+    Why not LSH here: a low threshold over a cosine CONTINUUM (the test
+    corpus has its qualifying pairs hugging 0.35, none above 0.7) defeats
+    bucket pruning — at a recall-1.0 operating point nearly every pair
+    collides in some table, so SRP-LSH degenerates to all-pairs plus probe
+    and shuffle overhead (measured 44 s vs 2 s at sf0.1; BASELINE.md round
+    4).  Exact similarity joins at low thresholds are inherently O(N^2 D)
+    compute; the engine's job is to spread that evenly with bounded
+    exchange — the classic distributed block all-pairs:
+
+    1. one normalize pass -> (id, 8D-byte sig, block = id-hash % B);
+    2. each vector re-emitted B times keyed by the unordered block pair
+       (lo*B+hi) it participates in — the ONLY exchange, O(N*B) rows (B
+       grows ~sqrt(N/rows_per_block), so exchange volume is O(N^1.5 D)
+       while compute stays O(N^2 D) — compute-bound long before the
+       exchange matters);
+    3. ``groupby(pair).map_groups`` does ONE (n_lo x n_hi) matmul per
+       group — B(B+1)/2 evenly-sized tasks, low-cardinality grouping.
+
+    Every unordered vector pair {u,v} lands in exactly one block-pair
+    group, so the result EQUALS the broadcast oracle (and the SQL oracle)
+    bit-for-bit.  SRP-LSH (``srp_neardup_pairs``) remains the right scale
+    path when the data has true near-duplicates (cos >= ~0.7) and recall
+    < 1 is acceptable.  Returns (id_a, id_b, cos_sim), id_a < id_b.
+    """
+    if n_blocks is None:
+        n = ds.count()
+        n_blocks = int(min(64, max(1, -(-n // rows_per_block))))
+    nb = int(n_blocks)
+
+    def emit(batch: pd.DataFrame) -> pd.DataFrame:
+        m = len(batch)
+        if m == 0:
+            return pd.DataFrame(
+                {id_col: pd.Series(dtype="int64"),
+                 "sig": pd.Series(dtype=object),
+                 "pair": pd.Series(dtype="int64"),
+                 "side": pd.Series(dtype="int64")}
+            )
+        mat = _batch_matrix(batch, vec_col)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        matn = mat / norms[:, None]
+        ids = batch[id_col].to_numpy(np.int64)
+        blk = (pd.util.hash_array(ids) % np.uint64(nb)).astype(np.int64)
+        sigs = [v.tobytes() for v in matn]
+        other = np.arange(nb, dtype=np.int64)
+        lo = np.minimum(blk[:, None], other[None, :])  # (m, nb)
+        hi = np.maximum(blk[:, None], other[None, :])
+        pair = (lo * nb + hi).ravel()
+        side = (blk[:, None] != lo).astype(np.int64).ravel()
+        return pd.DataFrame(
+            {
+                id_col: np.repeat(ids, nb),
+                "sig": np.array(sigs, dtype=object).repeat(nb),
+                "pair": pair,
+                "side": side,
+            }
+        )
+
+    def group_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
+             "cos_sim": pd.Series(dtype="float64")}
+        )
+        if len(g) == 0:
+            return empty
+        pair = int(g["pair"].iloc[0])
+        diag = (pair // nb) == (pair % nb)
+
+        def decode(sub: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+            ids = sub[id_col].to_numpy(np.int64)
+            mat = np.frombuffer(b"".join(sub["sig"]), dtype=np.float64).reshape(
+                len(sub), -1
+            )
+            return ids, mat
+
+        if diag:
+            ids, mat = decode(g)
+            sims = mat @ mat.T
+            r, c = np.nonzero(np.triu(sims >= threshold, k=1))
+            ia, ib = ids[r], ids[c]
+        else:
+            a = g[g["side"] == 0]
+            b = g[g["side"] == 1]
+            if len(a) == 0 or len(b) == 0:
+                return empty
+            ids_a, mat_a = decode(a)
+            ids_b, mat_b = decode(b)
+            sims = mat_a @ mat_b.T
+            r, c = np.nonzero(sims >= threshold)
+            ia, ib = ids_a[r], ids_b[c]
+        if len(ia) == 0:
+            return empty
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(ia, ib),
+                "id_b": np.maximum(ia, ib),
+                "cos_sim": round_half_away(sims[r, c], round_dp),
+            }
+        )
+
+    return (
+        ds.select_columns([id_col, vec_col])
+        .map_batches(emit, batch_format="pandas")
+        .groupby("pair")
+        .map_groups(group_pairs, batch_format="pandas")
+    )
+
+
 def ivf_train_centroids(
     ds: "ray.data.Dataset",
     nlist: int = 16,

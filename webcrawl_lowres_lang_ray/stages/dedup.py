@@ -653,6 +653,170 @@ def ngram_jaccard_allpairs(
     )
 
 
+_EMPTY_SHINGLE = "\x00EMPTY\x00"  # pseudo-shingle routing empty docs together
+
+
+def ngram_jaccard_inverted(
+    ds: "ray.data.Dataset",
+    threshold: float = 0.5,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    parts: int = _PAIR_PARTITIONS,
+    round_dp: int = 4,
+) -> "ray.data.Dataset":
+    """EXACT n-gram Jaccard >= threshold via an inverted-index
+    set-similarity join — no all-pairs stage, no broadcast, no per-pair
+    set shipping (the PPJoin-family inverted-index plan, Xiao et al. 2008
+    §2, minus the prefix filter so the result stays exactly the SQL
+    oracle's).
+
+    Plan (two bounded exchanges, the dup_ngram_fraction shape):
+    1. one pass emits (doc, md5(shingle)) per DISTINCT shingle per doc,
+       hash-partitioned by shingle digest; per-doc set sizes ride along as
+       one extra row per doc (gram = '', partition by doc hash);
+    2. within each shingle partition: docs sharing a gram meet in a
+       vectorized self-merge -> per-pair PARTIAL intersection counts,
+       pre-aggregated per partition before the second exchange;
+    3. pair-keyed exchange sums partials to |A ∩ B|; per-doc sizes are
+       shuffle-joined on (the same _attach_sig tagged-union partition
+       join as the LSH verifies, payload one int64); jaccard =
+       inter / (|A| + |B| - inter).
+    Pairs sharing no shingle never materialize (their jaccard is 0 except
+    the empty-empty case, which a pseudo-shingle routes together: two
+    empty shingle sets are jaccard 1.0, matching the SQL oracle).
+
+    Scale note: a shingle shared by c docs emits c(c-1)/2 partials —
+    boilerplate "stop shingles" are the skew risk at corpus scale; the
+    exact-parity contract forbids dropping them here, so a corpus with
+    known boilerplate should pre-filter it (or accept the PPJoin prefix
+    filter's threshold-aware pruning as a follow-up).  Returns
+    (id_a, id_b, jaccard), id_a < id_b.
+    """
+    from ..functions.hashing import md5_batch
+
+    def shingle_rows(b: pd.DataFrame) -> pd.DataFrame:
+        ids: list[int] = []
+        grams: list[str] = []
+        sizes: list[int] = []
+        id_arr = b[id_col].to_numpy(np.int64)
+        for i, t in zip(id_arr, b[text_col]):
+            gs = _string_shingles(t, k) if isinstance(t, str) else set()
+            sizes.append(len(gs))
+            if not gs:
+                gs = {_EMPTY_SHINGLE}
+            ids.extend([int(i)] * len(gs))
+            grams.extend(gs)
+        g = md5_batch(grams)
+        part = (
+            (pd.util.hash_array(g) % np.uint64(parts)).astype(np.int64)
+            if len(g)
+            else np.zeros(0, dtype=np.int64)
+        )
+        gram_rows = pd.DataFrame(
+            {id_col: np.array(ids, dtype=np.int64), "g": g, "part": part,
+             "size": np.int64(-1)}
+        )
+        size_rows = pd.DataFrame(
+            {id_col: id_arr, "g": "", "part": np.int64(-1),
+             "size": np.array(sizes, dtype=np.int64)}
+        )
+        return pd.concat([gram_rows, size_rows], ignore_index=True)
+
+    emitted = ds.select_columns([id_col, text_col]).map_batches(
+        shingle_rows, batch_format="pandas"
+    ).materialize()
+
+    def to_sizes(b: pd.DataFrame) -> pd.DataFrame:
+        s = b[b["part"] == -1]
+        return pd.DataFrame(
+            {id_col: s[id_col].to_numpy(np.int64),
+             "sig": [int(v).to_bytes(8, "big") for v in s["size"]]}
+        )
+
+    sizes_ds = emitted.map_batches(to_sizes, batch_format="pandas")
+    grams = emitted.map_batches(
+        lambda b: b[b["part"] != -1][[id_col, "g", "part"]],
+        batch_format="pandas",
+    )
+
+    def part_partials(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
+             "inter": pd.Series(dtype="int64"), "pair_part": pd.Series(dtype="int64")}
+        )
+        if len(g) == 0:
+            return empty
+        # run-length grouping: sort once by gram, then loop ONLY the runs
+        # shared by >= 2 docs (the overwhelming majority of shingles are
+        # singletons — a pandas groupby would dispatch per distinct gram)
+        g2 = g.sort_values("g", kind="mergesort")
+        garr = g2["g"].to_numpy(object)
+        idarr = g2[id_col].to_numpy(np.int64)
+        change = np.r_[True, garr[1:] != garr[:-1]]
+        starts = np.flatnonzero(change)
+        ends = np.r_[starts[1:], len(garr)]
+        lo_all, hi_all = [], []
+        for s, e in zip(starts[(ends - starts) >= 2], ends[(ends - starts) >= 2]):
+            ids = idarr[s:e]
+            iu, ju = np.triu_indices(e - s, 1)
+            ia, ib = ids[iu], ids[ju]
+            keep = ia != ib
+            lo_all.append(np.minimum(ia[keep], ib[keep]))
+            hi_all.append(np.maximum(ia[keep], ib[keep]))
+        if not lo_all:
+            return empty
+        pp = pd.DataFrame(
+            {"id_a": np.concatenate(lo_all), "id_b": np.concatenate(hi_all)}
+        )
+        agg = pp.groupby(["id_a", "id_b"], sort=False).size().reset_index(name="inter")
+        key = agg["id_a"].to_numpy(np.int64) * np.int64(2654435761) + agg[
+            "id_b"
+        ].to_numpy(np.int64)
+        agg["inter"] = agg["inter"].astype(np.int64)
+        agg["pair_part"] = pd.util.hash_array(key).astype(np.int64) % parts
+        return agg
+
+    def sum_partials(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.groupby(["id_a", "id_b"], sort=False)["inter"].sum().reset_index()
+        )
+        out["inter"] = out["inter"].astype(np.int64)
+        return out
+
+    pairs = (
+        grams.groupby("part")
+        .map_groups(part_partials, batch_format="pandas")
+        .groupby("pair_part")
+        .map_groups(sum_partials, batch_format="pandas")
+    )
+    with_a = _attach_sig(
+        pairs, sizes_ds, "id_a", ["id_a", "id_b", "inter"], "sig_a", id_col
+    )
+    with_ab = _attach_sig(
+        with_a, sizes_ds, "id_b", ["id_a", "id_b", "inter", "sig_a"], "sig_b", id_col
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
+                 "jaccard": pd.Series(dtype="float64")}
+            )
+        na = np.array([int.from_bytes(s, "big") for s in b["sig_a"]], dtype=np.int64)
+        nb = np.array([int.from_bytes(s, "big") for s in b["sig_b"]], dtype=np.int64)
+        inter = b["inter"].to_numpy(np.int64)
+        both_empty = (na == 0) & (nb == 0)
+        denom = np.where(both_empty, 1, na + nb - inter)
+        jac = np.where(both_empty, 1.0, inter / denom)
+        keep = jac >= threshold
+        out = b.loc[keep, ["id_a", "id_b"]].copy()
+        out["jaccard"] = np.round(jac[keep], round_dp)
+        return out.reset_index(drop=True)
+
+    return with_ab.map_batches(finish, batch_format="pandas")
+
+
 def substring_dedup_pairs(
     ds: "ray.data.Dataset",
     window: int = 40,
