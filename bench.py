@@ -19,6 +19,10 @@ the raw scaling efficiency (tput_hi / ((hi/lo) * tput_lo)), the machine's
 own same-payload multiprocessing ceiling at those process counts, and the
 efficiency relative to that ceiling — the sandbox substitute for the north
 rule's N vs 4N cluster sizes (see BASELINE.md).
+
+--soak [pages]: the 1M-page scale soak (the streamed wave path's natural
+regime), run twice with a ledger-hash determinism check; persists
+SOAK.json, which the headline bench embeds as out["soak"].
 """
 
 from __future__ import annotations
@@ -258,10 +262,54 @@ def run_scaling(lo_cpus: int = 8, hi_cpus: int = 32) -> dict:
 
 
 SCALING_JSON = os.path.join(REPO, "SCALING.json")
+SOAK_JSON = os.path.join(REPO, "SOAK.json")
+
+
+def run_soak(pages: int = 1_000_000, cpus: int | None = None) -> dict:
+    """1M-page scale soak: the streamed-wave path's natural regime
+    (>200k-row waves flip the crawl off the driver fast path on their
+    own).  Runs the SAME corpus TWICE in fresh subprocesses and checks
+    ledger-hash equality — determinism evidence at 3x the bench corpus.
+    Writes SOAK.json so the headline bench embeds the latest soak."""
+    cpus = cpus or NUM_CPUS
+    cmd = [
+        sys.executable,
+        os.path.join(REPO, "scripts", "measure_streamed.py"),
+        "--cpus", str(cpus), "--pages", str(pages), "--hash",
+    ]
+    runs = []
+    for _ in range(2):
+        p = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO)
+        line = [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
+        runs.append(json.loads(line))
+    out = {
+        "metric": "soak_1m_pages_crawl",
+        "pages": pages,
+        "cpus": cpus,
+        "sec": [r["sec"] for r in runs],
+        "urls_per_sec": [r["urls_per_sec"] for r in runs],
+        "inserted": runs[0]["inserted"],
+        "fetched": runs[0]["fetched"],
+        "waves": runs[0]["waves"],
+        "ledger_rows": runs[0].get("ledger_rows"),
+        "deterministic": (
+            runs[0].get("ledger_md5") == runs[1].get("ledger_md5")
+            and runs[0].get("ledger_rows") == runs[1].get("ledger_rows")
+        ),
+    }
+    return out
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--soak" in sys.argv:
+        i = sys.argv.index("--soak")
+        rest = [a for a in sys.argv[i + 1 :] if a.isdigit()]
+        pages = int(rest[0]) if rest else 1_000_000
+        res = run_soak(pages)
+        with open(SOAK_JSON, "w") as fh:
+            json.dump(res, fh, indent=1)
+        print(json.dumps(res))
+    elif "--scaling" in sys.argv:
         i = sys.argv.index("--scaling")
         rest = [a for a in sys.argv[i + 1 :] if a.isdigit()]
         lo, hi = (int(rest[0]), int(rest[1])) if len(rest) >= 2 else (4, 16)
@@ -280,4 +328,7 @@ if __name__ == "__main__":
             out["hw_ceiling"] = sc.get("hw_ceiling")
             out["value_vs_hw_ceiling"] = sc.get("value_vs_hw_ceiling")
             out["scaling_efficiency"] = sc.get("value")
+        if os.path.exists(SOAK_JSON):
+            with open(SOAK_JSON) as fh:
+                out["soak"] = json.load(fh)  # last `bench.py --soak` run
         print(json.dumps(out))

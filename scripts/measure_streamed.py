@@ -21,6 +21,12 @@ def main() -> None:
     ap.add_argument("--streamed", action="store_true")
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--pages", type=int, default=300_000)
+    ap.add_argument(
+        "--hash",
+        action="store_true",
+        help="append an order-insensitive md5 of the ledger's key columns "
+        "(seq, url_hash, downloaded) — lets two runs prove determinism",
+    )
     args = ap.parse_args()
 
     import ray
@@ -42,21 +48,38 @@ def main() -> None:
     t0 = time.time()
     stats = frontier.run_crawl(corpus, out_dir, cfg)
     dt = time.time() - t0
-    print(
-        json.dumps(
-            {
-                "streamed": args.streamed,
-                "cpus": args.cpus,
-                "pages": args.pages,
-                "sec": round(dt, 2),
-                "inserted": stats.inserted,
-                "fetched": stats.fetched,
-                "urls_per_sec": round(stats.inserted / dt, 1),
-                "waves": stats.waves,
-                "per_wave": stats.per_wave,
-            }
+    out = {
+        "streamed": args.streamed,
+        "cpus": args.cpus,
+        "pages": args.pages,
+        "sec": round(dt, 2),
+        "inserted": stats.inserted,
+        "fetched": stats.fetched,
+        "urls_per_sec": round(stats.inserted / dt, 1),
+        "waves": stats.waves,
+        "per_wave": stats.per_wave,
+    }
+    if args.hash:
+        import hashlib
+
+        import pandas as pd
+
+        import glob
+
+        files = sorted(
+            glob.glob(
+                os.path.join(out_dir, "ledger", "**", "*.parquet"), recursive=True
+            )
         )
-    )
+        led = pd.concat(
+            [pd.read_parquet(f, columns=["seq", "url_hash", "downloaded"]) for f in files],
+            ignore_index=True,
+        ).sort_values("seq", kind="mergesort")
+        out["ledger_rows"] = int(len(led))
+        out["ledger_md5"] = hashlib.md5(
+            led.to_csv(index=False).encode()
+        ).hexdigest()
+    print(json.dumps(out))
     ray.shutdown()
 
 
