@@ -184,7 +184,7 @@ def _admit_driver(df: pd.DataFrame, k: int) -> pd.DataFrame:
     return df
 
 
-def _wave_task(pages_dir: str, lexicon_ref, cfg: CrawlConfig, wave: int, ledger_dir: str, robots_actors=None):
+def _wave_task(pages_dir: str, lexicon_ref, cfg: CrawlConfig, wave: int, ledger_dir: str, robots_actors=None, fetcher=None):
     """The whole per-bucket wave body as ONE task: partitioned fetch join ->
     extract/score -> write this bucket's ledger partition (resumable layout:
     ledger/wave=N/part-bKKK.parquet, idempotent overwrite) -> explode links ->
@@ -202,27 +202,19 @@ def _wave_task(pages_dir: str, lexicon_ref, cfg: CrawlConfig, wave: int, ledger_
     wave loop's serial fraction small enough to scale (BASELINE.md scaling
     criterion)."""
 
+    from .sources.fetch import PageTableFetcher
+
+    page_fetcher = fetcher if fetcher is not None else PageTableFetcher(pages_dir)
+
     def one_bucket(tbl: pa.Table) -> pd.DataFrame:
         import hashlib
 
         bucket = int(tbl.column("bucket")[0].as_py())
         urls = tbl.column("url").to_pylist()
-        path = os.path.join(pages_dir, f"bucket={bucket:03d}.parquet")
-        web: dict[str, tuple] = {}
-        if os.path.exists(path):
-            pages = pq.read_table(
-                path,
-                columns=["url", "html", "content_type"],
-                filters=[("url", "in", urls)],
-            )
-            web = {
-                u: (h, ct)
-                for u, h, ct in zip(
-                    pages.column("url").to_pylist(),
-                    pages.column("html").to_pylist(),
-                    pages.column("content_type").to_pylist(),
-                )
-            }
+        # the fetch seam (sources/fetch.py): bucket-pruned page-table read
+        # by default, real urllib HTTP when an HttpFetcher is plugged in;
+        # URLs absent from the mapping are failed fetches either way
+        web: dict[str, tuple] = page_fetcher.fetch(bucket, urls)
         model = _get_model(lexicon_ref, cfg)
         n = len(urls)
         downloaded = np.zeros(n, dtype=bool)
@@ -661,6 +653,7 @@ def _run_wave_streamed(
     next_seq: int,
     score_concurrency: int | None = None,
     sections: dict | None = None,
+    fetcher=None,
 ) -> tuple[int, int]:
     """One politeness wave as Datasets end-to-end.  The driver never holds a
     frontier frame: admission partitions route deferred rows and norun ledger
@@ -731,7 +724,7 @@ def _run_wave_streamed(
             )
         return adm.loc[~norun]
 
-    wave_fn = _wave_task(pages_dir, lexicon_ref, cfg, wave, ledger_dir, robots_actors)
+    wave_fn = _wave_task(pages_dir, lexicon_ref, cfg, wave, ledger_dir, robots_actors, fetcher=fetcher)
 
     fetch_kwargs = {}
     if score_concurrency:
@@ -769,8 +762,13 @@ def run_crawl(
     cfg: CrawlConfig | None = None,
     resume: bool = False,
     score_concurrency: int | None = None,
+    fetcher=None,
 ) -> CrawlStats:
-    """Run the full crawl; requires ray to be initialised by the caller."""
+    """Run the full crawl; requires ray to be initialised by the caller.
+
+    ``fetcher`` plugs the page-acquisition seam (sources/fetch.py):
+    default = bucket-pruned page-table reads (PageTableFetcher); pass an
+    HttpFetcher for live urllib fetches against a real / mirrored web."""
     cfg = cfg or CrawlConfig()
     pages_dir = os.path.join(corpus_dir, "pages")
     robots_path = os.path.join(corpus_dir, "robots.parquet") if cfg.apply_robots else None
@@ -832,6 +830,7 @@ def run_crawl(
             inserted, pending_next = _run_wave_streamed(
                 out_dir, pages_dir, wave, cfg, lexicon_ref, seen_shards,
                 robots_actors, next_seq, score_concurrency, sections=sec,
+                fetcher=fetcher,
             )
             admitted_n = pending_count - (pending_next - inserted)
             next_seq += inserted
@@ -876,7 +875,7 @@ def run_crawl(
             # table bucket file (partitioned hash join, no sort shuffle),
             # writes its own ledger partition, returns prepared candidates.
             cand_df = _empty_candidates_df()
-            wave_fn = _wave_task(pages_dir, lexicon_ref, cfg, wave, ledger_dir, robots_actors)
+            wave_fn = _wave_task(pages_dir, lexicon_ref, cfg, wave, ledger_dir, robots_actors, fetcher=fetcher)
             if len(to_fetch) and len(to_fetch) <= SMALL_WAVE_MAX_ROWS:
                 # local fast path: same kernel, no cluster fan-out
                 cand_df = pd.concat(
