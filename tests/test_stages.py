@@ -631,6 +631,50 @@ class TestNgramJaccardAllPairs:
         assert got_set == set(want)
         assert any(a == 0 and b == 1 for a, b, _ in want)  # exact dup pair present
 
+    def test_line_dedup_first_wins_oracle(self):
+        """line_dedup (CCNet corpus-level line dedup) == a serial
+        first-wins pass in (doc, idx) order; whitespace-only lines are
+        structural and never deduped; duplicate-within-one-doc drops."""
+        import ray.data as ray_data
+
+        from webcrawl_lowres_lang_ray.stages.dedup import line_dedup
+
+        docs = {
+            0: "Home\nAbout\nreal content zero\n\nfooter 2024",
+            1: "Home\nAbout\nreal content one\nfooter 2024",
+            2: "real content two\nreal content two\nHome",
+            3: "   \n\nunique only",
+            4: "",
+        }
+        df = pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())})
+        got = (
+            line_dedup(ray_data.from_pandas(df), id_col="doc_id")
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        # serial oracle
+        seen: set[str] = set()
+        want = {}
+        for d in sorted(docs):
+            kept, dropped, lines = [], 0, docs[d].split("\n")
+            for ln in lines:
+                s = ln.strip()
+                if not s:
+                    kept.append(ln)
+                    continue
+                if s in seen:
+                    dropped += 1
+                else:
+                    seen.add(s)
+                    kept.append(ln)
+            want[d] = (len(lines), dropped, "\n".join(kept))
+        for _, r in got.iterrows():
+            n, dr, txt = want[int(r["doc_id"])]
+            assert (int(r["n_lines"]), int(r["n_dropped"])) == (n, dr)
+            assert r["text"] == txt
+        # the boilerplate actually got removed
+        r1 = got[got["doc_id"] == 1].iloc[0]
+        assert r1["n_dropped"] == 3 and "Home" not in r1["text"]
+
     def test_inverted_index_join_equals_allpairs(self):
         """ngram_jaccard_inverted (the exact inverted-index scale path —
         no all-pairs stage, no broadcast) must equal the quadratic oracle

@@ -751,3 +751,15 @@ def q_warc_ingest(sf_dir: str):
         )
 
     return warc.read_warc(paths).map_batches(project, batch_format="pyarrow")
+
+
+def q_crawl_line_dedup(sf_dir: str):
+    """CCNet-style corpus-level line dedup over the crawl's extracted
+    texts (stages/dedup.py:line_dedup): duplicated lines — the nav/footer
+    boilerplate web extraction leaves behind — keep only their first
+    (seq, line_idx) occurrence; documents are rebuilt without the later
+    copies.  Rows-only gate; serial first-wins oracle parity pinned in
+    tests/test_stages.py."""
+    from ..stages.dedup import line_dedup
+
+    return line_dedup(_fetched_text_ds(sf_dir), id_col="seq", text_col="text")

@@ -643,8 +643,10 @@ def q_doc_embed_neardup(sf_dir: str):
         batch_size=256,
         concurrency=2,
     ).drop_columns(["text"])
+    # materialize: cosine_pairs_blocked sizes its blocks with ds.count(),
+    # which would otherwise execute the embed stage a second time
     return cosine_pairs_blocked(
-        emb, threshold=0.9, id_col="doc_id", vec_col="embedding"
+        emb.materialize(), threshold=0.9, id_col="doc_id", vec_col="embedding"
     )
 
 

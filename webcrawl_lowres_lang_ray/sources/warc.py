@@ -29,7 +29,7 @@ from __future__ import annotations
 import gzip
 import hashlib
 import io
-from datetime import datetime, timezone
+from datetime import datetime
 from typing import Iterator
 
 import pyarrow as pa

@@ -817,6 +817,156 @@ def ngram_jaccard_inverted(
     return with_ab.map_batches(finish, batch_format="pandas")
 
 
+def line_dedup(
+    ds: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    parts: int = _PAIR_PARTITIONS,
+    min_chars: int = 1,
+) -> "ray.data.Dataset":
+    """CCNet-style corpus-level line deduplication (Wenzek et al. 2020
+    §3.1): every duplicated line keeps ONLY its first occurrence in global
+    ``(doc, line_idx)`` order — later copies (nav menus, footers, cookie
+    banners: the boilerplate that dominates web text) are dropped from the
+    document body.
+
+    Plan (two bounded exchanges, nothing broadcast):
+    1. explode each doc into (doc, idx, md5(stripped line)) rows —
+       whitespace-only lines are structural, never deduped — partitioned
+       by line hash;
+    2. per hash partition, one vectorized pass finds each line's owner
+       (min (doc, idx)) and emits DROP rows for every later copy — the
+       exchange carries only duplicate occurrences, not the corpus;
+    3. drops partition-join back onto the docs by ``id`` hash (tagged
+       union, same shape as _attach_sig) and each doc's surviving lines
+       are re-joined in order.
+
+    Returns (id, n_lines, n_dropped, text) with ``text`` rebuilt.  Serial
+    first-wins oracle parity is pinned in tests/test_stages.py.
+    """
+    from ..functions.hashing import md5_batch
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        ids: list[int] = []
+        idxs: list[int] = []
+        lines: list[str] = []
+        for i, t in zip(b[id_col].to_numpy(np.int64), b[text_col]):
+            if not isinstance(t, str):
+                continue
+            for j, ln in enumerate(t.split("\n")):
+                s = ln.strip()
+                if len(s) >= min_chars:
+                    ids.append(int(i))
+                    idxs.append(j)
+                    lines.append(s)
+        h = md5_batch(lines)
+        part = (
+            (pd.util.hash_array(h) % np.uint64(parts)).astype(np.int64)
+            if len(h)
+            else np.zeros(0, dtype=np.int64)
+        )
+        return pd.DataFrame(
+            {
+                "doc": np.array(ids, dtype=np.int64),
+                "idx": np.array(idxs, dtype=np.int64),
+                "h": h,
+                "part": part,
+            }
+        )
+
+    def drops_in_part(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"doc": pd.Series(dtype="int64"), "idx": pd.Series(dtype="int64")}
+        )
+        if len(g) == 0:
+            return empty
+        g2 = g.sort_values(["h", "doc", "idx"], kind="mergesort")
+        first = ~g2["h"].duplicated(keep="first")
+        drops = g2.loc[~first, ["doc", "idx"]]
+        return drops if len(drops) else empty
+
+    drops = (
+        ds.select_columns([id_col, text_col])
+        .map_batches(explode, batch_format="pandas")
+        .groupby("part")
+        .map_groups(drops_in_part, batch_format="pandas")
+    )
+
+    # tagged-union partition join: docs carry text, drop rows carry idx
+    def tag_docs(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "doc": b[id_col].to_numpy(np.int64),
+                "idx": np.int64(-1),
+                "txt": b[text_col].to_numpy(object),
+            }
+        )
+        return out
+
+    def tag_drops(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc": b["doc"].to_numpy(np.int64),
+                "idx": b["idx"].to_numpy(np.int64),
+                "txt": pd.Series([None] * len(b), dtype=object),
+            }
+        )
+
+    def add_doc_part(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return b.assign(dpart=pd.Series(dtype="int64"))
+        b = b.copy()
+        b["dpart"] = (
+            pd.util.hash_array(b["doc"].to_numpy(np.int64)) % parts
+        ).astype(np.int64)
+        return b
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                id_col: pd.Series(dtype="int64"),
+                "n_lines": pd.Series(dtype="int64"),
+                "n_dropped": pd.Series(dtype="int64"),
+                text_col: pd.Series(dtype=object),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        is_doc = g["idx"].to_numpy(np.int64) == -1
+        docs_g = g.loc[is_doc]
+        drop_map: dict[int, set] = {}
+        for d, i in zip(g.loc[~is_doc, "doc"], g.loc[~is_doc, "idx"]):
+            drop_map.setdefault(int(d), set()).add(int(i))
+        out_id, out_n, out_drop, out_txt = [], [], [], []
+        for d, t in zip(docs_g["doc"], docs_g["txt"]):
+            lines = t.split("\n") if isinstance(t, str) else []
+            dset = drop_map.get(int(d), ())
+            kept = [ln for j, ln in enumerate(lines) if j not in dset]
+            out_id.append(int(d))
+            out_n.append(len(lines))
+            out_drop.append(len(dset))
+            out_txt.append("\n".join(kept))
+        return pd.DataFrame(
+            {
+                id_col: np.array(out_id, dtype=np.int64),
+                "n_lines": np.array(out_n, dtype=np.int64),
+                "n_dropped": np.array(out_drop, dtype=np.int64),
+                text_col: np.array(out_txt, dtype=object),
+            }
+        )
+
+    tagged = (
+        ds.select_columns([id_col, text_col])
+        .map_batches(tag_docs, batch_format="pandas")
+        .union(drops.map_batches(tag_drops, batch_format="pandas"))
+    )
+    return (
+        tagged.map_batches(add_doc_part, batch_format="pandas")
+        .groupby("dpart")
+        .map_groups(rebuild, batch_format="pandas")
+    )
+
+
 def substring_dedup_pairs(
     ds: "ray.data.Dataset",
     window: int = 40,
