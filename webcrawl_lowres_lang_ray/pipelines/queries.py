@@ -291,11 +291,11 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 def q_orders_by_segment(sf_dir: str):
     """J1 (sql.py:381-391): broadcast join small dim -> grouped agg."""
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
-    seg_map_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+    seg_map_ref = ray.put(cust.set_index("c_custkey")["c_mktsegment"])
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
 
     def join(b: pd.DataFrame) -> pd.DataFrame:
-        seg = ray.get(seg_map_ref)
+        seg = ray.get(seg_map_ref)  # Series: vectorized reindex lookup
         b["c_mktsegment"] = b["o_custkey"].map(seg).fillna("")
         return b[["c_mktsegment", "o_totalprice"]]
 
@@ -354,11 +354,11 @@ WHERE NOT EXISTS (
 def q_part_revenue_by_brand(sf_dir: str):
     """Broadcast join lineitem -> part, revenue per brand."""
     part = _read(sf_dir, "part", ["p_partkey", "p_brand"]).to_pandas()
-    brand_ref = ray.put(dict(zip(part["p_partkey"], part["p_brand"])))
+    brand_ref = ray.put(part.set_index("p_partkey")["p_brand"])
     li = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
 
     def join(b: pd.DataFrame) -> pd.DataFrame:
-        brands = ray.get(brand_ref)
+        brands = ray.get(brand_ref)  # Series: vectorized reindex lookup
         b["p_brand"] = b["l_partkey"].map(brands).fillna("")
         b["revenue"] = b["l_extendedprice"] * (1 - b["l_discount"])
         return b[["p_brand", "revenue"]]
