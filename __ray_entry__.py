@@ -136,6 +136,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs_by_chars": q.q_top_docs_by_chars,
         "doc_dsir_score": q.q_doc_dsir_score,
         "doc_embed_neardup": q.q_doc_embed_neardup,
+        "doc_c4_filter": q.q_doc_c4_filter,
+        "doc_nb_langid": q.q_doc_nb_langid,
         # --- rows-only: no SQL form (pytest-gated) ---
         "pack_sequences": q.q_pack_sequences,
         "doc_compression": q.q_doc_compression,
@@ -244,4 +246,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_dsir_score": q.SQL_DOC_DSIR_SCORE,
         # full text->hash-embed->cosine-join pipeline reproduced in DuckDB
         "doc_embed_neardup": q.SQL_DOC_EMBED_NEARDUP,
+        # C4 heuristic filter battery (doc-level)
+        "doc_c4_filter": q.SQL_DOC_C4_FILTER,
+        # distributed-trained multinomial NB langid (micro-unit quantized)
+        "doc_nb_langid": q.SQL_DOC_NB_LANGID,
     }

@@ -226,6 +226,18 @@ def measure_hw_ceiling(lo: int, hi: int) -> dict:
     }
 
 
+def _probe16() -> float:
+    """Point-in-time VM-weather reading (same payload as the ceiling
+    worker, 16 procs, ~10 s).  Quiet-VM reference: 6403 pages/s."""
+    import multiprocessing as mp
+
+    with mp.Pool(16) as p:
+        p.map(_hw_ceiling_worker, range(16))  # warm
+        t0 = time.time()
+        done = sum(p.map(_hw_ceiling_worker, range(16 * 6)))
+        return round(done / (time.time() - t0), 1)
+
+
 def run_scaling(lo_cpus: int = 8, hi_cpus: int = 32) -> dict:
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
@@ -234,7 +246,13 @@ def run_scaling(lo_cpus: int = 8, hi_cpus: int = 32) -> dict:
             env=env, capture_output=True, text=True, check=True,
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
+    # VM weather swings 30%+ minute-to-minute on this shared host (see
+    # BASELINE.md): bracket EACH leg with a probe so a poisoned leg is
+    # attributable without re-running (the legs take minutes; a single
+    # end-of-run probe can read quiet after a noisy leg).
+    probe_before_lo = _probe16()
     lo = run(lo_cpus)
+    probe_before_hi = _probe16()
     hi = run(hi_cpus)
     tput_lo = lo["urls_per_sec"]
     tput_hi = hi["urls_per_sec"]
@@ -257,6 +275,13 @@ def run_scaling(lo_cpus: int = 8, hi_cpus: int = 32) -> dict:
         "hw_ceiling": hw["ceiling"],
         "hw_pages_per_sec": [hw["pages_per_sec_lo"], hw["pages_per_sec_hi"]],
         "value_vs_hw_ceiling": round(eff / hw["ceiling"], 3) if hw["ceiling"] else 0.0,
+        # per-leg weather: probe immediately before each leg + the probe
+        # each leg's own bench run took at its end (quiet ref 6403)
+        "probe_before_legs": [probe_before_lo, probe_before_hi],
+        "probe_after_legs": [
+            lo.get("hw_probe_pages_per_sec_at_16_procs"),
+            hi.get("hw_probe_pages_per_sec_at_16_procs"),
+        ],
         "sf": lo["sf"],
     }
 

@@ -52,6 +52,7 @@ def test_driver_prefix_is_fully_sql_oracled():
         "embedding_neardup", "embedding_neardup_lsh", "ngram_jaccard",
         "ngram_jaccard_lsh", "lang_counts", "order_priority_counts",
         "top_docs_by_chars", "doc_dsir_score", "doc_embed_neardup",
+        "doc_c4_filter", "doc_nb_langid",
     }, f"unexpected SQL-oracled entries below the driver prefix: {demoted_sql}"
 
 

@@ -1197,3 +1197,122 @@ class TestLexiconGrowth:
         b, lb = lexicon_growth_experiment(ds, load_lexicon(small_corpus), CrawlConfig(), phases=2)
         pd.testing.assert_frame_equal(a, b)
         assert la == lb
+
+
+class TestNBClassifier:
+    def _frame(self):
+        rows = []
+        vocab = {
+            "aa": ["red green blue shiny color paint"] * 1,
+            "bb": ["loud quiet sound music note chord"] * 1,
+            "cc": ["fast slow speed race track lap"] * 1,
+        }
+        i = 0
+        rng = np.random.RandomState(7)
+        for lang, seeds in vocab.items():
+            words = seeds[0].split()
+            for _ in range(8):
+                n = rng.randint(3, 12)
+                text = " ".join(words[rng.randint(0, len(words))] for _ in range(n))
+                rows.append((i, text, lang))
+                i += 1
+        rows.append((i, "", "aa"))  # empty doc -> priors-only score
+        return pd.DataFrame(rows, columns=["doc_id", "text", "lang"])
+
+    def _serial(self, df, classes):
+        """Plain-python NB oracle: same hashing, math.log, micro-units."""
+        import math
+
+        from webcrawl_lowres_lang_ray.stages.classify import (
+            NB_BUCKETS,
+            _unigram_buckets,
+        )
+
+        C = len(classes)
+        cnt = {c: np.zeros(NB_BUCKETS, dtype=np.int64) for c in classes}
+        nd = {c: 0 for c in classes}
+        for _, r in df.iterrows():
+            nd[r["lang"]] += 1
+            for b in _unigram_buckets(r["text"]):
+                cnt[r["lang"]][b] += 1
+        ndt = float(sum(nd.values()))
+
+        def q(x):
+            v = 1e6 * x
+            return int(math.floor(abs(v) + 0.5) * (1 if v >= 0 else -1))
+
+        pq = {c: q(math.log(nd[c] / ndt)) for c in classes}
+        out = []
+        for _, r in df.iterrows():
+            scores = {}
+            for c in classes:
+                den = float(cnt[c].sum()) + NB_BUCKETS
+                s = pq[c]
+                for b in _unigram_buckets(r["text"]):
+                    s += q(math.log((cnt[c][b] + 1.0) / den))
+                scores[c] = s
+            best = max(classes, key=lambda c: (scores[c], [-ord(x) for x in c]))
+            vals = sorted(scores.values(), reverse=True)
+            out.append((r["doc_id"], best, round(
+                (vals[0] - vals[1]) / 1e6, 4), int(best == r["lang"])))
+        return out
+
+    def test_matches_serial_oracle(self):
+        import ray.data
+
+        from webcrawl_lowres_lang_ray.stages.classify import nb_classify, nb_train
+
+        df = self._frame()
+        classes = sorted(df["lang"].unique())
+        ds = ray.data.from_pandas(df)
+        pq_, wq = nb_train(ds, classes)
+        got = nb_classify(ds, classes, pq_, wq).to_pandas()
+        got = got.sort_values("doc_id").reset_index(drop=True)
+        want = self._serial(df, classes)
+        for (gid, gpred, gmargin, gok), (_, row) in zip(want, got.iterrows()):
+            assert row["doc_id"] == gid
+            assert row["pred_lang"] == gpred
+            assert abs(row["margin"] - gmargin) < 1e-9
+            assert row["is_correct"] == gok
+        # the classifier must actually separate the three vocabularies
+        trained = got[got["doc_id"] < 24]
+        assert trained["is_correct"].mean() == 1.0
+
+    def test_batch_order_invariant(self):
+        import ray.data
+
+        from webcrawl_lowres_lang_ray.stages.classify import nb_classify, nb_train
+
+        df = self._frame()
+        classes = sorted(df["lang"].unique())
+        a_pq, a_w = nb_train(ray.data.from_pandas(df), classes)
+        shuf = df.sample(frac=1.0, random_state=3).reset_index(drop=True)
+        b_pq, b_w = nb_train(
+            ray.data.from_pandas(shuf).repartition(5), classes
+        )
+        assert np.array_equal(a_pq, b_pq) and np.array_equal(a_w, b_w)
+
+
+class TestC4Filter:
+    def test_flags(self):
+        from webcrawl_lowres_lang_ray.stages.classify import c4_flags_batch
+
+        long_ok = " ".join(["word"] * 60)
+        b = pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3, 4, 5],
+                "text": [
+                    long_ok,                         # keep
+                    "short text",                    # too few words
+                    long_ok + " {",                  # brace marker
+                    long_ok + " Lorem Ipsum dolor",  # lorem marker (cased)
+                    " ".join(["a"] * 60),            # mean word len < 3
+                    None,                            # null text
+                ],
+            }
+        )
+        out = c4_flags_batch(b)
+        assert out["keep_doc"].tolist() == [1, 0, 0, 0, 0, 0]
+        assert out["has_marker"].tolist() == [0, 0, 1, 1, 0, 0]
+        assert out["n_words"].tolist() == [60, 2, 61, 63, 60, 0]
+        assert out["mean_word_len"].iloc[0] == 4.0

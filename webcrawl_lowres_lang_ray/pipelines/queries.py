@@ -1874,6 +1874,109 @@ def q_doc_dsir_score(sf_dir: str):
     return dsir_scores(docs, target_lang="en")
 
 
+def q_doc_c4_filter(sf_dir: str):
+    """C4 heuristic filter battery (Raffel et al. 2020 §2.2) at doc level:
+    word-count band, mean-word-length band, brace/'lorem ipsum'/
+    'javascript' markers -> keep_doc bit.  Pure streaming map_batches."""
+    from ..stages.classify import c4_flags_batch
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return docs.map_batches(c4_flags_batch, batch_format="pandas")
+
+
+SQL_DOC_C4_FILTER = r"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, ' '), w -> w <> '') AS ws
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(ws) AS BIGINT) AS n_words,
+         round(CASE WHEN len(ws) = 0 THEN 0.0
+               ELSE CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE)
+                    / len(ws) END, 4) AS mean_word_len,
+         CAST(CASE WHEN contains(lower(text), '{')
+                     OR contains(lower(text), 'lorem ipsum')
+                     OR contains(lower(text), 'javascript')
+              THEN 1 ELSE 0 END AS BIGINT) AS has_marker
+  FROM t
+)
+SELECT doc_id, n_words, mean_word_len, has_marker,
+       CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+                  AND mean_word_len BETWEEN 3.0 AND 10.0
+                  AND has_marker = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep_doc
+FROM m
+"""
+
+
+def q_doc_nb_langid(sf_dir: str):
+    """Multinomial Naive Bayes language classifier trained ON the corpus
+    itself (lang column = labels) over md5-bucketed hashed unigrams, then
+    applied back to every doc — the fastText-style reference-corpus
+    scorer of CCNet/LLaMA pipelines in sandbox form.  Training is one
+    streaming pass of mergeable per-class bincount partials; the 2.6 MB
+    micro-unit model broadcasts once.  Bit-for-bit SQL-oracled (same
+    md5-prefix + integer micro-unit trick as DSIR)."""
+    from ..stages.classify import nb_classify, nb_train
+
+    langs = sorted(
+        _read(sf_dir, "documents", ["lang"]).unique("lang")
+    )
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    priors_q, weights_q = nb_train(docs, langs)
+    return nb_classify(docs, langs, priors_q, weights_q)
+
+
+SQL_DOC_NB_LANGID = r"""
+WITH cls AS (SELECT DISTINCT lang AS c FROM documents),
+nd  AS (SELECT lang AS c, count(*) AS n FROM documents GROUP BY 1),
+ndt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+pri AS (SELECT nd.c,
+               CAST(ROUND(1e6 * ln(nd.n * 1.0 / ndt.n)) AS BIGINT) AS pq
+        FROM nd, ndt),
+t AS (SELECT doc_id, lang,
+             list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      FROM documents),
+g AS (SELECT doc_id, lang,
+        (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 4096
+      + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 256
+      + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16
+      + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1) AS bucket
+      FROM (SELECT doc_id, lang, substr(md5(ws[CAST(i AS INTEGER)]), 1, 4) AS hx
+            FROM t, LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS i) AS r) q0),
+tot AS (SELECT lang AS c, count(*) AS tc FROM g GROUP BY 1),
+cnt AS (SELECT lang AS c, bucket, count(*) AS bc FROM g GROUP BY 1, 2),
+w AS (SELECT cnt.c, cnt.bucket,
+             CAST(ROUND(1e6 * ln((cnt.bc + 1.0) / (tot.tc + 65536.0)))
+                  AS BIGINT) AS lwq
+      FROM cnt JOIN tot USING (c)),
+dflt AS (SELECT cls.c,
+                CAST(ROUND(1e6 * ln(1.0 / (COALESCE(tot.tc, 0) + 65536.0)))
+                     AS BIGINT) AS defq
+         FROM cls LEFT JOIN tot ON cls.c = tot.c),
+gs AS (SELECT g.doc_id, cls.c, sum(COALESCE(w.lwq, dflt.defq)) AS s
+       FROM g CROSS JOIN cls
+       JOIN dflt ON dflt.c = cls.c
+       LEFT JOIN w ON w.c = cls.c AND w.bucket = g.bucket
+       GROUP BY 1, 2),
+sc AS (SELECT d.doc_id, d.lang, cls.c, pri.pq + COALESCE(gs.s, 0) AS score
+       FROM documents d CROSS JOIN cls
+       JOIN pri ON pri.c = cls.c
+       LEFT JOIN gs ON gs.doc_id = d.doc_id AND gs.c = cls.c),
+ranked AS (SELECT doc_id, lang, c, score,
+                  row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, c ASC) AS rn
+           FROM sc)
+SELECT r1.doc_id, r1.c AS pred_lang,
+       ROUND((r1.score - r2.score) / 1e6, 4) AS margin,
+       CAST(CASE WHEN r1.c = r1.lang THEN 1 ELSE 0 END AS BIGINT) AS is_correct
+FROM ranked r1
+JOIN ranked r2 ON r1.doc_id = r2.doc_id AND r2.rn = 2
+WHERE r1.rn = 1
+"""
+
+
 SQL_DOC_DSIR_SCORE = r"""
 WITH t AS (
   SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents
