@@ -87,7 +87,13 @@ def nb_train(
                 cnt[ci] += np.bincount(ids, minlength=buckets)
         return pd.DataFrame({"cnt": [cnt.tobytes()], "nd": [nd.tobytes()]})
 
-    parts = docs.map_batches(partial, batch_format="pandas").to_pandas()
+    # large train batches: each partial is a fixed C x 2^16 blob (~2.6 MB
+    # at C=5) regardless of rows, so bigger batches mean fewer blobs on
+    # the exchange — at billions of docs this plus a tree-reduce of the
+    # partials keeps the merge off the driver's critical path
+    parts = docs.map_batches(
+        partial, batch_format="pandas", batch_size=8192
+    ).to_pandas()
     cnt = np.zeros((C, buckets), dtype=np.int64)
     nd = np.zeros(C, dtype=np.int64)
     for blob in parts["cnt"]:
