@@ -1074,9 +1074,10 @@ def dup_ngram_fraction(
 
     Plan (two bounded exchanges, nothing broadcast or driver-collected):
 
-    1. ``map_batches`` emits one ``(doc_id, md5(shingle))`` row per distinct
-       shingle per doc — the 32-char digest bounds exchange width no matter
-       how long the n-gram text is;
+    1. ``map_batches`` emits one ``(doc_id, g1, g2)`` row per distinct
+       shingle per doc — the 128-bit (two uint64) rolling-hash key bounds
+       exchange width no matter how long the n-gram text is, and is
+       computed fully vectorized (no per-shingle hashlib loop);
     2. hash-partition by shingle digest; inside each partition one
        vectorized pandas pass computes the per-shingle owner (min doc) and
        collapses to PER-DOC PARTIAL counts — the second exchange carries at
@@ -1089,37 +1090,71 @@ def dup_ngram_fraction(
     oracle; docs with < n words have no shingles and are absent (SQL join
     semantics).
     """
-    from ..functions.hashing import md5_batch
     from ..stages.textstats import round_half_away
 
+    # Shingle identity = TWO independent 64-bit keys (SipHash over words
+    # with distinct hash keys, rolling polynomial combine): 128-bit
+    # effective — collision odds ~S^2/2^129, negligible at corpus scale —
+    # while the exchange row is (id, g1, g2, part) = 24 B of key instead
+    # of a 32-char md5 hex string.  The digest never reaches the output
+    # (only counts do), so the SQL oracle's md5(gram) grouping is matched
+    # by ANY injective keying; this one is fully vectorized (no per-shingle
+    # hashlib loop, no string joins).
+    _HK2 = "wllr-dupngram-k2"  # 16 chars, second independent SipHash key
+
     def shingle_rows(b: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                id_col: pd.Series(dtype="int64"),
+                "g1": pd.Series(dtype="int64"),
+                "g2": pd.Series(dtype="int64"),
+                "__part": pd.Series(dtype="int64"),
+            }
+        )
+        words: list[str] = []
+        bounds: list[int] = [0]  # word-offset of each doc's start
         ids: list[int] = []
-        grams: list[str] = []
         for i, t in zip(b[id_col].to_numpy(np.int64), b[text_col]):
             if not isinstance(t, str):
                 continue
             ws = t.split()
             if len(ws) < n:
                 continue
-            gs = {" ".join(ws[j : j + n]) for j in range(len(ws) - n + 1)}
-            ids.extend([int(i)] * len(gs))
-            grams.extend(gs)
-        g = md5_batch(grams)
-        part = (
-            (pd.util.hash_array(g) % np.uint64(parts)).astype(np.int64)
-            if len(g)
-            else np.zeros(0, dtype=np.int64)
+            words.extend(ws)
+            bounds.append(bounds[-1] + len(ws))
+            ids.append(int(i))
+        if not words:
+            return empty
+        flat = np.asarray(words, dtype=object)
+        wh1 = pd.util.hash_array(flat)
+        wh2 = pd.util.hash_array(flat, hash_key=_HK2)
+
+        def rolling(wh: np.ndarray) -> np.ndarray:
+            out = wh[: len(wh) - n + 1].copy()
+            for j in range(1, n):
+                out = out * _POLY + wh[j : len(wh) - n + 1 + j]
+            return out
+
+        g1 = rolling(wh1)
+        g2 = rolling(wh2)
+        # valid shingle starts: the window [j, j+n) stays inside one doc
+        starts = np.asarray(bounds[:-1], dtype=np.int64)
+        ends = np.asarray(bounds[1:], dtype=np.int64)
+        n_sh = ends - starts - (n - 1)  # >= 1 by the len(ws) >= n filter
+        take = np.concatenate(
+            [np.arange(s, s + c) for s, c in zip(starts, n_sh)]
         )
-        return pd.DataFrame(
-            {
-                id_col: np.asarray(ids, dtype=np.int64),
-                "g": g,
-                "__part": part,
-            }
-        )
+        doc = np.repeat(np.asarray(ids, dtype=np.int64), n_sh)
+        df = pd.DataFrame(
+            {id_col: doc, "g1": g1[take].view(np.int64), "g2": g2[take].view(np.int64)}
+        ).drop_duplicates()  # distinct shingles per doc (set semantics)
+        df["__part"] = (
+            df["g1"].to_numpy(np.int64).view(np.uint64) % np.uint64(parts)
+        ).astype(np.int64)
+        return df
 
     def owner_partials(g: pd.DataFrame) -> pd.DataFrame:
-        owner = g.groupby("g", sort=False)[id_col].transform("min")
+        owner = g.groupby(["g1", "g2"], sort=False)[id_col].transform("min")
         dup = (g[id_col].to_numpy(np.int64) > owner.to_numpy(np.int64)).astype(
             np.int64
         )
