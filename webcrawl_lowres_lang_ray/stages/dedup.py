@@ -672,9 +672,12 @@ def ngram_jaccard_inverted(
     oracle's).
 
     Plan (two bounded exchanges, the dup_ngram_fraction shape):
-    1. one pass emits (doc, md5(shingle)) per DISTINCT shingle per doc,
-       hash-partitioned by shingle digest; per-doc set sizes ride along as
-       one extra row per doc (gram = '', partition by doc hash);
+    1. one pass emits (doc, g1, g2) per DISTINCT shingle per doc — the
+       shingle key is a 128-bit pair of rolling polynomial hashes over
+       two independent SipHash word hashes (equal word sequences always
+       collide; unequal ones collide with ~2^-128 odds), hash-partitioned
+       by g1; per-doc set sizes ride along as one extra row per doc
+       (partition by doc hash);
     2. within each shingle partition: docs sharing a gram meet in a
        vectorized self-merge -> per-pair PARTIAL intersection counts,
        pre-aggregated per partition before the second exchange;
@@ -693,35 +696,81 @@ def ngram_jaccard_inverted(
     filter's threshold-aware pruning as a follow-up).  Returns
     (id_a, id_b, jaccard), id_a < id_b.
     """
-    from ..functions.hashing import md5_batch
+    _HK2 = "wllr-jaccard-k2x"  # 16 chars, second independent SipHash key
+    # pseudo-key routing empty docs together (real-shingle collision ~2^-128)
+    _EMPTY_G1 = np.int64(-0x215D41C5A1B2C3D4)
+    _EMPTY_G2 = np.int64(0x6B43E1F2A9D80123)
 
     def shingle_rows(b: pd.DataFrame) -> pd.DataFrame:
-        ids: list[int] = []
-        grams: list[str] = []
-        sizes: list[int] = []
         id_arr = b[id_col].to_numpy(np.int64)
+        flat: list[str] = []
+        spans: list[tuple[int, int, int]] = []  # (doc_id, word_offset, n_words)
         for i, t in zip(id_arr, b[text_col]):
-            gs = _string_shingles(t, k) if isinstance(t, str) else set()
-            sizes.append(len(gs))
-            if not gs:
-                gs = {_EMPTY_SHINGLE}
-            ids.extend([int(i)] * len(gs))
-            grams.extend(gs)
-        g = md5_batch(grams)
-        part = (
-            (pd.util.hash_array(g) % np.uint64(parts)).astype(np.int64)
-            if len(g)
-            else np.zeros(0, dtype=np.int64)
+            ws = t.split() if isinstance(t, str) else []
+            spans.append((int(i), len(flat), len(ws)))
+            flat.extend(ws)
+        if flat:
+            fa = np.asarray(flat, dtype=object)
+            wh1 = pd.util.hash_array(fa)
+            wh2 = pd.util.hash_array(fa, hash_key=_HK2)
+        ids: list[np.ndarray] = []
+        g1s: list[np.ndarray] = []
+        g2s: list[np.ndarray] = []
+        for i, s, length in spans:
+            if length == 0:
+                ids.append(np.array([i], dtype=np.int64))
+                g1s.append(np.array([_EMPTY_G1]))
+                g2s.append(np.array([_EMPTY_G2]))
+                continue
+            ke = min(k, length)  # short texts collapse to one whole-text shingle
+
+            def roll(wh: np.ndarray) -> np.ndarray:
+                seg = wh[s : s + length]
+                out = seg[: length - ke + 1].copy()
+                for j in range(1, ke):
+                    out = out * _POLY + seg[j : length - ke + 1 + j]
+                return out
+
+            a1 = roll(wh1).view(np.int64)
+            a2 = roll(wh2).view(np.int64)
+            ids.append(np.full(len(a1), i, dtype=np.int64))
+            g1s.append(a1)
+            g2s.append(a2)
+        df = pd.DataFrame(
+            {
+                id_col: np.concatenate(ids),
+                "g1": np.concatenate(g1s),
+                "g2": np.concatenate(g2s),
+            }
+        ).drop_duplicates()  # distinct shingles per doc
+        is_empty = (df["g1"].to_numpy() == _EMPTY_G1) & (
+            df["g2"].to_numpy() == _EMPTY_G2
         )
-        gram_rows = pd.DataFrame(
-            {id_col: np.array(ids, dtype=np.int64), "g": g, "part": part,
-             "size": np.int64(-1)}
+        df["part"] = np.where(
+            is_empty,
+            np.int64(0),
+            (df["g1"].to_numpy(np.int64).view(np.uint64) % np.uint64(parts)).astype(
+                np.int64
+            ),
+        )
+        df["size"] = np.int64(-1)
+        # per-doc distinct set size (empty docs: 0 — the pseudo row doesn't count)
+        counts = (
+            df.loc[~is_empty]
+            .groupby(id_col, sort=False)
+            .size()
+            .reindex(id_arr, fill_value=0)
         )
         size_rows = pd.DataFrame(
-            {id_col: id_arr, "g": "", "part": np.int64(-1),
-             "size": np.array(sizes, dtype=np.int64)}
+            {
+                id_col: id_arr,
+                "g1": np.int64(0),
+                "g2": np.int64(0),
+                "part": np.int64(-1),
+                "size": counts.to_numpy(np.int64),
+            }
         )
-        return pd.concat([gram_rows, size_rows], ignore_index=True)
+        return pd.concat([df, size_rows], ignore_index=True)
 
     emitted = ds.select_columns([id_col, text_col]).map_batches(
         shingle_rows, batch_format="pandas"
@@ -736,7 +785,7 @@ def ngram_jaccard_inverted(
 
     sizes_ds = emitted.map_batches(to_sizes, batch_format="pandas")
     grams = emitted.map_batches(
-        lambda b: b[b["part"] != -1][[id_col, "g", "part"]],
+        lambda b: b[b["part"] != -1][[id_col, "g1", "g2", "part"]],
         batch_format="pandas",
     )
 
@@ -747,15 +796,18 @@ def ngram_jaccard_inverted(
         )
         if len(g) == 0:
             return empty
-        # run-length grouping: sort once by gram, then loop ONLY the runs
-        # shared by >= 2 docs (the overwhelming majority of shingles are
-        # singletons — a pandas groupby would dispatch per distinct gram)
-        g2 = g.sort_values("g", kind="mergesort")
-        garr = g2["g"].to_numpy(object)
-        idarr = g2[id_col].to_numpy(np.int64)
-        change = np.r_[True, garr[1:] != garr[:-1]]
+        # run-length grouping: sort once by the (g1, g2) key pair, then loop
+        # ONLY the runs shared by >= 2 docs (the overwhelming majority of
+        # shingles are singletons — a pandas groupby would dispatch per
+        # distinct gram); int64 lexsort beats the old object-string sort
+        a1 = g["g1"].to_numpy(np.int64)
+        a2 = g["g2"].to_numpy(np.int64)
+        order = np.lexsort((a2, a1))
+        s1, s2 = a1[order], a2[order]
+        idarr = g[id_col].to_numpy(np.int64)[order]
+        change = np.r_[True, (s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1])]
         starts = np.flatnonzero(change)
-        ends = np.r_[starts[1:], len(garr)]
+        ends = np.r_[starts[1:], len(s1)]
         lo_all, hi_all = [], []
         for s, e in zip(starts[(ends - starts) >= 2], ends[(ends - starts) >= 2]):
             ids = idarr[s:e]
