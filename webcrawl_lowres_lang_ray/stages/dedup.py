@@ -883,9 +883,11 @@ def line_dedup(
     document body.
 
     Plan (two bounded exchanges, nothing broadcast):
-    1. explode each doc into (doc, idx, md5(stripped line)) rows —
-       whitespace-only lines are structural, never deduped — partitioned
-       by line hash;
+    1. explode each doc into (doc, idx, h1, h2) rows — the line key is a
+       128-bit pair of independent SipHashes of the stripped line (equal
+       lines always collide, unequal ~2^-128; computed in two vectorized
+       passes, no per-line hashlib loop); whitespace-only lines are
+       structural, never deduped — partitioned by h1;
     2. per hash partition, one vectorized pass finds each line's owner
        (min (doc, idx)) and emits DROP rows for every later copy — the
        exchange carries only duplicate occurrences, not the corpus;
@@ -896,7 +898,7 @@ def line_dedup(
     Returns (id, n_lines, n_dropped, text) with ``text`` rebuilt.  Serial
     first-wins oracle parity is pinned in tests/test_stages.py.
     """
-    from ..functions.hashing import md5_batch
+    _HK2 = "wllr-linededup2x"  # 16 chars, second independent SipHash key
 
     def explode(b: pd.DataFrame) -> pd.DataFrame:
         ids: list[int] = []
@@ -911,17 +913,19 @@ def line_dedup(
                     ids.append(int(i))
                     idxs.append(j)
                     lines.append(s)
-        h = md5_batch(lines)
-        part = (
-            (pd.util.hash_array(h) % np.uint64(parts)).astype(np.int64)
-            if len(h)
-            else np.zeros(0, dtype=np.int64)
-        )
+        if lines:
+            la = np.asarray(lines, dtype=object)
+            h1 = pd.util.hash_array(la).view(np.int64)
+            h2 = pd.util.hash_array(la, hash_key=_HK2).view(np.int64)
+            part = (h1.view(np.uint64) % np.uint64(parts)).astype(np.int64)
+        else:
+            h1 = h2 = part = np.zeros(0, dtype=np.int64)
         return pd.DataFrame(
             {
                 "doc": np.array(ids, dtype=np.int64),
                 "idx": np.array(idxs, dtype=np.int64),
-                "h": h,
+                "h1": h1,
+                "h2": h2,
                 "part": part,
             }
         )
@@ -932,8 +936,8 @@ def line_dedup(
         )
         if len(g) == 0:
             return empty
-        g2 = g.sort_values(["h", "doc", "idx"], kind="mergesort")
-        first = ~g2["h"].duplicated(keep="first")
+        g2 = g.sort_values(["h1", "h2", "doc", "idx"], kind="mergesort")
+        first = ~g2.duplicated(["h1", "h2"], keep="first")
         drops = g2.loc[~first, ["doc", "idx"]]
         return drops if len(drops) else empty
 
