@@ -138,6 +138,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_embed_neardup": q.q_doc_embed_neardup,
         "doc_c4_filter": q.q_doc_c4_filter,
         "doc_nb_langid": q.q_doc_nb_langid,
+        "doc_pii_scrub": q.q_doc_pii_scrub,
+        "token_budget_select": q.q_token_budget_select,
+        "cluster_representatives": q.q_cluster_representatives,
         # --- rows-only: no SQL form (pytest-gated) ---
         "pack_sequences": q.q_pack_sequences,
         "doc_compression": q.q_doc_compression,
@@ -250,4 +253,10 @@ def oracle_sql() -> dict[str, str]:
         "doc_c4_filter": q.SQL_DOC_C4_FILTER,
         # distributed-trained multinomial NB langid (micro-unit quantized)
         "doc_nb_langid": q.SQL_DOC_NB_LANGID,
+        # regex PII scrub over the deterministically-augmented doc view
+        "doc_pii_scrub": q.SQL_DOC_PII_SCRUB,
+        # histogram-threshold token-budget selection (window-sum oracle)
+        "token_budget_select": q.SQL_TOKEN_BUDGET_SELECT,
+        # keep-best-copy per content-key cluster (row_number oracle)
+        "cluster_representatives": q.SQL_CLUSTER_REPRESENTATIVES,
     }

@@ -32,6 +32,9 @@ def _docs(rows):
         "source_mix_weights",
         "corpus_curate",
         "training_shards",
+        "doc_pii_scrub",
+        "token_budget_select",
+        "cluster_representatives",
     ],
 )
 def test_matches_duckdb_oracle(name):
@@ -386,3 +389,158 @@ class TestPackSequences:
         # the oversized doc opens its own bin; next doc opens another
         assert out.loc[1, "seq_id"] != out.loc[0, "seq_id"]
         assert out.loc[2, "seq_id"] != out.loc[1, "seq_id"]
+
+
+# ---------------------------------------------------------------------------
+# PII scrub
+# ---------------------------------------------------------------------------
+
+
+class TestPiiScrub:
+    def test_counts_and_redaction(self):
+        import hashlib
+
+        from webcrawl_lowres_lang_ray.stages.curation import pii_scrub
+
+        rows = [
+            {"doc_id": 1, "text": "mail me at a.b@example.org or c@d.co thanks"},
+            {"doc_id": 2, "text": "call +64-123-4567 and +44-999-0000"},
+            {"doc_id": 3, "text": "server 192.168.0.1 and 10.0.0.255"},
+            {"doc_id": 4, "text": "nothing here"},
+            {"doc_id": 5, "text": None},
+        ]
+        out = (
+            pii_scrub(_docs(rows), augment=False)
+            .to_pandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        assert out.loc[1, "n_emails"] == 2 and out.loc[1, "n_phones"] == 0
+        assert out.loc[2, "n_phones"] == 2
+        assert out.loc[3, "n_ips"] == 2
+        assert out.loc[4].tolist()[:3] == [0, 0, 0]
+        # byte-level redaction parity
+        expect = "mail me at <EMAIL> or <EMAIL> thanks"
+        assert out.loc[1, "clean_md5"] == hashlib.md5(expect.encode()).hexdigest()
+        expect3 = "server <IP> and <IP>"
+        assert out.loc[3, "clean_md5"] == hashlib.md5(expect3.encode()).hexdigest()
+        # null text scrubs to empty string
+        assert out.loc[5, "clean_md5"] == hashlib.md5(b"").hexdigest()
+
+    def test_augmentation_is_deterministic_by_id(self):
+        from webcrawl_lowres_lang_ray.stages.curation import pii_scrub
+
+        rows = [{"doc_id": i, "text": "base"} for i in range(1, 22)]
+        out = (
+            pii_scrub(_docs(rows), augment=True)
+            .to_pandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        for i in range(1, 22):
+            assert out.loc[i, "n_emails"] == (1 if i % 3 == 0 else 0)
+            assert out.loc[i, "n_phones"] == (1 if i % 5 == 0 else 0)
+            assert out.loc[i, "n_ips"] == (1 if i % 7 == 0 else 0)
+
+
+# ---------------------------------------------------------------------------
+# token-budget selection
+# ---------------------------------------------------------------------------
+
+
+class TestTokenBudgetSelect:
+    def test_matches_window_sum_semantics(self):
+        from webcrawl_lowres_lang_ray.stages.curation import token_budget_select
+
+        rng = np.random.RandomState(7)
+        rows = [
+            {
+                "doc_id": i,
+                "text": " ".join(["w"] * int(rng.randint(1, 40))),
+                "n_chars": int(rng.randint(10, 25)),  # coarse bins force ties
+            }
+            for i in range(300)
+        ]
+        budget = 1500
+        mine = (
+            token_budget_select(_docs(rows), budget=budget)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        base = pd.DataFrame(rows)
+        base["n_tokens"] = base["text"].str.split().str.len()
+        w = base.sort_values(["n_chars", "doc_id"], ascending=[False, True]).copy()
+        w["cum_tokens"] = w["n_tokens"].cumsum()
+        expect = w[w["cum_tokens"] <= budget].sort_values("doc_id").reset_index(drop=True)
+        assert mine["doc_id"].tolist() == expect["doc_id"].tolist()
+        assert mine["cum_tokens"].tolist() == expect["cum_tokens"].tolist()
+
+    def test_zero_budget_empty(self):
+        from webcrawl_lowres_lang_ray.stages.curation import token_budget_select
+
+        rows = [{"doc_id": 1, "text": "a b c", "n_chars": 5}]
+        out = token_budget_select(_docs(rows), budget=0)
+        out = out.to_pandas()  # pa.Table in the empty fast path
+        assert len(out) == 0
+        assert set(out.columns) == {"doc_id", "n_chars", "n_tokens", "cum_tokens"}
+
+
+# ---------------------------------------------------------------------------
+# cluster representatives
+# ---------------------------------------------------------------------------
+
+
+class TestClusterRepresentatives:
+    def test_keep_best_copy(self):
+        from webcrawl_lowres_lang_ray.stages.curation import cluster_representatives
+
+        head = "one two three four five six seven eight"
+        rows = [
+            {"doc_id": 1, "text": head + " tail-a", "n_chars": 10},
+            {"doc_id": 2, "text": head + " tail-b longer", "n_chars": 30},
+            {"doc_id": 3, "text": head + " tail-c", "n_chars": 30},  # tie -> min id wins
+            {"doc_id": 4, "text": "different opening entirely here now yes ok go", "n_chars": 5},
+        ]
+        out = (
+            cluster_representatives(_docs(rows))
+            .to_pandas()
+            .set_index("ckey")
+            .sort_index()
+        )
+        assert len(out) == 2
+        assert out.loc[head, "rep_doc_id"] == 2
+        assert out.loc[head, "cluster_size"] == 3
+
+    def test_partial_combiner_matches_serial(self):
+        from webcrawl_lowres_lang_ray.stages.curation import cluster_representatives
+
+        rng = np.random.RandomState(11)
+        heads = [f"h{j} " + " ".join([f"w{j}{k}" for k in range(7)]) for j in range(9)]
+        rows = [
+            {
+                "doc_id": i,
+                "text": heads[int(rng.randint(0, 9))] + f" tail {i}",
+                "n_chars": int(rng.randint(0, 50)),
+            }
+            for i in range(400)
+        ]
+        mine = (
+            cluster_representatives(_docs(rows))
+            .to_pandas()
+            .sort_values("ckey")
+            .reset_index(drop=True)
+        )
+        base = pd.DataFrame(rows)
+        base["ckey"] = base["text"].str.split().str[:8].str.join(" ")
+        serial = (
+            base.sort_values(["n_chars", "doc_id"], ascending=[False, True])
+            .drop_duplicates("ckey", keep="first")
+            .merge(base.groupby("ckey").size().rename("cluster_size"), on="ckey")
+            .rename(columns={"doc_id": "rep_doc_id", "n_chars": "rep_n_chars"})
+            [["ckey", "rep_doc_id", "rep_n_chars", "cluster_size"]]
+            .sort_values("ckey")
+            .reset_index(drop=True)
+        )
+        assert mine["rep_doc_id"].tolist() == serial["rep_doc_id"].tolist()
+        assert mine["cluster_size"].tolist() == serial["cluster_size"].tolist()

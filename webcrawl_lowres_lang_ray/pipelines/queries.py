@@ -2020,3 +2020,102 @@ SELECT d.doc_id,
        ROUND(COALESCE(s.sq, 0) / 1e6, 4) AS dsir_logratio
 FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# round 4 late additions: PII scrub / token-budget select / cluster reps
+# ---------------------------------------------------------------------------
+
+
+def q_doc_pii_scrub(sf_dir: str):
+    """PII detection + redaction over the (deterministically PII-augmented)
+    documents table — counts per class + md5 of the redacted text."""
+    from ..stages.curation import pii_scrub
+
+    return pii_scrub(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+# The augmented view mirrors stages/curation.pii_augment_frame exactly;
+# patterns mirror PII_EMAIL / PII_PHONE / PII_IP (ASCII-safe in both
+# Python re and DuckDB RE2).
+SQL_DOC_PII_SCRUB = r"""
+WITH aug AS (
+  SELECT doc_id,
+         COALESCE(text, '')
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' call +64-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                      || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' host 10.' || (doc_id % 256) || '.0.' || (doc_id % 100)
+                 ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '[A-Za-z0-9._]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '\+\d{2}-\d{3}-\d{4}')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+       md5(regexp_replace(regexp_replace(regexp_replace(t,
+             '[A-Za-z0-9._]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\+\d{2}-\d{3}-\d{4}', '<PHONE>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS clean_md5
+FROM aug
+"""
+
+
+def q_token_budget_select(sf_dir: str):
+    """Fill a 20k-token training budget from the top of the n_chars
+    ranking (desc, doc_id asc tie-break) — histogram-threshold two-pass,
+    no global sort."""
+    from ..stages.curation import token_budget_select
+
+    return token_budget_select(
+        _read(sf_dir, "documents", ["doc_id", "text", "n_chars"]), budget=20_000
+    )
+
+
+SQL_TOKEN_BUDGET_SELECT = r"""
+WITH t AS (
+  SELECT doc_id, n_chars,
+         CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+w AS (
+  SELECT doc_id, n_chars, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY n_chars DESC, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM t
+)
+SELECT doc_id, n_chars, n_tokens, CAST(cum AS BIGINT) AS cum_tokens
+FROM w WHERE cum <= 20000
+"""
+
+
+def q_cluster_representatives(sf_dir: str):
+    """Keep-best-copy per content-key cluster (first-8-words key, max
+    n_chars wins, ties to the smallest doc_id)."""
+    from ..stages.curation import cluster_representatives
+
+    return cluster_representatives(_read(sf_dir, "documents", ["doc_id", "text", "n_chars"]))
+
+
+SQL_CLUSTER_REPRESENTATIVES = r"""
+WITH k AS (
+  SELECT doc_id, n_chars,
+         array_to_string(list_slice(
+             list_filter(regexp_split_to_array(COALESCE(text, ''), '\s+'), x -> x <> ''),
+             1, 8), ' ') AS ckey
+  FROM documents
+),
+r AS (
+  SELECT ckey, doc_id, n_chars,
+         row_number() OVER (PARTITION BY ckey ORDER BY n_chars DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY ckey) AS cs
+  FROM k
+)
+SELECT ckey, doc_id AS rep_doc_id, n_chars AS rep_n_chars,
+       CAST(cs AS BIGINT) AS cluster_size
+FROM r WHERE rn = 1
+"""

@@ -720,3 +720,225 @@ def pack_sequences(
         .groupby("shard")
         .map_groups(pack_shard, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# PII detection + redaction (streaming map)
+# ---------------------------------------------------------------------------
+
+# Deliberately simple ASCII-only patterns with identical semantics under
+# Python ``re`` and DuckDB's RE2 (no lookarounds, no Unicode classes).
+PII_EMAIL = r"[A-Za-z0-9._]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+\d{2}-\d{3}-\d{4}"
+PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def pii_augment_frame(b: pd.DataFrame, id_col: str = "doc_id", text_col: str = "text") -> pd.Series:
+    """Deterministic synthetic-PII augmentation of the document text (the
+    sandbox corpus contains no real PII): docs with ``id % 3 == 0`` gain an
+    email, ``% 5 == 0`` a phone number, ``% 7 == 0`` an IPv4 — all derived
+    from the id, so the SQL oracle reconstructs the identical view.  Kept
+    as a separate view-building step so ``pii_scrub`` itself stays a pure
+    text -> text operator."""
+    ids = b[id_col].to_numpy(np.int64)
+    txt = b[text_col].fillna("").astype(str)
+    email = np.where(ids % 3 == 0, [f" contact user{i}@example.com" for i in ids], "")
+    phone = np.where(
+        ids % 5 == 0,
+        [f" call +64-{i % 1000:03d}-{i % 10000:04d}" for i in ids],
+        "",
+    )
+    ip = np.where(ids % 7 == 0, [f" host 10.{i % 256}.0.{i % 100}" for i in ids], "")
+    return txt + pd.Series(email, index=b.index) + pd.Series(phone, index=b.index) + pd.Series(ip, index=b.index)
+
+
+def pii_scrub(
+    docs: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    augment: bool = True,
+) -> "ray.data.Dataset":
+    """Detect and redact emails / phone numbers / IPv4 addresses per doc —
+    the standard pre-training privacy pass (e.g. the regex scrubbers in
+    public C4/RefinedWeb pipelines).  Pure streaming ``map_batches``: no
+    exchange, no state, scale-limited only by read bandwidth.
+
+    Output: ``(doc_id, n_emails, n_phones, n_ips, clean_md5)`` where
+    ``clean_md5`` is the md5 of the text after replacing matches with
+    ``<EMAIL>`` / ``<PHONE>`` / ``<IP>`` (in that fixed order), proving
+    byte-level redaction parity against the SQL oracle without shipping
+    the full redacted text through the comparison."""
+    import re
+
+    pats = [
+        (re.compile(PII_EMAIL), "<EMAIL>"),
+        (re.compile(PII_PHONE), "<PHONE>"),
+        (re.compile(PII_IP), "<IP>"),
+    ]
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        t = pii_augment_frame(b, id_col, text_col) if augment else b[text_col].fillna("").astype(str)
+        counts = [t.str.count(p.pattern) for p, _ in pats]
+        for p, repl in pats:
+            t = t.str.replace(p, repl, regex=True)
+        return pd.DataFrame(
+            {
+                id_col: b[id_col].to_numpy(np.int64),
+                "n_emails": counts[0].to_numpy(np.int64),
+                "n_phones": counts[1].to_numpy(np.int64),
+                "n_ips": counts[2].to_numpy(np.int64),
+                "clean_md5": md5_batch(list(t)),
+            }
+        )
+
+    return docs.select_columns([id_col, text_col]).map_batches(fn, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# token-budget selection (histogram threshold — no global sort)
+# ---------------------------------------------------------------------------
+
+
+def token_budget_select(
+    docs: "ray.data.Dataset",
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rank_col: str = "n_chars",
+) -> "ray.data.Dataset":
+    """Select the best documents (by ``rank_col`` desc, id asc) until the
+    cumulative whitespace-token count reaches ``budget`` — the "fill the
+    training-token budget from the top of the quality ranking" selection
+    every pretraining data pipeline ends with.
+
+    Scale shape: instead of a global sort + sequential prefix-sum, pass 1
+    builds a tiny per-``rank_col``-value token histogram (combiner partials,
+    one row per distinct value per batch -> driver merge: the histogram is
+    bounded by the value domain, not the corpus).  The driver computes each
+    bin's global START OFFSET in rank order; pass 2 filters to surviving
+    bins and computes the within-bin id-ordered prefix sum per group
+    (``groupby(rank_col).map_groups``), adding the broadcast bin offset.
+    One bounded exchange; nothing quadratic; a hot bin can be salted by
+    sub-bucketing on id if the value domain is too coarse.
+
+    Output: ``(doc_id, n_chars, n_tokens, cum_tokens)`` for selected docs.
+    """
+
+    def tok(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                id_col: b[id_col].to_numpy(np.int64),
+                rank_col: b[rank_col].to_numpy(np.int64),
+                "n_tokens": np.array(
+                    [len(t.split()) if isinstance(t, str) else 0 for t in b[text_col]],
+                    dtype=np.int64,
+                ),
+            }
+        )
+
+    base = docs.select_columns([id_col, text_col, rank_col]).map_batches(
+        tok, batch_format="pandas"
+    )
+
+    # pass 1: per-bin token totals (partial per batch -> tiny driver merge)
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(rank_col, as_index=False)["n_tokens"].sum()
+        return g
+
+    hist = (
+        base.map_batches(partial, batch_format="pandas")
+        .to_pandas()
+        .groupby(rank_col, as_index=False)["n_tokens"]
+        .sum()
+        .sort_values(rank_col, ascending=False)
+        .reset_index(drop=True)
+    )
+    offsets: dict[int, int] = {}
+    running = 0
+    cutoff = None  # smallest rank value that still contributes rows
+    for v, t in zip(hist[rank_col].to_numpy(), hist["n_tokens"].to_numpy()):
+        if running >= budget:
+            break
+        offsets[int(v)] = running
+        cutoff = int(v)
+        running += int(t)
+    if cutoff is None:
+        # Return the empty Arrow table itself: an empty ray Dataset loses its
+        # schema on to_pandas, which breaks downstream column checks.
+        import pyarrow as pa
+
+        return pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                rank_col: pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+                "cum_tokens": pa.array([], pa.int64()),
+            }
+        )
+    off_ref = ray.put(offsets)
+
+    def cut(g: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(off_ref)
+        start = off.get(int(g[rank_col].iloc[0]))
+        if start is None:
+            return g.iloc[0:0].assign(cum_tokens=np.int64(0))
+        g = g.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        g["cum_tokens"] = start + g["n_tokens"].cumsum()
+        return g[g["cum_tokens"] <= budget]
+
+    lo = cutoff
+    return (
+        base.filter(lambda r, lo=lo: r[rank_col] >= lo)
+        .groupby(rank_col)
+        .map_groups(cut, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup-cluster representative selection (argmax combiner)
+# ---------------------------------------------------------------------------
+
+
+def cluster_representatives(
+    docs: "ray.data.Dataset",
+    k_words: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rank_col: str = "n_chars",
+) -> "ray.data.Dataset":
+    """Group documents by their ``content_key`` (first ``k_words`` words —
+    the boilerplate-opening cluster key used by ``incremental_dedup``) and
+    keep ONE representative per cluster: the highest-``rank_col`` doc, ties
+    to the smallest id — the "keep the best copy" step that follows any
+    near-dup clustering (NemoCurator / RefinedWeb keep-longest policy).
+
+    Argmax is associative, so each batch emits one candidate row per key it
+    saw (a combiner partial) and the groupby exchange only carries those
+    partials — never the full cluster membership."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        keys = [content_key(t, k_words) if isinstance(t, str) else "" for t in b[text_col]]
+        f = pd.DataFrame(
+            {
+                "ckey": keys,
+                id_col: b[id_col].to_numpy(np.int64),
+                rank_col: b[rank_col].to_numpy(np.int64),
+            }
+        )
+        f = f.sort_values([rank_col, id_col], ascending=[False, True], kind="mergesort")
+        best = f.drop_duplicates("ckey", keep="first")
+        sizes = f.groupby("ckey").size().rename("cluster_size")
+        return best.merge(sizes, on="ckey")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([rank_col, id_col], ascending=[False, True], kind="mergesort")
+        out = g.iloc[:1][["ckey", id_col, rank_col]].copy()
+        out["cluster_size"] = np.int64(g["cluster_size"].sum())
+        return out.rename(columns={id_col: "rep_doc_id", rank_col: "rep_n_chars"})
+
+    return (
+        docs.select_columns([id_col, text_col, rank_col])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("ckey")
+        .map_groups(merge, batch_format="pandas")
+    )
