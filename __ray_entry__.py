@@ -141,6 +141,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pii_scrub": q.q_doc_pii_scrub,
         "token_budget_select": q.q_token_budget_select,
         "cluster_representatives": q.q_cluster_representatives,
+        "source_mix_sample": q.q_source_mix_sample,
+        "source_cap_sample": q.q_source_cap_sample,
         # --- rows-only: no SQL form (pytest-gated) ---
         "pack_sequences": q.q_pack_sequences,
         "doc_compression": q.q_doc_compression,
@@ -259,4 +261,8 @@ def oracle_sql() -> dict[str, str]:
         "token_budget_select": q.SQL_TOKEN_BUDGET_SELECT,
         # keep-best-copy per content-key cluster (row_number oracle)
         "cluster_representatives": q.SQL_CLUSTER_REPRESENTATIVES,
+        # deterministic temperature-mixed resampling (micro-unit weights)
+        "source_mix_sample": q.SQL_SOURCE_MIX_SAMPLE,
+        # per-source cap downsampling by md5 rank (row_number oracle)
+        "source_cap_sample": q.SQL_SOURCE_CAP_SAMPLE,
     }

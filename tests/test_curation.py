@@ -35,6 +35,8 @@ def _docs(rows):
         "doc_pii_scrub",
         "token_budget_select",
         "cluster_representatives",
+        "source_mix_sample",
+        "source_cap_sample",
     ],
 )
 def test_matches_duckdb_oracle(name):
@@ -544,3 +546,84 @@ class TestClusterRepresentatives:
         )
         assert mine["rep_doc_id"].tolist() == serial["rep_doc_id"].tolist()
         assert mine["cluster_size"].tolist() == serial["cluster_size"].tolist()
+
+
+# ---------------------------------------------------------------------------
+# temperature-mixed resampling + per-source cap
+# ---------------------------------------------------------------------------
+
+
+class TestSourceMixSample:
+    def test_expected_mass_follows_weights(self):
+        import hashlib
+
+        from webcrawl_lowres_lang_ray.stages.curation import source_mix_sample
+
+        rng = np.random.RandomState(3)
+        # big source (a): 800 docs x 20 words; small source (b): 50 docs x 20
+        rows = [
+            {"doc_id": i, "source": "a" if i < 800 else "b",
+             "text": " ".join([f"w{rng.randint(99)}" for _ in range(20)])}
+            for i in range(850)
+        ]
+        out = source_mix_sample(_docs(rows), alpha=0.5, rate=0.5).to_pandas()
+        frac = out.groupby("source").size() / pd.Series({"a": 800, "b": 50})
+        # alpha=0.5 up-weights the small source: its keep rate must exceed
+        # the big source's
+        assert frac["b"] > frac["a"]
+        # the draw is the documented md5-bucket rule
+        for _, r in out.head(20).iterrows():
+            h = hashlib.md5(str(int(r["doc_id"])).encode()).hexdigest()
+            assert int(h[:8], 16) % 1_000_000 == r["bucket"]
+
+    def test_rate_one_alpha_one_keeps_everything(self):
+        from webcrawl_lowres_lang_ray.stages.curation import source_mix_sample
+
+        rows = [
+            {"doc_id": i, "source": f"s{i % 3}", "text": "five words of test text"}
+            for i in range(60)
+        ]
+        out = source_mix_sample(_docs(rows), alpha=1.0, rate=1.0).to_pandas()
+        # rate=1: every source's target equals its size -> p_s ~ 1 for the
+        # uniform corpus (micro-unit floor can shave at most 1e-6)
+        assert len(out) == 60
+
+
+class TestSourceCapSample:
+    def test_cap_bites_and_matches_row_number(self):
+        from webcrawl_lowres_lang_ray.stages.curation import source_cap_sample
+
+        rows = [
+            {"doc_id": i, "source": f"s{i % 3}"} for i in range(300)
+        ]
+        cap = 20
+        out = (
+            source_cap_sample(_docs(rows), cap=cap)
+            .to_pandas()
+            .sort_values(["source", "rk"])
+            .reset_index(drop=True)
+        )
+        assert (out.groupby("source").size() == cap).all()
+        assert (out.groupby("source")["rk"].max() == cap).all()
+        # serial oracle: md5-rank order per source
+        import hashlib
+
+        base = pd.DataFrame(rows)
+        base["hx"] = [
+            hashlib.md5(str(i).encode()).hexdigest() for i in base["doc_id"]
+        ]
+        expect = (
+            base.sort_values(["hx", "doc_id"])
+            .groupby("source", sort=False)
+            .head(cap)
+            .sort_values(["source", "hx", "doc_id"])
+            .reset_index(drop=True)
+        )
+        assert out["doc_id"].tolist() == expect["doc_id"].tolist()
+
+    def test_small_groups_survive_whole(self):
+        from webcrawl_lowres_lang_ray.stages.curation import source_cap_sample
+
+        rows = [{"doc_id": i, "source": "only"} for i in range(7)]
+        out = source_cap_sample(_docs(rows), cap=50).to_pandas()
+        assert len(out) == 7 and set(out["rk"]) == set(range(1, 8))

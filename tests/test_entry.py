@@ -53,6 +53,10 @@ def test_driver_prefix_is_fully_sql_oracled():
         "ngram_jaccard_lsh", "lang_counts", "order_priority_counts",
         "top_docs_by_chars", "doc_dsir_score", "doc_embed_neardup",
         "doc_c4_filter", "doc_nb_langid",
+        # round-4 post-freeze additions (SQL-checked in CORRECTNESS_FULL.json
+        # + the duckdb parametrize in tests/test_curation.py):
+        "doc_pii_scrub", "token_budget_select", "cluster_representatives",
+        "source_mix_sample", "source_cap_sample",
     }, f"unexpected SQL-oracled entries below the driver prefix: {demoted_sql}"
 
 

@@ -2119,3 +2119,72 @@ SELECT ckey, doc_id AS rep_doc_id, n_chars AS rep_n_chars,
        CAST(cs AS BIGINT) AS cluster_size
 FROM r WHERE rn = 1
 """
+
+
+def q_source_mix_sample(sf_dir: str):
+    """Deterministic temperature-mixed resampling of the corpus at the
+    alpha=0.5 weights (rate 0.5) — integer micro-unit weight quantization
+    makes the cross-source sum order-exact, md5-bucket Bernoulli draws make
+    the sample reproducible in SQL."""
+    from ..stages.curation import source_mix_sample
+
+    return source_mix_sample(
+        _read(sf_dir, "documents", ["doc_id", "text", "source"]), alpha=0.5, rate=0.5
+    )
+
+
+SQL_SOURCE_MIX_SAMPLE = r"""
+WITH s AS (
+  SELECT source,
+         CAST(sum(len(list_filter(regexp_split_to_array(text, '\s+'),
+                                  x -> x <> ''))) AS BIGINT) AS words
+  FROM documents GROUP BY 1
+), g AS (
+  SELECT source, words,
+         CAST(floor(sqrt(CAST(words AS DOUBLE)) * 1000000) AS BIGINT) AS pwi,
+         SUM(CAST(floor(sqrt(CAST(words AS DOUBLE)) * 1000000) AS BIGINT)) OVER () AS s_total,
+         SUM(words) OVER () AS total
+  FROM s
+), t AS (
+  SELECT source,
+         CASE WHEN words = 0 OR s_total = 0 THEN 0
+              ELSE CAST(floor(LEAST(1.0,
+                     (CAST(pwi AS DOUBLE) / CAST(s_total AS DOUBLE))
+                     * (0.5 * CAST(total AS DOUBLE)) / CAST(words AS DOUBLE))
+                   * 1000000) AS BIGINT)
+         END AS thr
+  FROM g
+), h AS (
+  SELECT doc_id, source, substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS hx
+  FROM documents
+), b AS (
+  SELECT doc_id, source,
+         CAST(list_sum(list_transform(range(1, 9),
+             i -> (strpos('0123456789abcdef', substr(hx, CAST(i AS INTEGER), 1)) - 1)
+                  * power(16, 8 - i))) AS BIGINT) % 1000000 AS bucket
+  FROM h
+)
+SELECT b.doc_id, b.source, b.bucket
+FROM b JOIN t USING (source) WHERE b.bucket < t.thr
+"""
+
+
+def q_source_cap_sample(sf_dir: str):
+    """Per-source cap downsampling (<= 50 docs per source by md5 rank) —
+    the domain-balancing step; top-N-per-key is an argmin combiner so the
+    exchange carries only candidate partials."""
+    from ..stages.curation import source_cap_sample
+
+    return source_cap_sample(_read(sf_dir, "documents", ["doc_id", "source"]), cap=50)
+
+
+SQL_SOURCE_CAP_SAMPLE = r"""
+WITH h AS (
+  SELECT source, doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents
+), r AS (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source ORDER BY hx, doc_id) AS rk
+  FROM h
+)
+SELECT source, doc_id, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 50
+"""

@@ -942,3 +942,133 @@ def cluster_representatives(
         .groupby("ckey")
         .map_groups(merge, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# temperature-mixed deterministic resampling + per-source cap downsampling
+# ---------------------------------------------------------------------------
+
+
+def source_mix_sample(
+    docs: "ray.data.Dataset",
+    alpha: float = 0.5,
+    rate: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    src_col: str = "source",
+) -> "ray.data.Dataset":
+    """Materialize the temperature-mixed corpus that ``source_mix_weights``
+    plans: resample each source with keep-probability
+    ``p_s = min(1, w_s * rate * total_words / words_s)`` so the expected word
+    mass per source follows the alpha-temperature weights at overall rate
+    ``rate`` (Arivazhagan et al. 2019 sampling, made deterministic).
+
+    Determinism + SQL parity: the per-source sqrt-weights are quantized to
+    integer micro-units BEFORE summing (integer sums are order-exact, unlike
+    float sums whose value depends on reduction order), and the Bernoulli
+    draw is ``first-8-hex-md5(doc_id) mod 1e6 < floor(p_s * 1e6)`` — fully
+    reproducible by the DuckDB oracle.  Scale shape: one combiner-aggregated
+    word-count pass (|sources| rows to the driver), thresholds broadcast
+    once, then a pure streaming filter — no data exchange at all."""
+    import math
+
+    from .agg import combiner_agg
+
+    def wc(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                src_col: b[src_col].to_numpy(object),
+                "n_words": np.fromiter(
+                    (len(t.split()) if isinstance(t, str) else 0 for t in b[text_col]),
+                    dtype=np.int64,
+                    count=len(b),
+                ),
+            }
+        )
+
+    agg = (
+        combiner_agg(
+            docs.select_columns([src_col, text_col]).map_batches(
+                wc, batch_format="pandas"
+            ),
+            [src_col],
+            [("total_words", "n_words", "sum")],
+        )
+        .to_pandas()
+        .sort_values(src_col, kind="mergesort")
+        .reset_index(drop=True)
+    )
+    words = agg["total_words"].to_numpy(np.int64)
+    # integer micro-unit sqrt weights: the cross-source sum is order-exact
+    pwi = np.floor(np.sqrt(words.astype(np.float64)) * 1e6).astype(np.int64)
+    s_total = int(pwi.sum())
+    total = int(words.sum())
+    thr: dict[str, int] = {}
+    for src, w_i, p_i in zip(agg[src_col], words, pwi):
+        if w_i == 0 or s_total == 0:
+            thr[src] = 0
+            continue
+        p = min(1.0, (float(p_i) / float(s_total)) * (rate * float(total)) / float(w_i))
+        thr[src] = int(math.floor(p * 1e6))
+    thr_ref = ray.put(thr)
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        t = ray.get(thr_ref)
+        ids = b[id_col].to_numpy(np.int64)
+        hexes = md5_batch([str(int(i)) for i in ids])
+        bucket = np.array([int(h[:8], 16) % 1_000_000 for h in hexes], dtype=np.int64)
+        lim = np.array([t.get(s, 0) for s in b[src_col]], dtype=np.int64)
+        m = bucket < lim
+        return pd.DataFrame(
+            {
+                id_col: ids[m],
+                src_col: b[src_col].to_numpy(object)[m],
+                "bucket": bucket[m],
+            }
+        )
+
+    return docs.select_columns([id_col, src_col]).map_batches(
+        keep, batch_format="pandas"
+    )
+
+
+def source_cap_sample(
+    docs: "ray.data.Dataset",
+    cap: int = 50,
+    id_col: str = "doc_id",
+    src_col: str = "source",
+) -> "ray.data.Dataset":
+    """Per-source cap downsampling: keep at most ``cap`` documents per
+    source, chosen by md5(doc_id) rank (content-free, so the selection is
+    stable under re-partitioning and incremental growth) — the RefinedWeb /
+    C4-style "no domain dominates" balancing step.
+
+    Top-N per key is associative: each batch emits at most ``cap`` candidate
+    rows per source it saw (a combiner partial), so the single groupby
+    exchange carries <= cap * |sources| * n_batches rows — never the corpus.
+    Output ``(source, doc_id, rk)`` with ``rk`` = 1..cap in (md5, id) order,
+    matching ``ROW_NUMBER() OVER (PARTITION BY source ORDER BY md5, id)``."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b[id_col].to_numpy(np.int64)
+        f = pd.DataFrame(
+            {
+                src_col: b[src_col].to_numpy(object),
+                id_col: ids,
+                "hx": md5_batch([str(int(i)) for i in ids]),
+            }
+        )
+        f = f.sort_values(["hx", id_col], kind="mergesort")
+        return f.groupby(src_col, sort=False).head(cap)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["hx", id_col], kind="mergesort").head(cap).copy()
+        g["rk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[[src_col, id_col, "rk"]]
+
+    return (
+        docs.select_columns([id_col, src_col])
+        .map_batches(partial, batch_format="pandas")
+        .groupby(src_col)
+        .map_groups(merge, batch_format="pandas")
+    )
