@@ -143,6 +143,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_representatives": q.q_cluster_representatives,
         "source_mix_sample": q.q_source_mix_sample,
         "source_cap_sample": q.q_source_cap_sample,
+        "orders_rollup": q.q_orders_rollup,
+        "lineitem_corr": q.q_lineitem_corr,
         # --- rows-only: no SQL form (pytest-gated) ---
         "pack_sequences": q.q_pack_sequences,
         "doc_compression": q.q_doc_compression,
@@ -265,4 +267,8 @@ def oracle_sql() -> dict[str, str]:
         "source_mix_sample": q.SQL_SOURCE_MIX_SAMPLE,
         # per-source cap downsampling by md5 rank (row_number oracle)
         "source_cap_sample": q.SQL_SOURCE_CAP_SAMPLE,
+        # GROUP BY ROLLUP from one finest-grain combiner pass
+        "orders_rollup": q.SQL_ORDERS_ROLLUP,
+        # grouped Pearson corr/cov via exact integer moment sums
+        "lineitem_corr": q.SQL_LINEITEM_CORR,
     }

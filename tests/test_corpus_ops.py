@@ -993,3 +993,50 @@ class TestBloomFilteredJoin:
         mine = to_pandas(e.queries()["orders_building_bloom_join"](SF))
         theirs = con.execute(e.oracle_sql()["orders_building_bloom_join"]).df()
         assert value_hash(mine) == value_hash(theirs)
+
+
+class TestRelationalRollupCorr:
+    """orders_rollup / lineitem_corr vs DuckDB at sf0.001 (the same gate
+    check_correctness.py runs at sf0.01)."""
+
+    @pytest.mark.parametrize("name", ["orders_rollup", "lineitem_corr"])
+    def test_matches_duckdb(self, name):
+        import duckdb
+
+        import __ray_entry__ as e
+        from scripts.check_correctness import to_pandas, value_hash
+
+        sf = "/root/testdata/sf0.001"
+        con = duckdb.connect()
+        for t in ("orders", "lineitem"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+            )
+        mine = to_pandas(e.queries()[name](sf))
+        theirs = con.execute(e.oracle_sql()[name]).df()
+        assert len(mine) == len(theirs)
+        assert sorted(mine.columns) == sorted(theirs.columns)
+        assert value_hash(mine) == value_hash(theirs)
+
+    def test_rollup_levels_are_consistent(self):
+        import __ray_entry__ as e
+
+        out = e.queries()["orders_rollup"]("/root/testdata/sf0.001")
+        fine = out[(out["o_orderpriority"] != "ALL") & (out["o_orderstatus"] != "ALL")]
+        mid = out[(out["o_orderpriority"] != "ALL") & (out["o_orderstatus"] == "ALL")]
+        grand = out[(out["o_orderpriority"] == "ALL") & (out["o_orderstatus"] == "ALL")]
+        assert len(grand) == 1
+        assert fine["n_orders"].sum() == mid["n_orders"].sum() == grand["n_orders"].iloc[0]
+        # subtotal prices add up exactly (integer-cent arithmetic)
+        assert abs(fine["total_price"].sum() - grand["total_price"].iloc[0]) < 1e-6
+
+    def test_corr_sign_sanity(self):
+        import __ray_entry__ as e
+
+        out = e.queries()["lineitem_corr"]("/root/testdata/sf0.001")
+        # the synthetic lineitem draws price and quantity independently, so
+        # corr ~ 0 — assert validity, not a sign: |corr| <= 1 and cov/corr
+        # agree in sign
+        assert (out["corr_price_qty"].abs() <= 1.0).all()
+        assert (np.sign(out["corr_price_qty"]) == np.sign(out["cov_price_qty"])).all()
+        assert (out["n_rows"] > 0).all()

@@ -2188,3 +2188,147 @@ WITH h AS (
 )
 SELECT source, doc_id, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 50
 """
+
+
+def q_orders_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(o_orderpriority, o_orderstatus) with subtotal and
+    grand-total rows — the OLAP rollup Ray Data lacks natively.  Scale
+    shape: ONE combiner pass at the finest grain (the exchange carries one
+    row per (priority, status) per batch); the coarser levels are derived
+    from that tiny result on the driver — never a second scan.  Prices are
+    summed as exact integer cents so the distributed sum is order-exact;
+    rolled-up levels use the 'ALL' sentinel (the dims are never NULL)."""
+
+    def cents(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderpriority": b["o_orderpriority"].to_numpy(object),
+                "o_orderstatus": b["o_orderstatus"].to_numpy(object),
+                "cents": np.round(b["o_totalprice"].to_numpy(np.float64) * 100).astype(
+                    np.int64
+                ),
+            }
+        )
+
+    fine = _combiner_agg(
+        _read(sf_dir, "orders", ["o_orderpriority", "o_orderstatus", "o_totalprice"])
+        .map_batches(cents, batch_format="pandas"),
+        ["o_orderpriority", "o_orderstatus"],
+        [("n_orders", None, "count"), ("c", "cents", "sum")],
+    )
+
+    def level(df: pd.DataFrame, keys: list[str]) -> pd.DataFrame:
+        if keys:
+            g = df.groupby(keys, as_index=False).agg(
+                n_orders=("n_orders", "sum"), c=("c", "sum")
+            )
+        else:
+            g = pd.DataFrame(
+                {"n_orders": [int(df["n_orders"].sum())], "c": [int(df["c"].sum())]}
+            )
+        for col in ("o_orderpriority", "o_orderstatus"):
+            if col not in g.columns:
+                g[col] = "ALL"
+        return g[["o_orderpriority", "o_orderstatus", "n_orders", "c"]]
+
+    out = pd.concat(
+        [
+            level(fine, ["o_orderpriority", "o_orderstatus"]),
+            level(fine, ["o_orderpriority"]),
+            level(fine, []),
+        ],
+        ignore_index=True,
+    )
+    out["total_price"] = round_half_away(out.pop("c").astype(np.float64) / 100.0, 2)
+    out["n_orders"] = out["n_orders"].astype(np.int64)
+    return out
+
+
+SQL_ORDERS_ROLLUP = """
+SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+       COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2)
+         AS total_price
+FROM orders
+GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+"""
+
+
+def q_lineitem_corr(sf_dir: str):
+    """Grouped Pearson correlation + covariance (price vs quantity per
+    return flag) from EXACT integer moment sums: x/y are floored to whole
+    dollars/units so Sx/Sy/Sxy/Sxx/Syy are order-exact int64 partials on
+    the combiner exchange; the final float formula runs over identical
+    integer inputs on both sides (one IEEE op sequence — deterministic)."""
+
+    def mom(b: pd.DataFrame) -> pd.DataFrame:
+        x = np.floor(b["l_extendedprice"].to_numpy(np.float64)).astype(np.int64)
+        y = np.floor(b["l_quantity"].to_numpy(np.float64)).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "l_returnflag": b["l_returnflag"].to_numpy(object),
+                "x": x,
+                "y": y,
+                "xy": x * y,
+                "xx": x * x,
+                "yy": y * y,
+            }
+        )
+
+    s = _combiner_agg(
+        _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice", "l_quantity"])
+        .map_batches(mom, batch_format="pandas"),
+        ["l_returnflag"],
+        [
+            ("n_rows", None, "count"),
+            ("sx", "x", "sum"),
+            ("sy", "y", "sum"),
+            ("sxy", "xy", "sum"),
+            ("sxx", "xx", "sum"),
+            ("syy", "yy", "sum"),
+        ],
+    )
+    n = s["n_rows"].to_numpy(np.float64)
+    sx = s["sx"].to_numpy(np.float64)
+    sy = s["sy"].to_numpy(np.float64)
+    sxy = s["sxy"].to_numpy(np.float64)
+    sxx = s["sxx"].to_numpy(np.float64)
+    syy = s["syy"].to_numpy(np.float64)
+    num = n * sxy - sx * sy
+    return pd.DataFrame(
+        {
+            "l_returnflag": s["l_returnflag"],
+            "n_rows": s["n_rows"].astype(np.int64),
+            "cov_price_qty": round_half_away(num / (n * n), 6),
+            "corr_price_qty": round_half_away(
+                num / np.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6
+            ),
+        }
+    )
+
+
+SQL_LINEITEM_CORR = """
+WITH t AS (
+  SELECT l_returnflag,
+         CAST(floor(l_extendedprice) AS BIGINT) AS x,
+         CAST(floor(l_quantity) AS BIGINT) AS y
+  FROM lineitem
+), s AS (
+  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+         sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM t GROUP BY 1
+)
+SELECT l_returnflag, n_rows,
+       round((CAST(n_rows AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE)), 6) AS cov_price_qty,
+       round((CAST(n_rows AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((CAST(n_rows AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n_rows AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS corr_price_qty
+FROM s
+"""
