@@ -219,3 +219,52 @@ class TestPagerankAuto:
         monkeypatch.setattr(graph, "BROADCAST_PAGERANK_MAX_EDGES", 1)
         graph.pagerank_auto(_ds(_random_edges()), iterations=1)
         assert calls == ["exchanged"]
+
+
+class TestTriangleCount:
+    def test_k4_plus_noise(self):
+        from webcrawl_lowres_lang_ray.stages.graph import triangle_count
+
+        edges = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+        edges += [(4, 5), (1, 1), (2, 1)]  # pendant, self-loop, reverse dup
+        out = (
+            triangle_count(_ds(pd.DataFrame(edges, columns=["src", "dst"])))
+            .to_pandas()
+            .set_index("id")["n_triangles"]
+        )
+        # K4: 4 triangles, every member node in 3; pendant node in none
+        assert out.to_dict() == {1: 3, 2: 3, 3: 3, 4: 3}
+        assert int(out.sum()) // 3 == 4
+
+    def test_random_graph_matches_bruteforce(self):
+        from webcrawl_lowres_lang_ray.stages.graph import (
+            triangle_count,
+            triangles_bruteforce,
+        )
+
+        df = _random_edges(n_nodes=60, n_edges=800, seed=11)
+        out = triangle_count(_ds(df)).to_pandas()
+        counts, total = triangles_bruteforce(
+            df.rename(columns={"src": "a", "dst": "b"})
+        )
+        assert out.set_index("id")["n_triangles"].to_dict() == counts
+        assert int(out["n_triangles"].sum()) // 3 == total
+        assert total > 0  # non-degenerate
+
+    def test_triangle_free_graph_is_empty(self):
+        from webcrawl_lowres_lang_ray.stages.graph import triangle_count
+
+        # bipartite graphs have no triangles
+        edges = [(i, 100 + j) for i in range(6) for j in range(6)]
+        out = triangle_count(_ds(pd.DataFrame(edges, columns=["src", "dst"]))).to_pandas()
+        assert len(out) == 0
+
+    def test_crawl_host_triangles_deterministic(self):
+        import __ray_entry__ as e
+
+        a = e.queries()["crawl_host_triangles"]("/root/testdata/sf0.001")
+        b = e.queries()["crawl_host_triangles"]("/root/testdata/sf0.001")
+        assert a.equals(b)
+        assert list(a.columns) == ["host", "n_triangles"]
+        assert (a["n_triangles"] >= 1).all()
+        assert a["host"].notna().all()

@@ -446,17 +446,12 @@ def q_lexicon_growth(sf_dir: str) -> pd.DataFrame:
     return curve
 
 
-def _corpus_link_ranks(corpus: str):
-    """Shared PageRank core: extract <a href> edges from the corpus pages,
-    run the scale-dispatching ``pagerank_auto`` (vertex-broadcast fast path
-    below BROADCAST_PAGERANK_MAX_EDGES edges, fully-exchanged 10^10-safe
-    plan above it).  Returns ``(edge_urls, ranks_ds)`` — the materialized
-    (src_url, dst_url) Dataset (for url naming) and the (id, rank)
-    Dataset (never collected to the driver here)."""
+def _corpus_link_edges(corpus: str):
+    """Extract the corpus link graph: (src_url, dst_url) edge Dataset from
+    <a href> parses of the page HTML, materialized for reuse."""
     import pyarrow as pa
 
     from ..functions.html_text import extract_links_batch
-    from ..stages.graph import pagerank_auto, url_ids
 
     pages = ray.data.read_parquet(
         os.path.join(corpus, "pages"), columns=["url", "html"]
@@ -475,7 +470,19 @@ def _corpus_link_ranks(corpus: str):
             }
         )
 
-    edge_urls = pages.map_batches(edges_batch, batch_format="pyarrow").materialize()
+    return pages.map_batches(edges_batch, batch_format="pyarrow").materialize()
+
+
+def _corpus_link_ranks(corpus: str):
+    """Shared PageRank core: extract <a href> edges from the corpus pages,
+    run the scale-dispatching ``pagerank_auto`` (vertex-broadcast fast path
+    below BROADCAST_PAGERANK_MAX_EDGES edges, fully-exchanged 10^10-safe
+    plan above it).  Returns ``(edge_urls, ranks_ds)`` — the materialized
+    (src_url, dst_url) Dataset (for url naming) and the (id, rank)
+    Dataset (never collected to the driver here)."""
+    from ..stages.graph import pagerank_auto, url_ids
+
+    edge_urls = _corpus_link_edges(corpus)
 
     def to_ids(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -763,3 +770,64 @@ def q_crawl_line_dedup(sf_dir: str):
     from ..stages.dedup import line_dedup
 
     return line_dedup(_fetched_text_ds(sf_dir), id_col="seq", text_col="text")
+
+
+def q_crawl_host_triangles(sf_dir: str) -> pd.DataFrame:
+    """Host-graph triangle counts — the link-spam / link-farm connectivity
+    signal (tightly inter-linked host cliques score high): collapse the
+    corpus URL link graph to distinct host-host edges, then run the
+    degree-oriented wedge join (`stages/graph.py:triangle_count`, bounded
+    exchanges only, nothing broadcast).  Host names are restored by a
+    partition join of the (id, host) vocabulary against the per-node
+    counts — the vocabulary is the same size as the output table.
+    Rows-only gate: brute-force oracle parity + hand-built clique values
+    in tests/test_graph.py."""
+    from urllib.parse import urlparse
+
+    from ..stages.agg import combiner_agg
+    from ..stages.graph import triangle_count, url_ids
+
+    corpus = corpus_dir_for_sf(sf_dir)
+    edge_urls = _corpus_link_edges(corpus)
+
+    def host_edges(b: pd.DataFrame) -> pd.DataFrame:
+        src = [urlparse(u).netloc for u in b["src_url"]]
+        dst = [urlparse(u).netloc for u in b["dst_url"]]
+        return pd.DataFrame(
+            {
+                "src": url_ids(src),
+                "dst": url_ids(dst),
+                "src_host": np.array(src, dtype=object),
+                "dst_host": np.array(dst, dtype=object),
+            }
+        )
+
+    hedges = edge_urls.map_batches(host_edges, batch_format="pandas").materialize()
+    tri = triangle_count(hedges, "src", "dst").to_pandas()
+
+    # (id -> host) vocabulary via the same combiner pattern (first-wins:
+    # md5-derived ids are 1:1 with hosts)
+    def vocab(b: pd.DataFrame) -> pd.DataFrame:
+        f = pd.concat(
+            [
+                pd.DataFrame({"id": b["src"], "host": b["src_host"]}),
+                pd.DataFrame({"id": b["dst"], "host": b["dst_host"]}),
+            ]
+        ).drop_duplicates("id")
+        return f
+
+    names = (
+        combiner_agg(
+            hedges.map_batches(vocab, batch_format="pandas"),
+            ["id", "host"],
+            [("n", None, "count")],
+            parts=16,
+        )
+        .to_pandas()[["id", "host"]]
+        .drop_duplicates("id")
+    )
+    out = tri.merge(names, on="id", how="left")[["host", "n_triangles"]]
+    out["n_triangles"] = out["n_triangles"].astype(np.int64)
+    return out.sort_values(
+        ["n_triangles", "host"], ascending=[False, True], kind="mergesort"
+    ).reset_index(drop=True)
