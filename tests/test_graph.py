@@ -268,3 +268,46 @@ class TestTriangleCount:
         assert list(a.columns) == ["host", "n_triangles"]
         assert (a["n_triangles"] >= 1).all()
         assert a["host"].notna().all()
+
+
+class TestKCore:
+    def test_clique_chain_triangle(self):
+        from webcrawl_lowres_lang_ray.stages.graph import kcore, kcore_bruteforce
+
+        edges = [(a, b) for a in range(5) for b in range(5) if a < b]  # K5
+        edges += [(4, 10), (10, 11), (11, 12)]  # chain peels away
+        edges += [(20, 21), (21, 22), (20, 22)]  # triangle stays at k<=2
+        df = pd.DataFrame(edges, columns=["src", "dst"])
+        out = kcore(_ds(df), k=3).to_pandas()
+        oracle = kcore_bruteforce(df.rename(columns={"src": "a", "dst": "b"}), 3)
+        assert dict(zip(out["id"], out["deg"])) == oracle
+        assert set(out["id"]) == {0, 1, 2, 3, 4}  # only the K5 survives k=3
+        out2 = kcore(_ds(df), k=2).to_pandas()
+        assert {20, 21, 22} <= set(out2["id"])  # the triangle is a 2-core
+
+    def test_random_graph_matches_peeling_oracle(self):
+        from webcrawl_lowres_lang_ray.stages.graph import kcore, kcore_bruteforce
+
+        df = _random_edges(n_nodes=70, n_edges=700, seed=9)
+        for k in (4, 8):
+            out = kcore(_ds(df), k=k).to_pandas()
+            oracle = kcore_bruteforce(df.rename(columns={"src": "a", "dst": "b"}), k)
+            assert dict(zip(out["id"], out["deg"])) == oracle
+
+    def test_empty_core(self):
+        from webcrawl_lowres_lang_ray.stages.graph import kcore
+
+        df = pd.DataFrame({"src": [1, 2], "dst": [2, 3]})
+        out = kcore(_ds(df), k=5).to_pandas()
+        assert len(out) == 0
+
+    def test_crawl_host_kcore_deterministic(self):
+        import __ray_entry__ as e
+
+        a = e.queries()["crawl_host_kcore"]("/root/testdata/sf0.001")
+        b = e.queries()["crawl_host_kcore"]("/root/testdata/sf0.001")
+        assert a.equals(b)
+        assert list(a.columns) == ["host", "core_deg"]
+        # every member of a 3-core has core degree >= 3
+        if len(a):
+            assert (a["core_deg"] >= 3).all()

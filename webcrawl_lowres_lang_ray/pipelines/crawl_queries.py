@@ -831,3 +831,61 @@ def q_crawl_host_triangles(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(
         ["n_triangles", "host"], ascending=[False, True], kind="mergesort"
     ).reset_index(drop=True)
+
+
+def q_crawl_host_kcore(sf_dir: str) -> pd.DataFrame:
+    """The 3-core of the host link graph (Seidman 1983, iterative peeling
+    in `stages/graph.py:kcore` — bounded per-round exchanges, nothing
+    broadcast): the cohesion filter separating tightly-knit host
+    communities (link farms / genuine hub clusters) from the long tail.
+    Output (host, core_deg) name-joined exactly like
+    `q_crawl_host_triangles`.  Rows-only gate: serial peeling oracle
+    parity + hand-built clique values in tests/test_graph.py."""
+    from urllib.parse import urlparse
+
+    from ..stages.agg import combiner_agg
+    from ..stages.graph import kcore, url_ids
+
+    corpus = corpus_dir_for_sf(sf_dir)
+    edge_urls = _corpus_link_edges(corpus)
+
+    def host_edges(b: pd.DataFrame) -> pd.DataFrame:
+        src = [urlparse(u).netloc for u in b["src_url"]]
+        dst = [urlparse(u).netloc for u in b["dst_url"]]
+        return pd.DataFrame(
+            {
+                "src": url_ids(src),
+                "dst": url_ids(dst),
+                "src_host": np.array(src, dtype=object),
+                "dst_host": np.array(dst, dtype=object),
+            }
+        )
+
+    hedges = edge_urls.map_batches(host_edges, batch_format="pandas").materialize()
+    core = kcore(hedges, k=3, src_col="src", dst_col="dst").to_pandas()
+
+    def vocab(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.concat(
+            [
+                pd.DataFrame({"id": b["src"], "host": b["src_host"]}),
+                pd.DataFrame({"id": b["dst"], "host": b["dst_host"]}),
+            ]
+        ).drop_duplicates("id")
+
+    names = (
+        combiner_agg(
+            hedges.map_batches(vocab, batch_format="pandas"),
+            ["id", "host"],
+            [("n", None, "count")],
+            parts=16,
+        )
+        .to_pandas()[["id", "host"]]
+        .drop_duplicates("id")
+    )
+    out = core.merge(names, on="id", how="left")[["host", "deg"]].rename(
+        columns={"deg": "core_deg"}
+    )
+    out["core_deg"] = out["core_deg"].astype(np.int64)
+    return out.sort_values(
+        ["core_deg", "host"], ascending=[False, True], kind="mergesort"
+    ).reset_index(drop=True)

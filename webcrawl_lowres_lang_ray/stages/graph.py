@@ -702,3 +702,155 @@ def triangles_bruteforce(edges: "pd.DataFrame", a_col: str = "a", b_col: str = "
                     for x in (a, b, c):
                         counts[x] = counts.get(x, 0) + 1
     return counts, total
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (iterative peeling)
+# ---------------------------------------------------------------------------
+
+
+def kcore(
+    edges_ds: "ray.data.Dataset",
+    k: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    parts: int = 32,
+    max_rounds: int = 100,
+) -> "ray.data.Dataset":
+    """The k-core of an undirected graph (Seidman 1983): the maximal
+    subgraph where every node has degree >= ``k``, computed by iterative
+    peeling — drop all nodes with degree < k, recompute degrees on the
+    induced subgraph, repeat to fixpoint.  The classic cohesion filter a
+    link-graph pipeline runs to separate tightly-knit host communities
+    (link farms / genuine hubs) from the long tail.
+
+    Scale shape per round: one degree combiner + one two-sided semi-join
+    that keeps edges whose BOTH endpoints survive (tagged-union partition
+    join keyed by each endpoint in turn) — bounded exchanges carrying
+    (id, deg) rows and the shrinking edge list; nothing broadcast, no
+    driver-side graph.  Convergence is detected by the surviving-edge
+    count (a cheap Dataset.count of the materialized round result).
+
+    Returns a Dataset ``(id, deg)`` — the k-core members with their
+    core-subgraph degrees (empty if the graph has no k-core)."""
+
+    def canon(b: pd.DataFrame) -> pd.DataFrame:
+        a = b[src_col].to_numpy(np.int64)
+        c = b[dst_col].to_numpy(np.int64)
+        lo = np.minimum(a, c)
+        hi = np.maximum(a, c)
+        m = lo != hi
+        f = pd.DataFrame({"a": lo[m], "b": hi[m]}).drop_duplicates()
+        f["__p"] = ((f["a"].to_numpy() * np.int64(1000003)) ^ f["b"].to_numpy()) % parts
+        return f
+
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["a", "b"])[["a", "b"]]
+
+    edges = (
+        edges_ds.map_batches(canon, batch_format="pandas")
+        .groupby("__p")
+        .map_groups(dedup, batch_format="pandas")
+        .materialize()
+    )
+    n_edges = edges.count()
+
+    def ends(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"id": np.concatenate([b["a"].to_numpy(np.int64), b["b"].to_numpy(np.int64)])}
+        )
+
+    def degrees(e):
+        return combiner_agg(
+            e.map_batches(ends, batch_format="pandas"),
+            ["id"],
+            [("deg", None, "count")],
+            parts,
+        )
+
+    def _semi(key: str):
+        """Keep edges whose ``key`` endpoint appears in the survivor set
+        (tagged-union partition join, same pattern as the degree attach)."""
+
+        def tag_e(b: pd.DataFrame) -> pd.DataFrame:
+            f = b[["a", "b"]].copy()
+            f["__side"] = np.int8(0)
+            f["__j"] = b[key].to_numpy(np.int64) % parts
+            return f
+
+        def tag_s(b: pd.DataFrame) -> pd.DataFrame:
+            f = pd.DataFrame({"a": b["id"].to_numpy(np.int64)})
+            f["b"] = np.int64(0)
+            if key == "b":
+                f["b"] = f["a"]
+                f["a"] = np.int64(0)
+            f["__side"] = np.int8(1)
+            f["__j"] = f[key].to_numpy(np.int64) % parts
+            return f
+
+        def join(g: pd.DataFrame) -> pd.DataFrame:
+            alive = set(g.loc[g["__side"] == 1, key].to_numpy(np.int64))
+            e = g[g["__side"] == 0]
+            if not len(e):
+                return pd.DataFrame(
+                    {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")}
+                )
+            m = e[key].isin(alive).to_numpy()
+            return e.loc[m, ["a", "b"]]
+
+        return tag_e, tag_s, join
+
+    for _ in range(max_rounds):
+        deg = degrees(edges)
+        survivors = deg.filter(expr=f"deg >= {int(k)}").materialize()
+
+        te, ts, ja = _semi("a")
+        kept_a = (
+            edges.map_batches(te, batch_format="pandas")
+            .union(survivors.map_batches(ts, batch_format="pandas"))
+            .groupby("__j")
+            .map_groups(ja, batch_format="pandas")
+        )
+        te2, ts2, jb = _semi("b")
+        edges_next = (
+            kept_a.map_batches(te2, batch_format="pandas")
+            .union(survivors.map_batches(ts2, batch_format="pandas"))
+            .groupby("__j")
+            .map_groups(jb, batch_format="pandas")
+            .materialize()
+        )
+        n_next = edges_next.count()
+        if n_next == n_edges:
+            edges = edges_next
+            break
+        edges, n_edges = edges_next, n_next
+        if n_edges == 0:
+            break
+
+    if n_edges == 0:
+        import pyarrow as pa
+
+        return ray.data.from_arrow(
+            pa.table({"id": pa.array([], pa.int64()), "deg": pa.array([], pa.int64())})
+        )
+    return degrees(edges).filter(expr=f"deg >= {int(k)}")
+
+
+def kcore_bruteforce(edges: "pd.DataFrame", k: int, a_col: str = "a", b_col: str = "b"):
+    """Serial peeling oracle -> {node: core_degree} of the k-core."""
+    adj: dict[int, set[int]] = {}
+    for a, b in zip(edges[a_col], edges[b_col]):
+        a, b = int(a), int(b)
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for n in [n for n, nb in adj.items() if len(nb) < k]:
+            for m in adj.pop(n):
+                if m in adj:
+                    adj[m].discard(n)
+            changed = True
+    return {n: len(nb) for n, nb in adj.items()}
