@@ -145,6 +145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_cap_sample": q.q_source_cap_sample,
         "orders_rollup": q.q_orders_rollup,
         "lineitem_corr": q.q_lineitem_corr,
+        "user_customer_outer": q.q_user_customer_outer,
         # --- rows-only: no SQL form (pytest-gated) ---
         "pack_sequences": q.q_pack_sequences,
         "doc_compression": q.q_doc_compression,
@@ -273,4 +274,6 @@ def oracle_sql() -> dict[str, str]:
         "orders_rollup": q.SQL_ORDERS_ROLLUP,
         # grouped Pearson corr/cov via exact integer moment sums
         "lineitem_corr": q.SQL_LINEITEM_CORR,
+        # FULL OUTER join through the generic partition join
+        "user_customer_outer": q.SQL_USER_CUSTOMER_OUTER,
     }

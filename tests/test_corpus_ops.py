@@ -1040,3 +1040,38 @@ class TestRelationalRollupCorr:
         assert (out["corr_price_qty"].abs() <= 1.0).all()
         assert (np.sign(out["corr_price_qty"]) == np.sign(out["cov_price_qty"])).all()
         assert (out["n_rows"] > 0).all()
+
+
+class TestOuterJoin:
+    def test_user_customer_outer_matches_duckdb(self):
+        import duckdb
+
+        import __ray_entry__ as e
+        from scripts.check_correctness import to_pandas, value_hash
+
+        sf = "/root/testdata/sf0.001"
+        con = duckdb.connect()
+        for t in ("events", "customer"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+            )
+        mine = to_pandas(e.queries()["user_customer_outer"](sf))
+        theirs = con.execute(e.oracle_sql()["user_customer_outer"]).df()
+        assert len(mine) == len(theirs)
+        assert value_hash(mine) == value_hash(theirs)
+        # all three row classes occur (left-only, matched, right-only)
+        assert (mine["n_events"] > 0).any() and (~mine["has_customer"]).any()
+        assert ((mine["n_events"] > 0) & mine["has_customer"]).any()
+        assert ((mine["n_events"] == 0) & mine["has_customer"]).any()
+
+    def test_hash_join_outer_mode(self):
+        import ray.data
+
+        from webcrawl_lowres_lang_ray.stages.join import hash_join
+
+        l = ray.data.from_pandas(pd.DataFrame({"k": [1, 2, 3], "lv": [10, 20, 30]}))
+        r = ray.data.from_pandas(pd.DataFrame({"k2": [2, 3, 4], "rv": [200, 300, 400]}))
+        out = hash_join(l, r, left_key="k", right_key="k2", how="outer").to_pandas()
+        assert len(out) == 4
+        key = out["k"].fillna(out["k2"]).astype(int).tolist()
+        assert sorted(key) == [1, 2, 3, 4]

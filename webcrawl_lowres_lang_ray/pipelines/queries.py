@@ -2332,3 +2332,55 @@ SELECT l_returnflag, n_rows,
                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS corr_price_qty
 FROM s
 """
+
+
+def q_user_customer_outer(sf_dir: str):
+    """FULL OUTER equi-join through the generic tagged-union partition
+    join (stages/join.py hash_join, how='outer': each key's rows from
+    BOTH sides land in one partition, so the per-partition pandas outer
+    merge is globally correct).  Per-user event counts vs the customer
+    dim restricted to EVEN c_custkey, making all three row classes
+    non-degenerate at every SF: left-only (odd users), matched (even
+    users), right-only (even custkeys beyond the user range).
+    NaN-widened columns are coalesced back exactly as the SQL oracle
+    does."""
+    from ..stages.agg import combiner_agg
+    from ..stages.join import hash_join
+
+    per_user = combiner_agg(
+        _read(sf_dir, "events", ["user_id"]),
+        ["user_id"],
+        [("n_events", None, "count")],
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"]).map_batches(
+        lambda b: b[b["c_custkey"] % 2 == 0], batch_format="pandas"
+    )
+    j = hash_join(
+        per_user, cust, left_key="user_id", right_key="c_custkey", how="outer"
+    ).to_pandas()
+    ukey = j["user_id"].where(j["user_id"].notna(), j["c_custkey"])
+    out = pd.DataFrame(
+        {
+            "ukey": ukey.to_numpy(np.float64).astype(np.int64),
+            "n_events": j["n_events"].fillna(0).to_numpy(np.float64).astype(np.int64),
+            "has_customer": j["c_custkey"].notna().to_numpy(),
+            "acctbal": round_half_away(
+                j["c_acctbal"].fillna(0.0).to_numpy(np.float64), 2
+            ),
+        }
+    )
+    return out.sort_values("ukey", kind="mergesort").reset_index(drop=True)
+
+
+SQL_USER_CUSTOMER_OUTER = """
+WITH u AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events FROM events GROUP BY 1
+), c AS (
+  SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 2 = 0
+)
+SELECT CAST(COALESCE(u.user_id, c.c_custkey) AS BIGINT) AS ukey,
+       CAST(COALESCE(u.n_events, 0) AS BIGINT) AS n_events,
+       c.c_custkey IS NOT NULL AS has_customer,
+       round(COALESCE(c.c_acctbal, 0), 2) AS acctbal
+FROM u FULL OUTER JOIN c ON u.user_id = c.c_custkey
+"""

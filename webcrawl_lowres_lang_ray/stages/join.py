@@ -33,10 +33,13 @@ def hash_join(
     parts: int = 64,
     suffixes: tuple[str, str] = ("", "_r"),
 ) -> "ray.data.Dataset":
-    """Equi-join two Datasets on a key column.  ``how`` is 'inner' or
-    'left' (pandas semantics inside each partition).  Key columns are
-    hash-partitioned identically on both sides, so each partition holds
-    every row of its keys from BOTH inputs."""
+    """Equi-join two Datasets on a key column.  ``how`` is 'inner',
+    'left' or 'outer' (pandas semantics inside each partition — globally
+    correct because key columns are hash-partitioned identically on both
+    sides, so each partition holds every row of its keys from BOTH
+    inputs; an unmatched key's rows still reach their partition and
+    survive a left/outer merge there).  NaN-widening of int columns on
+    the unmatched side is the caller's to coalesce."""
     right_key = right_key or left_key
     # column lists + integer/bool dtypes recorded BEFORE the union: the
     # mixed-schema union NaN-fills each side's missing columns through the
