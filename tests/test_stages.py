@@ -1316,3 +1316,65 @@ class TestC4Filter:
         assert out["has_marker"].tolist() == [0, 0, 1, 1, 0, 0]
         assert out["n_words"].tolist() == [60, 2, 61, 63, 60, 0]
         assert out["mean_word_len"].iloc[0] == 4.0
+
+
+class TestAutoJoin:
+    def _data(self, skewed=False):
+        import ray.data
+
+        n = 2000
+        keys = (
+            np.where(np.arange(n) % 2 == 0, 7, np.arange(n) % 50)
+            if skewed
+            else np.arange(n) % 50
+        )
+        left = pd.DataFrame({"k": keys.astype(np.int64), "lv": np.arange(n, dtype=np.int64)})
+        right = pd.DataFrame({"k": np.arange(50, dtype=np.int64), "rv": np.arange(50, dtype=np.int64) * 10})
+        return ray.data.from_pandas(left), ray.data.from_pandas(right), left, right
+
+    def _sorted(self, df):
+        return (
+            df.sort_values(list(df.columns))
+            .reset_index(drop=True)
+            .astype({c: "int64" for c in df.columns})
+        )
+
+    def test_broadcast_path_equals_pandas(self):
+        from webcrawl_lowres_lang_ray.stages.join import auto_join
+
+        l, r, ldf, rdf = self._data()
+        out, strat = auto_join(l, r, "k", explain=True)
+        assert strat == "broadcast"
+        expect = ldf.merge(rdf, on="k")
+        pd.testing.assert_frame_equal(
+            self._sorted(out.to_pandas()), self._sorted(expect)
+        )
+
+    def test_hash_path_forced_and_equal(self):
+        from webcrawl_lowres_lang_ray.stages.join import auto_join
+
+        l, r, ldf, rdf = self._data()
+        out, strat = auto_join(l, r, "k", broadcast_max_rows=0, explain=True)
+        assert strat == "hash"
+        expect = ldf.merge(rdf, on="k")
+        pd.testing.assert_frame_equal(
+            self._sorted(out.to_pandas()), self._sorted(expect)
+        )
+
+    def test_salted_path_detected_and_equal(self):
+        from webcrawl_lowres_lang_ray.stages.join import auto_join
+
+        l, r, ldf, rdf = self._data(skewed=True)
+        out, strat = auto_join(l, r, "k", broadcast_max_rows=0, explain=True)
+        assert strat == "salted"  # key 7 carries ~half the sampled rows
+        expect = ldf.merge(rdf, on="k")
+        pd.testing.assert_frame_equal(
+            self._sorted(out.to_pandas()), self._sorted(expect)
+        )
+
+    def test_outer_never_broadcasts(self):
+        from webcrawl_lowres_lang_ray.stages.join import auto_join
+
+        l, r, _, _ = self._data()
+        _, strat = auto_join(l, r, "k", how="outer", explain=True)
+        assert strat == "hash"

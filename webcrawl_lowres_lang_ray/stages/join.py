@@ -278,3 +278,72 @@ def bloom_filtered_join(
         parts=parts,
         suffixes=suffixes,
     )
+
+
+def auto_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    left_key: str,
+    right_key: str | None = None,
+    how: str = "inner",
+    parts: int = 64,
+    suffixes: tuple[str, str] = ("", "_r"),
+    broadcast_max_rows: int = 100_000,
+    skew_sample: int = 50_000,
+    skew_frac: float = 0.2,
+    salt_n: int = 8,
+    explain: bool = False,
+):
+    """Join-strategy auto-dispatch — the planner step a declarative engine
+    does for you, expressed over this module's three physical joins:
+
+    * right side <= ``broadcast_max_rows`` and how in (inner, left):
+      **broadcast** — the right frame is ``ray.put`` once and every left
+      batch merges against it locally; zero exchanges (the Spark
+      broadcast-hash-join regime).  Outer joins never broadcast (right-only
+      rows would need global dedup).
+    * else, if a bounded sample of left keys shows one key carrying more
+      than ``skew_frac`` of rows: **salted** — ``salted_hash_join`` spreads
+      the hot key over ``salt_n`` sub-partitions.
+    * else: the plain tagged-union partition **hash** join.
+
+    The decision inputs are one cheap ``count()`` of the (small) right side
+    and one bounded left sample — nothing scans the big side twice.  All
+    three paths produce identical rows (pinned in tests/test_stages.py);
+    pass ``explain=True`` to get ``(dataset, strategy)`` back."""
+    import ray as _ray
+
+    right_key = right_key or left_key
+    n_right = right.count()
+    if n_right <= broadcast_max_rows and how in ("inner", "left"):
+        rdf = right.to_pandas()
+        ref = _ray.put(rdf)
+
+        def bjoin(b: pd.DataFrame) -> pd.DataFrame:
+            r = _ray.get(ref)
+            return b.merge(
+                r, left_on=left_key, right_on=right_key, how=how, suffixes=suffixes
+            )
+
+        out = left.map_batches(bjoin, batch_format="pandas")
+        return (out, "broadcast") if explain else out
+
+    strategy, hot = "hash", ()
+    if how == "inner":
+        sample = left.limit(skew_sample).to_pandas()
+        if len(sample):
+            vc = sample[left_key].value_counts(sort=True)
+            hot = tuple(vc.index[(vc / len(sample)) > skew_frac])
+            if hot:
+                strategy = "salted"
+    if strategy == "salted":
+        out = salted_hash_join(
+            left, right, left_key=left_key, right_key=right_key,
+            hot_keys=hot, salt_n=salt_n, parts=parts, suffixes=suffixes,
+        )
+    else:
+        out = hash_join(
+            left, right, left_key=left_key, right_key=right_key,
+            how=how, parts=parts, suffixes=suffixes,
+        )
+    return (out, strategy) if explain else out
