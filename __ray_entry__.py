@@ -42,7 +42,12 @@ Demoted below the prefix (still SQL-oracled, checked locally):
   blocked join embedding_neardup_blocked is the driver-checked scale
   path; BASELINE.md round 4), doc_dsir_score (SQL-oracled round 4),
   lang_counts, order_priority_counts, top_docs_by_chars (trivial
-  groupbys/sort-limit, triple-green r1-r3, redundant with other rows).
+  groupbys/sort-limit, triple-green r1-r3, redundant with other rows),
+  plus every post-freeze round-4 addition (PII scrub, token-budget
+  select, cluster representatives, mix/cap samplers, rollup, corr,
+  outer join ...) — the authoritative frozen set lives in
+  tests/test_entry.py; ALL of them are hash-checked in
+  CORRECTNESS_FULL.json and the pytest duckdb parametrizes.
 """
 
 from __future__ import annotations
