@@ -151,6 +151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_rollup": q.q_orders_rollup,
         "lineitem_corr": q.q_lineitem_corr,
         "user_customer_outer": q.q_user_customer_outer,
+        "event_funnel": q.q_event_funnel,
         # --- rows-only: no SQL form (pytest-gated) ---
         "pack_sequences": q.q_pack_sequences,
         "doc_compression": q.q_doc_compression,
@@ -281,4 +282,6 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_corr": q.SQL_LINEITEM_CORR,
         # FULL OUTER join through the generic partition join
         "user_customer_outer": q.SQL_USER_CUSTOMER_OUTER,
+        # ordered-sequence conversion funnel (min-ts chaining)
+        "event_funnel": q.SQL_EVENT_FUNNEL,
     }

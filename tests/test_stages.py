@@ -1378,3 +1378,67 @@ class TestAutoJoin:
         l, r, _, _ = self._data()
         _, strat = auto_join(l, r, "k", how="outer", explain=True)
         assert strat == "hash"
+
+
+class TestEventFunnel:
+    def _ds(self, rows):
+        import ray.data
+
+        df = pd.DataFrame(rows, columns=["user_id", "ts", "event_type"])
+        df["ts"] = pd.to_datetime(df["ts"])
+        return ray.data.from_pandas(df)
+
+    def test_ordered_chaining(self):
+        from webcrawl_lowres_lang_ray.stages.windows import event_funnel
+
+        rows = [
+            # user 1: full funnel in order
+            (1, "2024-01-01 10:00", "view"),
+            (1, "2024-01-01 10:05", "click"),
+            (1, "2024-01-01 10:10", "purchase"),
+            # user 2: purchase BEFORE the view -> only view+click count
+            (2, "2024-01-01 09:00", "purchase"),
+            (2, "2024-01-01 10:00", "view"),
+            (2, "2024-01-01 10:05", "click"),
+            # user 3: click before view -> stops at 1 (view only)
+            (3, "2024-01-01 09:00", "click"),
+            (3, "2024-01-01 10:00", "view"),
+            # user 4: no view at all -> 0
+            (4, "2024-01-01 10:00", "click"),
+            (4, "2024-01-01 11:00", "purchase"),
+        ]
+        out = (
+            event_funnel(self._ds(rows), ["view", "click", "purchase"])
+            .to_pandas()
+            .set_index("user_id")["steps_completed"]
+            .sort_index()
+        )
+        assert out.to_dict() == {1: 3, 2: 2, 3: 1, 4: 0}
+
+    def test_strictly_later_ties_do_not_count(self):
+        from webcrawl_lowres_lang_ray.stages.windows import event_funnel
+
+        rows = [
+            (1, "2024-01-01 10:00:00", "view"),
+            (1, "2024-01-01 10:00:00", "click"),  # same instant -> NOT later
+            (2, "2024-01-01 10:00:00", "view"),
+            (2, "2024-01-01 10:00:01", "click"),
+        ]
+        out = (
+            event_funnel(self._ds(rows), ["view", "click"])
+            .to_pandas()
+            .set_index("user_id")["steps_completed"]
+        )
+        assert out.to_dict() == {1: 1, 2: 2}
+
+    def test_earliest_valid_occurrence_is_chosen(self):
+        from webcrawl_lowres_lang_ray.stages.windows import event_funnel
+
+        # two views; the EARLIER one admits the click between them
+        rows = [
+            (1, "2024-01-01 09:00", "view"),
+            (1, "2024-01-01 09:30", "click"),
+            (1, "2024-01-01 10:00", "view"),
+        ]
+        out = event_funnel(self._ds(rows), ["view", "click"]).to_pandas()
+        assert out["steps_completed"].tolist() == [2]

@@ -2384,3 +2384,46 @@ SELECT CAST(COALESCE(u.user_id, c.c_custkey) AS BIGINT) AS ukey,
        round(COALESCE(c.c_acctbal, 0), 2) AS acctbal
 FROM u FULL OUTER JOIN c ON u.user_id = c.c_custkey
 """
+
+
+def q_event_funnel(sf_dir: str):
+    """Conversion funnel view -> click -> purchase per user (ordered,
+    strictly-later chaining) through stages/windows.py:event_funnel — one
+    key-hash exchange, vectorized min-timestamp chaining per partition."""
+    from ..stages.windows import event_funnel
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    out = (
+        event_funnel(ev, ["view", "click", "purchase"])
+        .to_pandas()
+        .sort_values("user_id", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    out["user_id"] = out["user_id"].astype(np.int64)
+    return out
+
+
+SQL_EVENT_FUNNEL = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1
+), u AS (
+  SELECT DISTINCT user_id FROM events
+)
+SELECT u.user_id,
+       CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3
+                 WHEN s2.user_id IS NOT NULL THEN 2
+                 WHEN s1.user_id IS NOT NULL THEN 1
+                 ELSE 0 END AS BIGINT) AS steps_completed
+FROM u
+LEFT JOIN s1 ON u.user_id = s1.user_id
+LEFT JOIN s2 ON u.user_id = s2.user_id
+LEFT JOIN s3 ON u.user_id = s3.user_id
+"""

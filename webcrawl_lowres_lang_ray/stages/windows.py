@@ -459,3 +459,53 @@ def moving_avg_cols(
         .groupby("__p")
         .map_groups(per_part, batch_format="pandas")
     )
+
+
+def event_funnel(
+    events: "ray.data.Dataset",
+    steps: list[str],
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> "ray.data.Dataset":
+    """Ordered-sequence funnel (SQL MATCH_RECOGNIZE-lite / the product-
+    analytics conversion funnel): per key, how many of ``steps`` were
+    completed IN ORDER — step i+1 counts only with a strictly-later
+    timestamp than the chosen (earliest-valid) step i occurrence.
+
+    Matching is min-timestamp chaining, not positional scanning, so no
+    per-key sort and no tie-break ambiguity: t_1 = min ts of step 1;
+    t_{i+1} = min ts of step i+1 with ts > t_i.  One key-hash exchange;
+    inside each partition the chain is |steps| vectorized
+    groupby-min/merge passes over that partition's events — never a
+    Python loop per key.  Output: ``(key, steps_completed)`` for every
+    key present in the input."""
+
+    def funnel_part(g: pd.DataFrame) -> pd.DataFrame:
+        users = pd.DataFrame({key_col: g[key_col].unique()})
+        done = pd.Series(0, index=users[key_col].to_numpy(), dtype=np.int64)
+        prev: pd.DataFrame | None = None  # (key, __t_prev)
+        for i, s in enumerate(steps):
+            ev = g.loc[g[type_col] == s, [key_col, ts_col]]
+            if prev is not None:
+                ev = ev.merge(prev, on=key_col)
+                ev = ev[ev[ts_col] > ev["__t_prev"]]
+            cur = (
+                ev.groupby(key_col, sort=False)[ts_col]
+                .min()
+                .reset_index()
+                .rename(columns={ts_col: "__t_prev"})
+            )
+            if not len(cur):
+                break
+            done.loc[cur[key_col].to_numpy()] = i + 1
+            prev = cur
+        return pd.DataFrame(
+            {key_col: done.index.to_numpy(), "steps_completed": done.to_numpy()}
+        )
+
+    return (
+        _with_part(events.select_columns([key_col, ts_col, type_col]), key_col)
+        .groupby("__part")
+        .map_groups(funnel_part, batch_format="pandas")
+    )
