@@ -152,6 +152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_corr": q.q_lineitem_corr,
         "user_customer_outer": q.q_user_customer_outer,
         "event_funnel": q.q_event_funnel,
+        "user_retention": q.q_user_retention,
         # --- rows-only: no SQL form (pytest-gated) ---
         "pack_sequences": q.q_pack_sequences,
         "doc_compression": q.q_doc_compression,
@@ -284,4 +285,6 @@ def oracle_sql() -> dict[str, str]:
         "user_customer_outer": q.SQL_USER_CUSTOMER_OUTER,
         # ordered-sequence conversion funnel (min-ts chaining)
         "event_funnel": q.SQL_EVENT_FUNNEL,
+        # cohort retention matrix (first-week cohorts x activity offset)
+        "user_retention": q.SQL_USER_RETENTION,
     }

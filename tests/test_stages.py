@@ -1442,3 +1442,37 @@ class TestEventFunnel:
         ]
         out = event_funnel(self._ds(rows), ["view", "click"]).to_pandas()
         assert out["steps_completed"].tolist() == [2]
+
+
+class TestUserRetention:
+    def test_multi_cohort_matrix(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        import __ray_entry__ as e
+
+        # cohort A (user 1,2) first active week 0; cohort B (user 3) week 1
+        wk = 7 * 86400 * 1_000_000  # us
+        rows = [
+            (1, 0), (1, 0), (1, wk),             # u1: weeks 0,1
+            (2, 0), (2, 2 * wk),                 # u2: weeks 0,2
+            (3, wk), (3, wk), (3, 2 * wk),       # u3: weeks 1,2
+        ]
+        t = pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        out = (
+            e.queries()["user_retention"](str(tmp_path))
+            .set_index(["cohort_week", "week_offset"])["n_users"]
+        )
+        assert out.to_dict() == {
+            (0, 0): 2,  # u1, u2
+            (0, 1): 1,  # u1
+            (0, 2): 1,  # u2
+            (1, 0): 1,  # u3 cohort week 1
+            (1, 1): 1,  # u3 active week 2 = offset 1
+        }

@@ -2427,3 +2427,77 @@ LEFT JOIN s1 ON u.user_id = s1.user_id
 LEFT JOIN s2 ON u.user_id = s2.user_id
 LEFT JOIN s3 ON u.user_id = s3.user_id
 """
+
+
+def q_user_retention(sf_dir: str):
+    """Cohort retention matrix — users bucketed by first-activity week
+    (the cohort), counted in each later activity week as an offset.  The
+    product-analytics staple, composed from this engine's primitives:
+    per-(user, week) distinct via the partition pattern, cohort = combiner
+    min per user, one user-keyed partition join to attach cohorts, then a
+    tiny (cohort, offset) count combiner.  Three bounded exchanges; the
+    raw event stream is deduplicated to user-weeks before anything joins."""
+    from ..stages.agg import combiner_agg
+    from ..stages.join import hash_join
+
+    WK = 604_800_000_000  # microseconds per week
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def weeks(b: pd.DataFrame) -> pd.DataFrame:
+        us = b["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        f = pd.DataFrame(
+            {"user_id": b["user_id"].to_numpy(np.int64), "wk": us // WK}
+        ).drop_duplicates()
+        f["__p"] = (
+            pd.util.hash_array(f["user_id"].to_numpy()) % np.uint64(32)
+        ).astype(np.int64)
+        return f
+
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["user_id", "wk"])[["user_id", "wk"]]
+
+    uw = (
+        ev.map_batches(weeks, batch_format="pandas")
+        .groupby("__p")
+        .map_groups(dedup, batch_format="pandas")
+        .materialize()
+    )
+    firsts = combiner_agg(uw, ["user_id"], [("cohort", "wk", "min")])
+    joined = hash_join(uw, firsts, left_key="user_id")
+
+    def offs(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "cohort_week": b["cohort"].to_numpy(np.int64),
+                "week_offset": (b["wk"] - b["cohort"]).to_numpy(np.int64),
+            }
+        )
+
+    out = (
+        combiner_agg(
+            joined.map_batches(offs, batch_format="pandas"),
+            ["cohort_week", "week_offset"],
+            [("n_users", None, "count")],
+        )
+        .to_pandas()
+        .sort_values(["cohort_week", "week_offset"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    return out.astype(
+        {"cohort_week": "int64", "week_offset": "int64", "n_users": "int64"}
+    )
+
+
+SQL_USER_RETENTION = """
+WITH w AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk FROM events
+), f AS (
+  SELECT user_id, min(wk) AS cohort FROM w GROUP BY 1
+)
+SELECT CAST(f.cohort AS BIGINT) AS cohort_week,
+       CAST(w.wk - f.cohort AS BIGINT) AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM w JOIN f ON w.user_id = f.user_id
+GROUP BY 1, 2
+"""
