@@ -153,6 +153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_customer_outer": q.q_user_customer_outer,
         "event_funnel": q.q_event_funnel,
         "user_retention": q.q_user_retention,
+        "table_expectations": q.q_table_expectations,
         # --- rows-only: no SQL form (pytest-gated) ---
         "pack_sequences": q.q_pack_sequences,
         "doc_compression": q.q_doc_compression,
@@ -287,4 +288,6 @@ def oracle_sql() -> dict[str, str]:
         "event_funnel": q.SQL_EVENT_FUNNEL,
         # cohort retention matrix (first-week cohorts x activity offset)
         "user_retention": q.SQL_USER_RETENTION,
+        # Deequ-style data-quality gate (FK / PK / predicate checks)
+        "table_expectations": q.SQL_TABLE_EXPECTATIONS,
     }

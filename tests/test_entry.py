@@ -58,7 +58,7 @@ def test_driver_prefix_is_fully_sql_oracled():
         "doc_pii_scrub", "token_budget_select", "cluster_representatives",
         "source_mix_sample", "source_cap_sample",
         "orders_rollup", "lineitem_corr", "user_customer_outer",
-        "event_funnel", "user_retention",
+        "event_funnel", "user_retention", "table_expectations",
     }, f"unexpected SQL-oracled entries below the driver prefix: {demoted_sql}"
 
 

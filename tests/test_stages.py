@@ -1476,3 +1476,64 @@ class TestUserRetention:
             (1, 0): 1,  # u3 cohort week 1
             (1, 1): 1,  # u3 active week 2 = offset 1
         }
+
+
+class TestTableExpectations:
+    def _write(self, d, name, table):
+        import pyarrow.parquet as pq
+
+        pq.write_table(table, str(d / f"{name}.parquet"))
+
+    def test_planted_violations_detected(self, tmp_path):
+        import pyarrow as pa
+
+        import __ray_entry__ as e
+
+        self._write(tmp_path, "customer", pa.table({"c_custkey": pa.array([1, 2, 3], pa.int64())}))
+        self._write(
+            tmp_path,
+            "orders",
+            pa.table(
+                {
+                    # custkey 99 is an orphan; orderkey 7 is a dup PK
+                    "o_orderkey": pa.array([7, 7, 8, 9], pa.int64()),
+                    "o_custkey": pa.array([1, 2, 99, 3], pa.int64()),
+                }
+            ),
+        )
+        self._write(
+            tmp_path,
+            "lineitem",
+            pa.table({"l_orderkey": pa.array([7, 8, 555], pa.int64())}),  # 555 orphan
+        )
+        self._write(
+            tmp_path,
+            "events",
+            pa.table(
+                {
+                    "value": pa.array([1.0, -2.0, 3.0, -0.5], pa.float64()),
+                    "props": pa.array(["{}", None, "", "{\"k\":1}"], pa.string()),
+                }
+            ),
+        )
+        out = (
+            e.queries()["table_expectations"](str(tmp_path))
+            .set_index("check_name")["violations"]
+        )
+        assert out.to_dict() == {
+            "fk_orders_customer": 1,
+            "fk_lineitem_orders": 1,
+            "pk_unique_orders": 1,
+            "nonneg_events_value": 2,
+            "null_events_props": 2,
+        }
+
+    def test_clean_tables_pass(self):
+        import __ray_entry__ as e
+
+        out = e.queries()["table_expectations"]("/root/testdata/sf0.001")
+        # the synthetic warehouse is referentially intact
+        fk = out.set_index("check_name")
+        assert fk.loc["fk_orders_customer", "violations"] == 0
+        assert fk.loc["pk_unique_orders", "violations"] == 0
+        assert bool(fk.loc["fk_orders_customer", "passed"])

@@ -2501,3 +2501,33 @@ SELECT CAST(f.cohort AS BIGINT) AS cohort_week,
 FROM w JOIN f ON w.user_id = f.user_id
 GROUP BY 1, 2
 """
+
+
+def q_table_expectations(sf_dir: str):
+    """Deequ-style data-quality gate: referential integrity (partition
+    anti-joins), PK uniqueness (combiner dup counts) and streaming
+    predicate checks, one row per check (stages/profile.py)."""
+    from ..stages.profile import expectation_checks
+
+    return expectation_checks(lambda t, cols: _read(sf_dir, t, cols))
+
+
+SQL_TABLE_EXPECTATIONS = """
+WITH c AS (
+  SELECT 'fk_orders_customer' AS check_name, CAST(count(*) AS BIGINT) AS violations
+  FROM orders o WHERE o.o_custkey NOT IN (SELECT c_custkey FROM customer)
+  UNION ALL
+  SELECT 'fk_lineitem_orders', CAST(count(*) AS BIGINT)
+  FROM lineitem l WHERE l.l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+  UNION ALL
+  SELECT 'pk_unique_orders', CAST(COALESCE(sum(n - 1), 0) AS BIGINT)
+  FROM (SELECT o_orderkey, count(*) AS n FROM orders GROUP BY 1 HAVING count(*) > 1)
+  UNION ALL
+  SELECT 'nonneg_events_value', CAST(count(*) AS BIGINT)
+  FROM events WHERE value < 0
+  UNION ALL
+  SELECT 'null_events_props', CAST(count(*) AS BIGINT)
+  FROM events WHERE props IS NULL OR props = ''
+)
+SELECT check_name, violations, violations = 0 AS passed FROM c ORDER BY check_name
+"""

@@ -156,3 +156,120 @@ def table_checksum(
     return pd.DataFrame(
         {"n_rows": [np.int64(n)], "checksum": [np.int64(s % mod)]}
     )
+
+
+def expectation_checks(sf_reader) -> pd.DataFrame:
+    """Deequ / Great-Expectations-style data-quality gate over the
+    warehouse tables: each check is a small distributed pipeline over the
+    engine's own primitives, and the result is one row per check —
+    ``(check, violations, passed)`` — the shape a 100 TB ingest run gates
+    its promotion step on.
+
+    Checks and their scale shapes:
+    * ``fk_orders_customer`` / ``fk_lineitem_orders`` — referential
+      integrity by Bloom-prefiltered anti-join: the PK side's mergeable
+      bitmap broadcasts once; only bloom-POSITIVE-free (i.e. definitely
+      absent) rows are violations after the exact partition verify.  Here
+      the PK sides are combiner-deduplicated and the probe is the same
+      md5-bucket partition semi-join used everywhere else.
+    * ``pk_unique_orders`` — duplicate primary keys via partition groupby
+      (count>1 sums, combiner partials).
+    * ``nonneg_events_value`` / ``null_events_props`` — streaming predicate
+      counts (one pass, zero exchanges).
+
+    ``sf_reader(table, cols)`` -> Dataset, so the stage stays decoupled
+    from file layout."""
+    from .agg import combiner_agg
+
+    def _count(ds, fn) -> int:
+        def cnt(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"n": [int(fn(b).sum())]})
+
+        part = ds.map_batches(cnt, batch_format="pandas").to_pandas()
+        return int(part["n"].sum())
+
+    def _anti_count(child, child_key: str, parent, parent_key: str) -> int:
+        """# of child rows whose key is absent from the parent key set —
+        tagged-union partition anti-join on the key hash."""
+
+        def tag(side):
+            def fn(b: pd.DataFrame) -> pd.DataFrame:
+                key = child_key if side == 0 else parent_key
+                f = pd.DataFrame({"k": b[key].to_numpy(np.int64)})
+                if side == 1:
+                    f = f.drop_duplicates()
+                f["__side"] = np.int8(side)
+                f["__j"] = (
+                    pd.util.hash_array(f["k"].to_numpy()) % np.uint64(32)
+                ).astype(np.int64)
+                return f
+
+            return fn
+
+        def anti(g: pd.DataFrame) -> pd.DataFrame:
+            parents = set(g.loc[g["__side"] == 1, "k"].to_numpy())
+            ch = g.loc[g["__side"] == 0, "k"]
+            miss = (~ch.isin(parents)).sum()
+            return pd.DataFrame({"n": [int(miss)]})
+
+        part = (
+            child.map_batches(tag(0), batch_format="pandas")
+            .union(parent.map_batches(tag(1), batch_format="pandas"))
+            .groupby("__j")
+            .map_groups(anti, batch_format="pandas")
+            .to_pandas()
+        )
+        return int(part["n"].sum())
+
+    def _dup_count(ds, key: str) -> int:
+        counts = combiner_agg(ds, [key], [("n", None, "count")])
+
+        def extra(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"n": [int((b["n"] - 1).clip(lower=0).sum())]})
+
+        part = counts.map_batches(extra, batch_format="pandas").to_pandas()
+        return int(part["n"].sum())
+
+    checks = [
+        (
+            "fk_orders_customer",
+            _anti_count(
+                sf_reader("orders", ["o_custkey"]),
+                "o_custkey",
+                sf_reader("customer", ["c_custkey"]),
+                "c_custkey",
+            ),
+        ),
+        (
+            "fk_lineitem_orders",
+            _anti_count(
+                sf_reader("lineitem", ["l_orderkey"]),
+                "l_orderkey",
+                sf_reader("orders", ["o_orderkey"]),
+                "o_orderkey",
+            ),
+        ),
+        (
+            "pk_unique_orders",
+            _dup_count(sf_reader("orders", ["o_orderkey"]), "o_orderkey"),
+        ),
+        (
+            "nonneg_events_value",
+            _count(sf_reader("events", ["value"]), lambda b: b["value"] < 0),
+        ),
+        (
+            "null_events_props",
+            _count(
+                sf_reader("events", ["props"]),
+                lambda b: b["props"].isna() | (b["props"] == ""),
+            ),
+        ),
+    ]
+    out = pd.DataFrame(
+        {
+            "check_name": [c for c, _ in checks],
+            "violations": np.array([v for _, v in checks], dtype=np.int64),
+        }
+    )
+    out["passed"] = out["violations"] == 0
+    return out.sort_values("check_name", kind="mergesort").reset_index(drop=True)
