@@ -154,6 +154,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_funnel": q.q_event_funnel,
         "user_retention": q.q_user_retention,
         "table_expectations": q.q_table_expectations,
+        "snapshot_diff": q.q_snapshot_diff,
+        "doc_token_entropy": q.q_doc_token_entropy,
+        "doc_skyline": q.q_doc_skyline,
+        "event_type_user_overlap": q.q_event_type_user_overlap,
+        "name_fuzzy_pairs": q.q_name_fuzzy_pairs,
         # --- rows-only: no SQL form (pytest-gated) ---
         "pack_sequences": q.q_pack_sequences,
         "doc_compression": q.q_doc_compression,
@@ -290,4 +295,14 @@ def oracle_sql() -> dict[str, str]:
         "user_retention": q.SQL_USER_RETENTION,
         # Deequ-style data-quality gate (FK / PK / predicate checks)
         "table_expectations": q.SQL_TABLE_EXPECTATIONS,
+        # CDC snapshot diff (added/removed/changed, IS DISTINCT FROM)
+        "snapshot_diff": q.SQL_SNAPSHOT_DIFF,
+        # per-doc unigram Shannon entropy (gibberish/boilerplate signal)
+        "doc_token_entropy": q.SQL_DOC_TOKEN_ENTROPY,
+        # Pareto frontier on (n_chars, lexical diversity)
+        "doc_skyline": q.SQL_DOC_SKYLINE,
+        # pairwise audience INTERSECT counts
+        "event_type_user_overlap": q.SQL_EVENT_TYPE_USER_OVERLAP,
+        # FastSS deletion-neighborhood lev-1 self-join vs exact quadratic
+        "name_fuzzy_pairs": q.SQL_NAME_FUZZY_PAIRS,
     }

@@ -59,6 +59,8 @@ def test_driver_prefix_is_fully_sql_oracled():
         "source_mix_sample", "source_cap_sample",
         "orders_rollup", "lineitem_corr", "user_customer_outer",
         "event_funnel", "user_retention", "table_expectations",
+        "snapshot_diff", "doc_token_entropy", "doc_skyline",
+        "event_type_user_overlap", "name_fuzzy_pairs",
     }, f"unexpected SQL-oracled entries below the driver prefix: {demoted_sql}"
 
 

@@ -2531,3 +2531,245 @@ WITH c AS (
 )
 SELECT check_name, violations, violations = 0 AS passed FROM c ORDER BY check_name
 """
+
+
+def q_snapshot_diff(sf_dir: str):
+    """Change-data-capture diff between two deterministic snapshots of
+    the orders table (stages/cdc.py snapshot_diff — ONE tagged-union
+    key-hash exchange; unchanged rows die inside their partition, so on
+    a 100 TB table with 1% daily churn the exchange emits ~1% of its
+    input).  OLD = orders minus keys ≡7 (mod 10), with totalprice
+    perturbed on keys ≡0 (mod 5) and status rewritten on keys ≡0
+    (mod 17); NEW = orders minus keys ≡3 (mod 13).  Output: one row per
+    added / removed / changed key with both sides' compared values
+    (absent side coalesced to ''/-1 exactly as the SQL oracle does)."""
+    from ..stages.cdc import snapshot_diff
+
+    base = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus", "o_totalprice"])
+
+    def make_old(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["o_orderkey"] % 10 != 7].copy()
+        k = b["o_orderkey"].to_numpy(np.int64)
+        price = b["o_totalprice"].to_numpy(np.float64).copy()
+        price[k % 5 == 0] += 1.5
+        status = b["o_orderstatus"].to_numpy(object).copy()
+        status[k % 17 == 0] = "X"
+        return pd.DataFrame(
+            {"o_orderkey": k, "o_orderstatus": status, "o_totalprice": price}
+        )
+
+    old = base.map_batches(make_old, batch_format="pandas")
+    new = base.map_batches(
+        lambda b: b[b["o_orderkey"] % 13 != 3], batch_format="pandas"
+    )
+    out = snapshot_diff(
+        old, new, "o_orderkey", ["o_orderstatus", "o_totalprice"]
+    ).to_pandas()
+    for c in ("old_o_orderstatus", "new_o_orderstatus"):
+        out[c] = out[c].fillna("")
+    for c in ("old_o_totalprice", "new_o_totalprice"):
+        out[c] = round_half_away(out[c].fillna(-1.0).to_numpy(np.float64), 2)
+    out["o_orderkey"] = out["o_orderkey"].astype(np.int64)
+    return out.sort_values("o_orderkey", kind="mergesort").reset_index(drop=True)
+
+
+SQL_SNAPSHOT_DIFF = """
+WITH old AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 17 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+         o_totalprice + CASE WHEN o_orderkey % 5 = 0 THEN 1.5 ELSE 0 END AS o_totalprice
+  FROM orders WHERE o_orderkey % 10 <> 7
+), new AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 13 <> 3
+)
+SELECT CAST(COALESCE(old.o_orderkey, new.o_orderkey) AS BIGINT) AS o_orderkey,
+       CASE WHEN old.o_orderkey IS NULL THEN 'added'
+            WHEN new.o_orderkey IS NULL THEN 'removed'
+            ELSE 'changed' END AS change,
+       COALESCE(old.o_orderstatus, '') AS old_o_orderstatus,
+       COALESCE(new.o_orderstatus, '') AS new_o_orderstatus,
+       round(COALESCE(old.o_totalprice, -1), 2) AS old_o_totalprice,
+       round(COALESCE(new.o_totalprice, -1), 2) AS new_o_totalprice
+FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+WHERE old.o_orderkey IS NULL OR new.o_orderkey IS NULL
+   OR old.o_orderstatus IS DISTINCT FROM new.o_orderstatus
+   OR old.o_totalprice IS DISTINCT FROM new.o_totalprice
+"""
+
+
+def q_doc_token_entropy(sf_dir: str):
+    """Per-doc Shannon entropy of the whitespace-token unigram
+    distribution (stages/textstats.py:token_entropy_batch — the
+    gibberish / boilerplate detector next to the Gopher repetition
+    signals).  Embarrassingly parallel: one exploded value_counts and a
+    grouped -(p·ln p) fold per batch, zero exchanges."""
+    from ..stages.textstats import token_entropy_batch
+
+    out = (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(token_entropy_batch, batch_format="pandas")
+        .to_pandas()
+    )
+    out["entropy"] = round_half_away(out["entropy"].to_numpy(np.float64), 4)
+    return out.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+
+
+SQL_DOC_TOKEN_ENTROPY = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), cnt AS (
+  SELECT doc_id, w, count(*) AS c FROM tok WHERE w <> '' GROUP BY 1, 2
+), tot AS (
+  SELECT doc_id, sum(c) AS n FROM cnt GROUP BY 1
+), ent AS (
+  SELECT cnt.doc_id,
+         round(sum(-(c / n) * ln(c / n)), 4) AS entropy,
+         CAST(tot.n AS BIGINT) AS n_tokens
+  FROM cnt JOIN tot USING (doc_id) GROUP BY cnt.doc_id, tot.n
+)
+SELECT d.doc_id,
+       COALESCE(ent.entropy, 0.0) AS entropy,
+       COALESCE(ent.n_tokens, 0) AS n_tokens
+FROM documents d LEFT JOIN ent ON d.doc_id = ent.doc_id
+"""
+
+
+def q_doc_skyline(sf_dir: str):
+    """Pareto frontier of documents maximizing (n_chars, lexical
+    diversity) — multi-criteria data selection via the distributed
+    skyline (stages/skyline.py: per-block local skyline kills dominated
+    rows BEFORE the exchange; frontiers are tiny so the exact merge is
+    driver-cheap, with a loud candidate cap)."""
+    from ..stages.skyline import skyline
+
+    def with_dims(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].str.split(" ").to_numpy(object)
+        lens = np.fromiter((len(t) for t in toks), np.int64, len(toks))
+        doc = np.repeat(np.arange(len(b), dtype=np.int64), lens)
+        flat = pd.DataFrame(
+            {"i": doc, "w": np.concatenate([np.asarray(t, object) for t in toks])}
+        )
+        flat = flat[flat["w"] != ""]
+        g = flat.groupby("i", sort=False)["w"]
+        nuniq = np.zeros(len(b), np.float64)
+        ntot = np.zeros(len(b), np.float64)
+        nuniq[g.nunique().index.to_numpy()] = g.nunique().to_numpy(np.float64)
+        ntot[g.size().index.to_numpy()] = g.size().to_numpy(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            div = np.where(ntot > 0, nuniq / ntot, 0.0)
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(np.int64),
+                "n_chars": b["n_chars"].to_numpy(np.int64),
+                "lex_div": div,
+            }
+        )
+
+    dims = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"]).map_batches(
+        with_dims, batch_format="pandas"
+    )
+    out = skyline(dims, dims=["n_chars", "lex_div"], keep_cols=["doc_id"])
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["n_chars"] = out["n_chars"].astype(np.int64)
+    out["lex_div"] = round_half_away(out["lex_div"].to_numpy(np.float64), 6)
+    return out.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+
+
+SQL_DOC_SKYLINE = """
+WITH m AS (
+  SELECT doc_id, n_chars,
+         CASE WHEN len(list_filter(string_split(text, ' '), x -> x <> '')) = 0
+              THEN 0.0
+              ELSE CAST(len(list_distinct(list_filter(string_split(text, ' '),
+                        x -> x <> ''))) AS DOUBLE)
+                   / len(list_filter(string_split(text, ' '), x -> x <> ''))
+         END AS lex_div
+  FROM documents
+)
+SELECT doc_id, n_chars, round(lex_div, 6) AS lex_div
+FROM m a
+WHERE NOT EXISTS (
+  SELECT 1 FROM m b
+  WHERE b.n_chars >= a.n_chars AND b.lex_div >= a.lex_div
+    AND (b.n_chars > a.n_chars OR b.lex_div > a.lex_div)
+)
+"""
+
+
+def q_event_type_user_overlap(sf_dir: str):
+    """Audience-overlap matrix: for every pair of event types, how many
+    distinct users did BOTH — the set-intersection (INTERSECT) primitive
+    behind funnel sizing and feature co-usage.  Plan: dedup to distinct
+    (user, type) inside user-hash partitions, expand each user's type
+    set to pairs with a per-partition self-merge (bounded: a user has at
+    most |types| rows), then a tiny (type_a, type_b) count combiner.
+    Two bounded exchanges, nothing quadratic in users."""
+    from ..stages.agg import combiner_agg
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def dedup_local(b: pd.DataFrame) -> pd.DataFrame:
+        f = b.drop_duplicates()
+        f = f.copy()
+        f["__p"] = (
+            pd.util.hash_array(f["user_id"].to_numpy()) % np.uint64(32)
+        ).astype(np.int64)
+        return f
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        f = g.drop_duplicates(["user_id", "event_type"])[["user_id", "event_type"]]
+        m = f.merge(f, on="user_id", suffixes=("_a", "_b"))
+        m = m[m["event_type_a"] < m["event_type_b"]]
+        return m[["event_type_a", "event_type_b"]].rename(
+            columns={"event_type_a": "type_a", "event_type_b": "type_b"}
+        )
+
+    pair_rows = (
+        ev.map_batches(dedup_local, batch_format="pandas")
+        .groupby("__p")
+        .map_groups(pairs, batch_format="pandas")
+    )
+    out = (
+        combiner_agg(pair_rows, ["type_a", "type_b"], [("n_users", None, "count")])
+        .to_pandas()
+        .sort_values(["type_a", "type_b"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    out["n_users"] = out["n_users"].astype(np.int64)
+    return out
+
+
+SQL_EVENT_TYPE_USER_OVERLAP = """
+WITH du AS (SELECT DISTINCT event_type, user_id FROM events)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM du a JOIN du b ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY 1, 2
+"""
+
+
+def q_name_fuzzy_pairs(sf_dir: str):
+    """Edit-distance-1 self-join over distinct customer names — fuzzy
+    entity matching through the deletion-neighborhood (FastSS/SymSpell)
+    exchange in stages/fuzzy.py.  The naive blocking (length + prefix)
+    degenerates to ONE O(N^2) block on ID-like names; deletion keys keep
+    every partition tiny and move each value only O(len) times.  The SQL
+    oracle is the exact unblocked quadratic levenshtein join."""
+    from ..stages.fuzzy import fuzzy_pairs_lev1
+
+    cust = _read(sf_dir, "customer", ["c_name"])
+    out = (
+        fuzzy_pairs_lev1(cust, "c_name", out_cols=("name_a", "name_b"))
+        .to_pandas()
+        .sort_values(["name_a", "name_b"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    return out
+
+
+SQL_NAME_FUZZY_PAIRS = """
+WITH w AS (SELECT DISTINCT c_name AS w FROM customer)
+SELECT a.w AS name_a, b.w AS name_b
+FROM w a JOIN w b ON a.w < b.w AND levenshtein(a.w, b.w) = 1
+"""

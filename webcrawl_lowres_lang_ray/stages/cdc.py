@@ -1,0 +1,90 @@
+"""Change-data-capture snapshot diff — the Delta-Lake/Iceberg-style
+"what changed between two table versions" operator a 100 TB ingest
+pipeline runs after every re-crawl: given OLD and NEW snapshots of the
+same logical table, emit one row per key whose state differs, labelled
+``added`` (key only in NEW), ``removed`` (key only in OLD) or
+``changed`` (key in both, any compared column differs).
+
+Plan (same tagged-union key-hash exchange as ``join.hash_join``): each
+side tags its rows with a side marker and a ``hash(key) % parts``
+partition id, both union into ONE groupby, and each partition runs a
+vectorized pandas outer merge + column compare on its slice.  Every row
+moves exactly once; unchanged rows die inside their partition and never
+re-enter the stream — on a 100 TB table where <1% changes per day the
+exchange output is ~1% of the input.
+
+Partitioning assumption: one key-partition's rows (from BOTH snapshots)
+fit in a worker; raise ``parts`` to shrink partitions.  NULL semantics:
+two NULLs compare equal (SQL ``IS DISTINCT FROM``), NULL vs value is a
+change.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+
+def snapshot_diff(
+    old: "ray.data.Dataset",
+    new: "ray.data.Dataset",
+    key: str,
+    compare_cols: list[str],
+    parts: int = 64,
+    include_unchanged: bool = False,
+) -> "ray.data.Dataset":
+    """Diff two snapshots keyed by ``key``.  Output columns:
+    ``key``, ``change`` ('added' | 'removed' | 'changed' [| 'unchanged']),
+    then ``old_<c>`` / ``new_<c>`` for every compared column (NaN/None on
+    the absent side of an added/removed row)."""
+    cols = [key] + list(compare_cols)
+
+    def tag(side: int):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            b = b[cols].copy()
+            b["__side"] = np.int64(side)
+            b["__dp"] = (
+                pd.util.hash_array(b[key].to_numpy()) % np.uint64(parts)
+            ).astype(np.int64)
+            return b
+
+        return fn
+
+    ot = old.map_batches(tag(0), batch_format="pandas")
+    nt = new.map_batches(tag(1), batch_format="pandas")
+
+    def diff_part(g: pd.DataFrame) -> pd.DataFrame:
+        og = g[g["__side"] == 0][cols]
+        ng = g[g["__side"] == 1][cols]
+        m = og.merge(
+            ng, on=key, how="outer", suffixes=("_old", "_new"), indicator=True
+        )
+        change = np.where(
+            m["_merge"].to_numpy() == "right_only",
+            "added",
+            np.where(m["_merge"].to_numpy() == "left_only", "removed", "changed"),
+        ).astype(object)
+        both = (m["_merge"].to_numpy() == "both")
+        if both.any():
+            same = np.ones(len(m), dtype=bool)
+            for c in compare_cols:
+                a, b = m[f"{c}_old"], m[f"{c}_new"]
+                # pandas eq treats NaN != NaN; OR in the both-null case to
+                # get IS DISTINCT FROM semantics
+                same &= (a.eq(b) | (a.isna() & b.isna())).to_numpy()
+            change[both & same] = "unchanged"
+        out = pd.DataFrame({key: m[key], "change": change})
+        for c in compare_cols:
+            out[f"old_{c}"] = m[f"{c}_old"]
+            out[f"new_{c}"] = m[f"{c}_new"]
+        if not include_unchanged:
+            out = out[out["change"] != "unchanged"]
+        return out
+
+    return (
+        ot.union(nt)
+        .groupby("__dp")
+        .map_groups(diff_part, batch_format="pandas")
+    )

@@ -531,3 +531,43 @@ def user_value_zscore(
         }
     )
     return out.sort_values(key_col, kind="mergesort").reset_index(drop=True)
+
+
+def token_entropy_batch(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """Per-doc Shannon entropy (nats) of the whitespace-token unigram
+    distribution — the classic gibberish / boilerplate detector (low
+    entropy = repeated tokens, SEO spam; used alongside the Gopher
+    repetition signals).  Pure per-batch map: explode tokens WITH their
+    doc ids, one (doc, token) value_counts, then a grouped
+    -(p·ln p) fold — no exchange, no Python per-row loop."""
+    texts = batch[text_col]
+    toks = texts.str.split(" ").to_numpy(object)
+    lens = np.fromiter((len(t) for t in toks), dtype=np.int64, count=len(toks))
+    doc_ids = np.repeat(batch["doc_id"].to_numpy(np.int64), lens)
+    flat = pd.DataFrame(
+        {"doc_id": doc_ids, "w": np.concatenate([np.asarray(t, object) for t in toks])}
+    )
+    flat = flat[flat["w"] != ""]
+    cnt = flat.groupby(["doc_id", "w"], sort=False).size().reset_index(name="c")
+    n = cnt.groupby("doc_id", sort=False)["c"].transform("sum").to_numpy(np.float64)
+    p = cnt["c"].to_numpy(np.float64) / n
+    cnt["term"] = -p * np.log(p)
+    agg = cnt.groupby("doc_id", sort=False).agg(
+        entropy=("term", "sum"), n_tokens=("c", "sum")
+    )
+    out = pd.DataFrame(
+        {
+            "doc_id": agg.index.to_numpy(np.int64),
+            "entropy": agg["entropy"].to_numpy(np.float64),
+            "n_tokens": agg["n_tokens"].to_numpy(np.int64),
+        }
+    )
+    # docs whose text is all-empty tokens vanish from flat; restore with 0
+    missing = batch.loc[~batch["doc_id"].isin(out["doc_id"]), "doc_id"]
+    if len(missing):
+        out = pd.concat(
+            [out, pd.DataFrame({"doc_id": missing.to_numpy(np.int64),
+                                "entropy": 0.0, "n_tokens": np.int64(0)})],
+            ignore_index=True,
+        )
+    return out
