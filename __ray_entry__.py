@@ -188,6 +188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_host_degrees": cq.q_crawl_host_degrees,
         "crawl_host_triangles": cq.q_crawl_host_triangles,
         "crawl_host_kcore": cq.q_crawl_host_kcore,
+        "crawl_host_distance": cq.q_crawl_host_distance,
         "crawl_dedup_clusters": cq.q_crawl_dedup_clusters,
         "crawl_line_dedup": cq.q_crawl_line_dedup,
         "event_value_quantiles_approx": q.q_event_value_quantiles_approx,

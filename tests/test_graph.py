@@ -311,3 +311,64 @@ class TestKCore:
         # every member of a 3-core has core degree >= 3
         if len(a):
             assert (a["core_deg"] >= 3).all()
+
+
+class TestBfsDistance:
+    def test_chain_graph_known_distances(self):
+        from webcrawl_lowres_lang_ray.stages.graph import bfs_distance
+
+        df = pd.DataFrame({"src": [0, 1, 2, 3], "dst": [1, 2, 3, 4]})
+        out = (
+            bfs_distance(_ds(df), np.array([0]), col_a="src", col_b="dst",
+                         directed=True, parts=4)
+            .to_pandas().sort_values("id").reset_index(drop=True)
+        )
+        assert dict(zip(out["id"], out["dist"])) == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4}
+
+    def test_unreachable_nodes_excluded_directed(self):
+        from webcrawl_lowres_lang_ray.stages.graph import bfs_distance
+
+        # 5 -> 0: 5 unreachable FROM 0 in the directed graph
+        df = pd.DataFrame({"src": [0, 5], "dst": [1, 0]})
+        out = bfs_distance(
+            _ds(df), np.array([0]), col_a="src", col_b="dst",
+            directed=True, parts=4
+        ).to_pandas()
+        assert set(out["id"]) == {0, 1}
+
+    def test_multi_source_takes_nearest_seed(self):
+        from webcrawl_lowres_lang_ray.stages.graph import bfs_distance
+
+        df = pd.DataFrame({"src": [0, 1, 2, 3], "dst": [1, 2, 3, 4]})
+        out = (
+            bfs_distance(_ds(df), np.array([0, 4]), col_a="src", col_b="dst",
+                         parts=4)  # undirected
+            .to_pandas().sort_values("id").reset_index(drop=True)
+        )
+        assert dict(zip(out["id"], out["dist"])) == {0: 0, 1: 1, 2: 2, 3: 1, 4: 0}
+
+    def test_random_graphs_match_serial_oracle(self):
+        from webcrawl_lowres_lang_ray.stages.graph import bfs_distance, bfs_numpy
+
+        df = _random_edges(n_nodes=60, n_edges=150, seed=11)
+        seeds = np.array([0, 7, 13])
+        for directed in (False, True):
+            got = (
+                bfs_distance(_ds(df), seeds, col_a="src", col_b="dst",
+                             directed=directed, parts=8)
+                .to_pandas().sort_values("id").reset_index(drop=True)
+            )
+            want = bfs_numpy(df, seeds, col_a="src", col_b="dst",
+                             directed=directed)
+            assert got.equals(want)
+
+    def test_crawl_host_distance_invariants(self):
+        import __ray_entry__ as e
+
+        out = e.queries()["crawl_host_distance"]("/root/testdata/sf0.001")
+        assert list(out.columns) == ["host", "dist"]
+        assert (out["dist"] >= 0).all()
+        assert len(out) > 0 and (out["dist"] == 0).any()
+        # deterministic across runs
+        out2 = e.queries()["crawl_host_distance"]("/root/testdata/sf0.001")
+        assert out.equals(out2)

@@ -889,3 +889,78 @@ def q_crawl_host_kcore(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(
         ["core_deg", "host"], ascending=[False, True], kind="mergesort"
     ).reset_index(drop=True)
+
+
+def q_crawl_host_distance(sf_dir: str) -> pd.DataFrame:
+    """Link-proximity of every host to the crawl's seed list: multi-source
+    BFS hop distance over the DIRECTED host link graph
+    (stages/graph.py:bfs_distance — the fully-exchanged frontier shape:
+    edges partitioned once, distance state node-partitioned and never
+    collected, only the per-round frontier moves).  This is the "crawl
+    depth by host" report — which hosts are N clicks from the seeds —
+    and the reachability pre-check before budgeting a deeper crawl.
+    Rows-only gate: serial BFS oracle parity in tests/test_graph.py."""
+    import os
+    from urllib.parse import urlparse
+
+    import pyarrow.parquet as pq
+
+    from ..stages.agg import combiner_agg
+    from ..stages.graph import bfs_distance, url_ids
+
+    corpus = corpus_dir_for_sf(sf_dir)
+    edge_urls = _corpus_link_edges(corpus)
+
+    def host_edges(b: pd.DataFrame) -> pd.DataFrame:
+        src = [urlparse(u).netloc for u in b["src_url"]]
+        dst = [urlparse(u).netloc for u in b["dst_url"]]
+        return pd.DataFrame(
+            {
+                "src": url_ids(src),
+                "dst": url_ids(dst),
+                "src_host": np.array(src, dtype=object),
+                "dst_host": np.array(dst, dtype=object),
+            }
+        )
+
+    hedges = edge_urls.map_batches(host_edges, batch_format="pandas").materialize()
+
+    seeds = pq.read_table(
+        os.path.join(corpus, "seeds.parquet"), columns=["url"]
+    ).to_pandas()
+    seed_hosts = sorted({urlparse(u).netloc for u in seeds["url"]})
+    seed_ids = url_ids(seed_hosts)
+
+    dist = bfs_distance(
+        hedges, seed_ids, col_a="src", col_b="dst", directed=True
+    ).to_pandas()
+
+    def vocab(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.concat(
+            [
+                pd.DataFrame({"id": b["src"], "host": b["src_host"]}),
+                pd.DataFrame({"id": b["dst"], "host": b["dst_host"]}),
+            ]
+        ).drop_duplicates("id")
+
+    names = (
+        combiner_agg(
+            hedges.map_batches(vocab, batch_format="pandas"),
+            ["id", "host"],
+            [("n", None, "count")],
+            parts=16,
+        )
+        .to_pandas()[["id", "host"]]
+        .drop_duplicates("id")
+    )
+    out = dist.merge(names, on="id", how="left")
+    # seed hosts that emit no links have no vocabulary row; restore
+    seed_map = dict(zip(seed_ids.tolist(), seed_hosts))
+    miss = out["host"].isna()
+    if miss.any():
+        out.loc[miss, "host"] = out.loc[miss, "id"].map(seed_map)
+    out = out[["host", "dist"]]
+    out["dist"] = out["dist"].astype(np.int64)
+    return out.sort_values(
+        ["dist", "host"], kind="mergesort"
+    ).reset_index(drop=True)

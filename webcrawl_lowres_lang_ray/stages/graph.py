@@ -854,3 +854,160 @@ def kcore_bruteforce(edges: "pd.DataFrame", k: int, a_col: str = "a", b_col: str
                     adj[m].discard(n)
             changed = True
     return {n: len(nb) for n, nb in adj.items()}
+
+
+# ---------------------------------------------------------------------------
+# multi-source BFS hop distance (frontier exchange)
+# ---------------------------------------------------------------------------
+
+
+def bfs_distance(
+    pairs_ds: "ray.data.Dataset",
+    seed_ids: np.ndarray,
+    col_a: str = "id_a",
+    col_b: str = "id_b",
+    directed: bool = False,
+    max_rounds: int = 64,
+    parts: int = 64,
+) -> "ray.data.Dataset":
+    """Multi-source BFS: hop distance from the nearest seed, for every
+    reachable node.  The crawl-depth / link-proximity primitive (how far
+    is each host from the seed list).
+
+    Fully-exchanged shape (the 10^10-node-safe one, unlike the
+    vertex-broadcast sweeps of ``connected_components``): edges are
+    key-hash partitioned by source ONCE; the distance state lives as a
+    node-partitioned Dataset the driver never collects.  Each round the
+    frontier (state rows flagged new last round — never the whole state)
+    is exchanged into the edge partitions and expanded to neighbor
+    proposals with one vectorized isin per partition; proposals then
+    min-merge into the state partitions (state wins: an already-reached
+    node always has a smaller dist).  The driver sees only the per-round
+    new-node COUNT; rounds = graph diameter (small-world web graphs:
+    <= ~10).  Returns the (id, dist) Dataset."""
+    import ray.data
+
+    def tag_edges(b: pd.DataFrame) -> pd.DataFrame:
+        src = b[col_a].to_numpy(np.int64)
+        dst = b[col_b].to_numpy(np.int64)
+        if not directed:
+            src, dst = np.concatenate([src, dst]), np.concatenate([dst, src])
+        f = pd.DataFrame({"src": src, "dst": dst}).drop_duplicates()
+        f["__ep"] = (
+            pd.util.hash_array(f["src"].to_numpy()) % np.uint64(parts)
+        ).astype(np.int64)
+        return f
+
+    edges = pairs_ds.map_batches(tag_edges, batch_format="pandas").materialize()
+
+    sp = lambda ids: (pd.util.hash_array(ids) % np.uint64(parts)).astype(np.int64)
+    seeds = np.unique(np.asarray(seed_ids, dtype=np.int64))
+    state = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "id": seeds,
+                "dist": np.int64(0),
+                "__new": np.int64(1),
+                "__sp": sp(seeds),
+            }
+        )
+    ).materialize()
+
+    for r in range(1, max_rounds + 1):
+
+        def front_rows(b: pd.DataFrame) -> pd.DataFrame:
+            f = b[b["__new"] == 1]
+            ids = f["id"].to_numpy(np.int64)
+            return pd.DataFrame(
+                {
+                    "src": ids,
+                    "dst": np.int64(-1),
+                    "__ep": (
+                        pd.util.hash_array(ids) % np.uint64(parts)
+                    ).astype(np.int64),
+                }
+            )
+
+        fds = state.map_batches(front_rows, batch_format="pandas")
+
+        def expand(g: pd.DataFrame) -> pd.DataFrame:
+            fr = g[g["dst"] == -1]["src"].to_numpy(np.int64)
+            eg = g[g["dst"] != -1]
+            hit = (
+                eg[np.isin(eg["src"].to_numpy(np.int64), fr)]["dst"]
+                .drop_duplicates()
+                .to_numpy(np.int64)
+            )
+            return pd.DataFrame(
+                {
+                    "id": hit,
+                    "dist": np.int64(r),
+                    "__new": np.int64(1),
+                    "__sp": (
+                        pd.util.hash_array(hit) % np.uint64(parts)
+                    ).astype(np.int64),
+                }
+            )
+
+        props = edges.union(fds).groupby("__ep").map_groups(
+            expand, batch_format="pandas"
+        )
+
+        def clear_new(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy()
+            b["__new"] = np.int64(0)
+            return b
+
+        def merge(g: pd.DataFrame) -> pd.DataFrame:
+            # state rows carry __new == 0 after clear; proposals == 1.
+            # sort puts the state row (smaller dist, BFS invariant) first;
+            # first-wins keeps it and drops duplicate proposals
+            f = g.sort_values(["id", "__new"], kind="mergesort")
+            return f.drop_duplicates("id")
+
+        state = (
+            state.map_batches(clear_new, batch_format="pandas")
+            .union(props)
+            .groupby("__sp")
+            .map_groups(merge, batch_format="pandas")
+            .materialize()
+        )
+        n_new = int(state.sum("__new") or 0)
+        if n_new == 0:
+            break
+
+    return state.map_batches(
+        lambda b: b[["id", "dist"]], batch_format="pandas"
+    )
+
+
+def bfs_numpy(
+    pairs: pd.DataFrame,
+    seed_ids,
+    col_a: str = "id_a",
+    col_b: str = "id_b",
+    directed: bool = False,
+) -> pd.DataFrame:
+    """Serial BFS oracle (tests)."""
+    from collections import deque
+
+    adj: dict[int, list[int]] = {}
+    for a, b in zip(pairs[col_a], pairs[col_b]):
+        adj.setdefault(int(a), []).append(int(b))
+        if not directed:
+            adj.setdefault(int(b), []).append(int(a))
+    dist = {int(s): 0 for s in set(int(x) for x in seed_ids)}
+    q = deque(dist)
+    while q:
+        u = q.popleft()
+        for v in adj.get(u, ()):
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    items = sorted(dist.items())
+    return pd.DataFrame(
+        {
+            "id": np.array([k for k, _ in items], dtype=np.int64),
+            "dist": np.array([v for _, v in items], dtype=np.int64),
+        }
+    )
