@@ -159,6 +159,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_skyline": q.q_doc_skyline,
         "event_type_user_overlap": q.q_event_type_user_overlap,
         "name_fuzzy_pairs": q.q_name_fuzzy_pairs,
+        "changelog_apply": q.q_changelog_apply,
+        "user_activity_streaks": q.q_user_activity_streaks,
+        "ann_hard_negatives": q.q_ann_hard_negatives,
+        "doc_bm25_search": q.q_doc_bm25_search,
         # --- rows-only: no SQL form (pytest-gated) ---
         "pack_sequences": q.q_pack_sequences,
         "doc_compression": q.q_doc_compression,
@@ -306,4 +310,12 @@ def oracle_sql() -> dict[str, str]:
         "event_type_user_overlap": q.SQL_EVENT_TYPE_USER_OVERLAP,
         # FastSS deletion-neighborhood lev-1 self-join vs exact quadratic
         "name_fuzzy_pairs": q.SQL_NAME_FUZZY_PAIRS,
+        # MERGE INTO / SCD-1 changelog upsert (inverse of snapshot_diff)
+        "changelog_apply": q.SQL_CHANGELOG_APPLY,
+        # gaps-and-islands consecutive-day streaks
+        "user_activity_streaks": q.SQL_USER_ACTIVITY_STREAKS,
+        # contrastive hard-negative mining (top-k cosine, label-excluded)
+        "ann_hard_negatives": q.SQL_ANN_HARD_NEGATIVES,
+        # BM25 ranked search (Lucene idf, k1=1.2 b=0.75)
+        "doc_bm25_search": q.SQL_DOC_BM25_SEARCH,
     }

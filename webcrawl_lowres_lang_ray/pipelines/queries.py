@@ -2773,3 +2773,245 @@ WITH w AS (SELECT DISTINCT c_name AS w FROM customer)
 SELECT a.w AS name_a, b.w AS name_b
 FROM w a JOIN w b ON a.w < b.w AND levenshtein(a.w, b.w) = 1
 """
+
+
+def q_changelog_apply(sf_dir: str):
+    """MERGE INTO / SCD-1 upsert: apply a deterministic CDC changelog
+    (upserts re-pricing keys ≡1 mod 7, inserts of fresh negative keys
+    for keys ≡0 mod 19, deletes of keys ≡2 mod 11 not already upserted)
+    to the orders base through stages/cdc.py:changelog_apply — ONE
+    tagged-union key-hash exchange, changelog-wins first-dedup per
+    partition, deletes dropped in place.  The inverse operator of
+    snapshot_diff."""
+    from ..stages.cdc import changelog_apply
+
+    base = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus", "o_totalprice"])
+
+    def make_changes(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["o_orderkey"].to_numpy(np.int64)
+        price = b["o_totalprice"].to_numpy(np.float64)
+        up = k % 7 == 1
+        ins = k % 19 == 0
+        dele = (k % 11 == 2) & ~up
+        return pd.DataFrame(
+            {
+                "o_orderkey": np.concatenate([k[up], -k[ins] - 1, k[dele]]),
+                "o_orderstatus": np.concatenate(
+                    [
+                        np.full(up.sum(), "U", dtype=object),
+                        np.full(ins.sum(), "N", dtype=object),
+                        b["o_orderstatus"].to_numpy(object)[dele],
+                    ]
+                ),
+                "o_totalprice": np.concatenate(
+                    [
+                        round_half_away(price[up] * 1.1, 2),
+                        np.full(ins.sum(), 1000.0),
+                        price[dele],
+                    ]
+                ),
+                "op": np.concatenate(
+                    [
+                        np.full(up.sum(), "upsert", dtype=object),
+                        np.full(ins.sum(), "upsert", dtype=object),
+                        np.full(dele.sum(), "delete", dtype=object),
+                    ]
+                ),
+            }
+        )
+
+    changes = base.map_batches(make_changes, batch_format="pandas")
+    out = changelog_apply(base, changes, "o_orderkey").to_pandas()
+    out["o_orderkey"] = out["o_orderkey"].astype(np.int64)
+    out["o_totalprice"] = round_half_away(
+        out["o_totalprice"].to_numpy(np.float64), 2
+    )
+    return out.sort_values("o_orderkey", kind="mergesort").reset_index(drop=True)
+
+
+SQL_CHANGELOG_APPLY = """
+WITH ch AS (
+  SELECT o_orderkey, 'U' AS o_orderstatus,
+         round(o_totalprice * 1.1, 2) AS o_totalprice, 'upsert' AS op
+  FROM orders WHERE o_orderkey % 7 = 1
+  UNION ALL
+  SELECT -o_orderkey - 1, 'N', 1000.0, 'upsert'
+  FROM orders WHERE o_orderkey % 19 = 0
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, o_totalprice, 'delete'
+  FROM orders WHERE o_orderkey % 11 = 2 AND o_orderkey % 7 <> 1
+)
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+       round(o_totalprice, 2) AS o_totalprice
+FROM (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM ch WHERE op = 'upsert'
+  UNION ALL
+  SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice
+  FROM orders o WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM ch)
+)
+"""
+
+
+def q_user_activity_streaks(sf_dir: str):
+    """Gaps-and-islands: per user, distinct active days and the longest
+    run of CONSECUTIVE days — the retention/engagement streak metric.
+    The SQL form needs the row_number() islands trick; here each
+    user-hash partition computes islands with one vectorized pass
+    (sorted day diffs != 1 start a new island, cumsum labels, grouped
+    sizes) after an in-partition (user, day) dedup.  One exchange; the
+    raw event stream collapses to user-days before it moves."""
+    from ..stages.agg import combiner_agg
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def days_local(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["ts"].to_numpy(dtype="datetime64[D]").astype(np.int64)
+        f = pd.DataFrame(
+            {"user_id": b["user_id"].to_numpy(np.int64), "day": d}
+        ).drop_duplicates()
+        f["__p"] = (
+            pd.util.hash_array(f["user_id"].to_numpy()) % np.uint64(32)
+        ).astype(np.int64)
+        return f
+
+    def streaks(g: pd.DataFrame) -> pd.DataFrame:
+        f = g.drop_duplicates(["user_id", "day"]).sort_values(
+            ["user_id", "day"], kind="mergesort"
+        )
+        u = f["user_id"].to_numpy(np.int64)
+        d = f["day"].to_numpy(np.int64)
+        new_island = np.r_[True, (u[1:] != u[:-1]) | (d[1:] != d[:-1] + 1)]
+        isl = np.cumsum(new_island)
+        t = pd.DataFrame({"user_id": u, "isl": isl})
+        sizes = t.groupby(["user_id", "isl"], sort=False).size().reset_index(name="s")
+        out = sizes.groupby("user_id", sort=False).agg(
+            longest_streak=("s", "max"), n_days=("s", "sum")
+        )
+        return pd.DataFrame(
+            {
+                "user_id": out.index.to_numpy(np.int64),
+                "n_days": out["n_days"].to_numpy(np.int64),
+                "longest_streak": out["longest_streak"].to_numpy(np.int64),
+            }
+        )
+
+    out = (
+        ev.map_batches(days_local, batch_format="pandas")
+        .groupby("__p")
+        .map_groups(streaks, batch_format="pandas")
+        .to_pandas()
+        .sort_values("user_id", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    return out
+
+
+SQL_USER_ACTIVITY_STREAKS = """
+WITH d AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), r AS (
+  SELECT user_id, day,
+         row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+  FROM d
+), g AS (
+  SELECT user_id, count(*) AS streak
+  FROM r GROUP BY user_id, day - CAST(rn AS INTEGER)
+)
+SELECT user_id,
+       CAST(sum(streak) AS BIGINT) AS n_days,
+       CAST(max(streak) AS BIGINT) AS longest_streak
+FROM g GROUP BY user_id
+"""
+
+
+def q_ann_hard_negatives(sf_dir: str):
+    """Hard-negative mining (stages/ann.py:hard_negatives): for each of
+    the 5 lowest-vec_id query embeddings, the 3 nearest-cosine vectors
+    with a DIFFERENT label — one broadcast query matrix, one matmul per
+    batch for all queries, <= k-per-query partials to the driver."""
+    import pyarrow.parquet as pq_
+    import os as os_
+
+    from ..stages.ann import hard_negatives
+
+    qt = pq_.read_table(
+        os_.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding", "label"],
+        filters=[("vec_id", "<", 5)],
+    ).to_pandas()
+    qt = qt.sort_values("vec_id")
+    qmat = np.stack([np.asarray(v, np.float64) for v in qt["embedding"]])
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    out = hard_negatives(
+        emb,
+        qt["vec_id"].to_numpy(np.int64),
+        qmat,
+        qt["label"].to_numpy(),
+        k=3,
+    )
+    out["qid"] = out["qid"].astype(np.int64)
+    out["vec_id"] = out["vec_id"].astype(np.int64)
+    return out
+
+
+SQL_ANN_HARD_NEGATIVES = """
+WITH q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe, label AS qlab
+  FROM embeddings WHERE vec_id < 5
+), s AS (
+  SELECT q.qid, e.vec_id,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 5)
+           AS score
+  FROM embeddings e CROSS JOIN q
+  WHERE e.label <> q.qlab
+), r AS (
+  SELECT qid, vec_id, score,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+  FROM s
+)
+SELECT qid, vec_id, score FROM r WHERE rn <= 3 ORDER BY qid, score DESC, vec_id
+"""
+
+
+def q_doc_bm25_search(sf_dir: str):
+    """Ranked full-text search: top-10 documents by BM25 (k1=1.2,
+    b=0.75, Lucene idf) for the fixed query ['scan','merge','sort']
+    through stages/bm25.py:bm25_topk — stats pass computes per-doc
+    (dl, tf) for the QUERY terms only, corpus constants fold from tiny
+    partials and broadcast once, score pass emits local top-k per batch.
+    No postings index is materialized, no global sort."""
+    from ..stages.bm25 import bm25_topk
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return bm25_topk(docs, ["scan", "merge", "sort"], k=10)
+
+
+SQL_DOC_BM25_SEARCH = """
+WITH s AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS dl,
+         len(list_filter(string_split(text, ' '), x -> x = 'scan')) AS tf0,
+         len(list_filter(string_split(text, ' '), x -> x = 'merge')) AS tf1,
+         len(list_filter(string_split(text, ' '), x -> x = 'sort')) AS tf2
+  FROM documents
+), c AS (
+  SELECT count(*) AS n,
+         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+         sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+         sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+         sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+  FROM s
+)
+SELECT doc_id,
+       round(
+         ln(1 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0 * 2.2
+           / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+       + ln(1 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1 * 2.2
+           / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+       + ln(1 + (n - df2 + 0.5) / (df2 + 0.5)) * tf2 * 2.2
+           / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 5) AS score
+FROM s, c
+ORDER BY score DESC, doc_id
+LIMIT 10
+"""

@@ -696,3 +696,74 @@ def label_centroids(
     return pd.DataFrame(rows, columns=[label_col, "dim", "mean_val"]).astype(
         {label_col: "int64", "dim": "int64", "mean_val": "float64"}
     )
+
+
+def hard_negatives(
+    ds: "ray.data.Dataset",
+    query_ids: np.ndarray,
+    query_mat: np.ndarray,
+    query_labels: np.ndarray,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_dp: int = 5,
+) -> pd.DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the k most-cosine-similar corpus vectors with a DIFFERENT
+    label — the near-misses a retrieval model must learn to separate
+    (DPR / SimCSE training-data construction).
+
+    Batched multi-query shape: the (Q, d) normalized query matrix +
+    labels broadcast once via ray.put; each batch does ONE matmul for
+    all queries, masks same-label columns, and emits <= k rows per
+    (query, batch) partials — the driver merge sees k x Q x n_batches
+    rows, never scores.  Returns (qid, vec_id, score) ordered per query."""
+    qm = np.asarray(query_mat, dtype=np.float64)
+    qn = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-300)
+    ref = ray.put(
+        (
+            np.asarray(query_ids, dtype=np.int64),
+            qn,
+            np.asarray(query_labels),
+        )
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        qids, qmat, qlabs = ray.get(ref)
+        mat = _batch_matrix(batch, vec_col)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        scores = round_half_away((mat / norms[:, None]) @ qmat.T, round_dp)
+        labs = batch[label_col].to_numpy()
+        ids = batch[id_col].to_numpy(np.int64)
+        outs = []
+        for j in range(len(qids)):
+            mask = labs != qlabs[j]
+            if not mask.any():
+                continue
+            sj = scores[mask, j]
+            ij = ids[mask]
+            order = np.lexsort((ij, -sj))[:k]
+            outs.append(
+                pd.DataFrame({"qid": qids[j], id_col: ij[order], "score": sj[order]})
+            )
+        if not outs:
+            return pd.DataFrame(
+                {
+                    "qid": pd.Series([], dtype=np.int64),
+                    id_col: pd.Series([], dtype=np.int64),
+                    "score": pd.Series([], dtype=np.float64),
+                }
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    allp = (
+        ds.select_columns([id_col, vec_col, label_col])
+        .map_batches(partial, batch_format="pandas")
+        .to_pandas()
+    )
+    allp = allp.sort_values(
+        ["qid", "score", id_col], ascending=[True, False, True], kind="mergesort"
+    )
+    return allp.groupby("qid", sort=True).head(k).reset_index(drop=True)

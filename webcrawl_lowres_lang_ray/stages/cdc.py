@@ -88,3 +88,56 @@ def snapshot_diff(
         .groupby("__dp")
         .map_groups(diff_part, batch_format="pandas")
     )
+
+
+def changelog_apply(
+    base: "ray.data.Dataset",
+    changes: "ray.data.Dataset",
+    key: str,
+    op_col: str = "op",
+    parts: int = 64,
+) -> "ray.data.Dataset":
+    """Apply a CDC changelog to a base snapshot (the MERGE INTO / SCD-1
+    upsert): ``changes`` rows carry ``op_col`` ∈ {'upsert', 'delete'}
+    plus the full new row; output = base with upserts replacing/adding
+    their keys and deletes removing theirs.  Inverse of
+    ``snapshot_diff``.
+
+    Same single tagged-union key-hash exchange: each partition sees every
+    row of its keys from BOTH inputs, applies the changelog with one
+    vectorized first-wins dedup (changelog outranks base), and drops
+    deletes.  A key appearing multiple times in the changelog is an
+    error the caller must pre-compact (last-wins compaction is itself a
+    combiner); this operator asserts uniqueness per key."""
+    data_cols = [c for c in base.schema().names]
+    assert key in data_cols
+
+    def tag(side: int, has_op: bool):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            f = b.copy()
+            f["__rank"] = np.int64(side)  # 0 = changelog (wins), 1 = base
+            if not has_op:
+                f[op_col] = "keep"
+            f["__cp"] = (
+                pd.util.hash_array(f[key].to_numpy()) % np.uint64(parts)
+            ).astype(np.int64)
+            return f[data_cols + [op_col, "__rank", "__cp"]]
+
+        return fn
+
+    bt = base.map_batches(tag(1, False), batch_format="pandas")
+    ct = changes.map_batches(tag(0, True), batch_format="pandas")
+
+    def apply_part(g: pd.DataFrame) -> pd.DataFrame:
+        ch = g[g["__rank"] == 0]
+        dup = ch[key].duplicated()
+        if dup.any():
+            raise ValueError(
+                f"changelog has {int(dup.sum())} duplicate keys (e.g. "
+                f"{ch.loc[dup, key].iloc[0]!r}) — compact it first"
+            )
+        f = g.sort_values([key, "__rank"], kind="mergesort").drop_duplicates(key)
+        f = f[f[op_col] != "delete"]
+        return f[data_cols]
+
+    return ct.union(bt).groupby("__cp").map_groups(apply_part, batch_format="pandas")
