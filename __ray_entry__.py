@@ -163,7 +163,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_activity_streaks": q.q_user_activity_streaks,
         "ann_hard_negatives": q.q_ann_hard_negatives,
         "doc_bm25_search": q.q_doc_bm25_search,
+        "token_pmi": q.q_token_pmi,
         # --- rows-only: no SQL form (pytest-gated) ---
+        "approx_type_overlap": q.q_approx_type_overlap,
         "pack_sequences": q.q_pack_sequences,
         "doc_compression": q.q_doc_compression,
         # --- crawl engine (rows-only; gated by oracle conformance tests) ---
@@ -318,4 +320,6 @@ def oracle_sql() -> dict[str, str]:
         "ann_hard_negatives": q.SQL_ANN_HARD_NEGATIVES,
         # BM25 ranked search (Lucene idf, k1=1.2 b=0.75)
         "doc_bm25_search": q.SQL_DOC_BM25_SEARCH,
+        # PMI collocations (partition-joined counts, vocabulary never moves)
+        "token_pmi": q.SQL_TOKEN_PMI,
     }

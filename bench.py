@@ -380,7 +380,11 @@ def run_opsoak(sizes=(10_000, 50_000)) -> dict:
         line_dedup,
         minhash_lsh_pairs,
     )
-    from webcrawl_lowres_lang_ray.stages.graph import triangle_count
+    from webcrawl_lowres_lang_ray.stages.bm25 import bm25_topk
+    from webcrawl_lowres_lang_ray.stages.cdc import snapshot_diff
+    from webcrawl_lowres_lang_ray.stages.fuzzy import fuzzy_pairs_lev1
+    from webcrawl_lowres_lang_ray.stages.graph import bfs_distance, triangle_count
+    from webcrawl_lowres_lang_ray.stages.skyline import skyline
 
     corpus = corpus_dir_for_pages(300_000)
     texts: list[str] = []
@@ -390,6 +394,7 @@ def run_opsoak(sizes=(10_000, 50_000)) -> dict:
         if len(texts) >= need:
             break
     texts = texts[:need]
+    BM25_TERMS = [w for w in texts[0].split()[:3] if w] or ["a", "b", "c"]
 
     def docs_ds(n: int):
         df = pd.DataFrame(
@@ -432,6 +437,35 @@ def run_opsoak(sizes=(10_000, 50_000)) -> dict:
         "cluster_representatives": cluster_representatives,
         "source_mix_sample": source_mix_sample,
         "source_cap_sample": lambda ds: source_cap_sample(ds, cap=1000),
+        # round-4 relational/IR tail
+        "snapshot_diff": lambda ds: snapshot_diff(
+            ds.map_batches(
+                lambda b: b[b["doc_id"] % 10 != 7], batch_format="pandas"
+            ),
+            ds,
+            "doc_id",
+            ["n_chars"],
+        ),
+        "fuzzy_pairs_lev1": lambda ds: fuzzy_pairs_lev1(
+            ds.map_batches(
+                lambda b: pd.DataFrame(
+                    {"name": [f"Name#{i:09d}" for i in b["doc_id"]]}
+                ),
+                batch_format="pandas",
+            ),
+            "name",
+        ),
+        "bm25_topk": lambda ds: bm25_topk(ds, BM25_TERMS, k=10),
+        "skyline": lambda ds: skyline(
+            ds.map_batches(
+                lambda b: b.assign(
+                    q=(b["doc_id"].to_numpy(np.int64) * 2654435761) % 1000
+                ),
+                batch_format="pandas",
+            ),
+            dims=["n_chars", "q"],
+            keep_cols=["doc_id"],
+        ),
     }
     results: dict = {}
     for n in sizes:
@@ -445,7 +479,10 @@ def run_opsoak(sizes=(10_000, 50_000)) -> dict:
             secs, rows = [], 0
             for _ in range(2):
                 t0 = time.time()
-                rows = fn(arg).count()
+                r = fn(arg)
+                rows = r.count() if hasattr(r, "count") and not isinstance(
+                    r, pd.DataFrame
+                ) else len(r)
                 secs.append(time.time() - t0)
             return round(min(secs), 3), rows
 
@@ -456,6 +493,11 @@ def run_opsoak(sizes=(10_000, 50_000)) -> dict:
         eds = edges_ds(n)
         sec, rows = best_of_2(triangle_count, eds)
         results.setdefault("triangle_count", {})[str(n)] = {"sec": sec, "rows": rows}
+        sec, rows = best_of_2(
+            lambda e: bfs_distance(e, np.array([0]), col_a="src", col_b="dst"),
+            eds,
+        )
+        results.setdefault("bfs_distance", {})[str(n)] = {"sec": sec, "rows": rows}
     size_ratio = sizes[-1] / sizes[0]
     for name, r in results.items():
         lo, hi = r[str(sizes[0])]["sec"], r[str(sizes[-1])]["sec"]

@@ -371,3 +371,77 @@ class TestBm25:
         ds = ray.data.from_pandas(pd.DataFrame(rows))
         out = bm25_topk(ds, ["term"], k=2).set_index("doc_id")
         assert out.loc[1, "score"] > out.loc[2, "score"]
+
+
+# ---------------------------------------------------------------------------
+# batch 3: PMI collocations + HLL pairwise overlap
+# ---------------------------------------------------------------------------
+
+
+def test_token_pmi_matches_duckdb_oracle():
+    import duckdb
+
+    import __ray_entry__ as e
+    from scripts.check_correctness import to_pandas, value_hash
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    mine = to_pandas(e.queries()["token_pmi"](SF))
+    theirs = con.execute(e.oracle_sql()["token_pmi"]).df()
+    assert len(mine) == len(theirs)
+    assert sorted(mine.columns) == sorted(theirs.columns)
+    assert value_hash(mine) == value_hash(theirs)
+
+
+class TestTokenPmi:
+    def test_planted_collocation_ranks_first(self):
+        import ray.data
+
+        from webcrawl_lowres_lang_ray.stages.textstats import token_pmi
+
+        # "foo bar" always adjacent; filler words shuffle freely
+        rows = [{"text": "foo bar " + " ".join(["w%d" % (i % 4)] * 6)}
+                for i in range(40)]
+        ds = ray.data.from_pandas(pd.DataFrame(rows))
+        out = token_pmi(ds, min_count=5, k=5)
+        assert (out.iloc[0]["w_a"], out.iloc[0]["w_b"]) == ("foo", "bar")
+
+    def test_min_count_filters(self):
+        import ray.data
+
+        from webcrawl_lowres_lang_ray.stages.textstats import token_pmi
+
+        rows = [{"text": "a b c d"}] * 3  # every bigram count = 3 < 5
+        ds = ray.data.from_pandas(pd.DataFrame(rows))
+        assert len(token_pmi(ds, min_count=5, k=5)) == 0
+
+
+class TestApproxPairOverlap:
+    def test_within_hll_error_of_exact(self):
+        import __ray_entry__ as e
+
+        approx = e.queries()["approx_type_overlap"](SF)
+        exact = e.queries()["event_type_user_overlap"](SF)
+        m = approx.merge(exact, on=["type_a", "type_b"])
+        assert len(m) == len(exact)  # same pair set
+        rel = (m["approx_overlap"] - m["n_users"]).abs() / m["n_users"]
+        assert rel.max() < 0.05
+
+    def test_disjoint_sets_near_zero(self):
+        import ray.data
+
+        from webcrawl_lowres_lang_ray.stages.sketch import approx_pair_overlap
+
+        df = pd.DataFrame(
+            {
+                "k": list(range(1000)) + list(range(1000, 2000)),
+                "g": ["a"] * 1000 + ["b"] * 1000,
+            }
+        )
+        out = approx_pair_overlap(
+            ray.data.from_pandas(df), "k", "g"
+        )
+        # disjoint: estimate must be tiny relative to set size
+        assert out.iloc[0]["approx_overlap"] < 50

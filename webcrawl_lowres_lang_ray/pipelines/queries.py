@@ -3015,3 +3015,54 @@ FROM s, c
 ORDER BY score DESC, doc_id
 LIMIT 10
 """
+
+
+def q_token_pmi(sf_dir: str):
+    """Top-20 adjacent-bigram collocations by PMI (Church & Hanks 1990)
+    through stages/textstats.py:token_pmi — local unigram+bigram count
+    partials, one combiner exchange, surviving bigrams join their
+    unigram counts via the generic partition hash join (the vocabulary
+    is never broadcast or collected)."""
+    from ..stages.textstats import token_pmi
+
+    docs = _read(sf_dir, "documents", ["text"])
+    return token_pmi(docs, min_count=5, k=20)
+
+
+SQL_TOKEN_PMI = """
+WITH t AS (
+  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS l FROM documents
+), uni AS (
+  SELECT w, count(*) AS c FROM (SELECT unnest(l) AS w FROM t) GROUP BY 1
+), nu AS (SELECT sum(c) AS n FROM uni),
+bi AS (
+  SELECT a, b, count(*) AS c_ab FROM (
+    SELECT l[i] AS a, l[i + 1] AS b
+    FROM t, LATERAL (SELECT unnest(range(1, len(l))) AS i) r
+  ) GROUP BY 1, 2
+), nb AS (SELECT sum(c_ab) AS n FROM bi)
+SELECT bi.a AS w_a, bi.b AS w_b, CAST(bi.c_ab AS BIGINT) AS c_ab,
+       round(ln((CAST(bi.c_ab AS DOUBLE) * nu.n * nu.n)
+                / (CAST(nb.n AS DOUBLE) * ua.c * ub.c)), 5) AS pmi
+FROM bi CROSS JOIN nu CROSS JOIN nb
+JOIN uni ua ON ua.w = bi.a
+JOIN uni ub ON ub.w = bi.b
+WHERE bi.c_ab >= 5
+ORDER BY pmi DESC, w_a, w_b
+LIMIT 20
+"""
+
+
+def q_approx_type_overlap(sf_dir: str):
+    """Sketch twin of event_type_user_overlap: pairwise distinct-user
+    intersections by HLL inclusion-exclusion (stages/sketch.py:
+    approx_pair_overlap) — register blobs on the exchange, never user
+    ids.  Rows-only; accuracy vs the exact operator pinned in
+    tests/test_relational_ops.py."""
+    from ..stages.sketch import approx_pair_overlap
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    out = approx_pair_overlap(ev, "user_id", "event_type")
+    return out.rename(
+        columns={"event_type_a": "type_a", "event_type_b": "type_b"}
+    ).sort_values(["type_a", "type_b"], kind="mergesort").reset_index(drop=True)

@@ -325,3 +325,68 @@ def approx_heavy_hitters(
         .head(k)
         .reset_index(drop=True)
     )
+
+
+def approx_pair_overlap(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    group_col: str,
+    p: int = 14,
+) -> pd.DataFrame:
+    """Approximate pairwise set-intersection sizes by HLL
+    inclusion-exclusion: |A∩B| ≈ est(A) + est(B) − est(A∪B), where the
+    union sketch is the register-wise max of the two group sketches —
+    the Theta/HLL answer to "how many distinct users did BOTH X and Y"
+    when the groups are too big to exchange raw keys.  One combiner
+    exchange carries 2^p-byte register blobs per (group, batch); the
+    driver folds one sketch per group (groups are bounded — event
+    types, sources) and intersects pairwise.  Signed error: unlike the
+    exact operator, estimates can go slightly negative on tiny
+    overlaps; clamped at 0."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for key, sub in b.groupby(group_col, sort=False):
+            h = pd.util.hash_array(sub[key_col].to_numpy()).astype(np.uint64)
+            rows.append((key, HyperLogLog(p).add_hashes(h).registers.tobytes()))
+        return pd.DataFrame(rows, columns=["__g", "regs"])
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        hll = HyperLogLog(p)
+        for blob in g["regs"]:
+            o = HyperLogLog(p)
+            o.registers = np.frombuffer(blob, dtype=np.uint8).copy()
+            hll.merge(o)
+        return pd.DataFrame(
+            [{"__g": g["__g"].iloc[0], "regs": hll.registers.tobytes()}]
+        )
+
+    folded = (
+        partials.groupby("__g").map_groups(merge, batch_format="pandas").to_pandas()
+    )
+    sketches = {}
+    for _, r in folded.iterrows():
+        h = HyperLogLog(p)
+        h.registers = np.frombuffer(r["regs"], dtype=np.uint8).copy()
+        sketches[r["__g"]] = h
+    keys = sorted(sketches)
+    rows = []
+    for i, a in enumerate(keys):
+        for b in keys[i + 1 :]:
+            u = HyperLogLog(p)
+            np.maximum(
+                sketches[a].registers, sketches[b].registers, out=u.registers
+            )
+            inter = (
+                sketches[a].estimate() + sketches[b].estimate() - u.estimate()
+            )
+            rows.append(
+                {
+                    group_col + "_a": a,
+                    group_col + "_b": b,
+                    "approx_overlap": int(round(max(inter, 0.0))),
+                }
+            )
+    return pd.DataFrame(rows)

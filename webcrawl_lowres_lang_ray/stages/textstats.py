@@ -571,3 +571,113 @@ def token_entropy_batch(batch: pd.DataFrame, text_col: str = "text") -> pd.DataF
             ignore_index=True,
         )
     return out
+
+
+def token_pmi(
+    ds: "ray.data.Dataset",
+    min_count: int = 5,
+    k: int = 20,
+    text_col: str = "text",
+    round_dp: int = 5,
+) -> pd.DataFrame:
+    """Top-k adjacent-bigram collocations by pointwise mutual information
+    (Church & Hanks 1990) — the statistical phrase detector:
+    pmi(a,b) = ln( (c_ab·N_uni²) / (N_bi·c_a·c_b) ).
+
+    One pass emits LOCAL unigram + bigram count partials (union schema,
+    one value_counts each per batch), one key-hash combiner exchange sums
+    them; surviving bigrams (>= min_count) join their unigram counts
+    through the generic partition hash join — the full vocabulary is
+    never broadcast or collected.  Totals fold from the same partials."""
+    import ray.data  # noqa: F401
+
+    from .agg import combiner_agg
+    from .join import hash_join
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b[text_col].str.split(" ").to_numpy(object)
+        toks = [np.asarray([w for w in t if w != ""], object) for t in toks]
+        uni = pd.Series(
+            np.concatenate(toks) if toks else np.array([], object)
+        ).value_counts()
+        pairs = [
+            t[:-1].astype(object) + "\x1f" + t[1:].astype(object)
+            for t in toks
+            if len(t) > 1
+        ]
+        bi = pd.Series(
+            np.concatenate(pairs) if pairs else np.array([], object)
+        ).value_counts()
+        return pd.DataFrame(
+            {
+                "kind": ["u"] * len(uni) + ["b"] * len(bi),
+                "key": list(uni.index) + list(bi.index),
+                "c": np.concatenate(
+                    [uni.to_numpy(np.int64), bi.to_numpy(np.int64)]
+                ),
+            }
+        )
+
+    counts = combiner_agg(
+        ds.map_batches(partials, batch_format="pandas"),
+        ["kind", "key"],
+        [("c", "c", "sum")],
+    ).materialize()
+
+    tot = counts.map_batches(
+        lambda b: b.groupby("kind", sort=False)["c"].sum().reset_index(),
+        batch_format="pandas",
+    ).to_pandas()
+    n_uni = int(tot.loc[tot["kind"] == "u", "c"].sum())
+    n_bi = int(tot.loc[tot["kind"] == "b", "c"].sum())
+
+    bi = counts.map_batches(
+        lambda b: (
+            lambda f: pd.DataFrame(
+                {
+                    "a": f["key"].str.split("\x1f").str[0],
+                    "b": f["key"].str.split("\x1f").str[1],
+                    "c_ab": f["c"].to_numpy(np.int64),
+                }
+            )
+        )(b[(b["kind"] == "b") & (b["c"] >= min_count)]),
+        batch_format="pandas",
+    )
+    uni = counts.map_batches(
+        lambda b: b[b["kind"] == "u"][["key", "c"]].rename(
+            columns={"key": "w", "c": "c_w"}
+        ),
+        batch_format="pandas",
+    )
+    j1 = hash_join(bi, uni, left_key="a", right_key="w")
+    j2 = hash_join(j1, uni, left_key="b", right_key="w", suffixes=("", "_b"))
+    f = j2.to_pandas()
+    if len(f) == 0:
+        # every bigram fell below min_count: an empty Dataset loses its
+        # schema on to_pandas(), so build the typed empty result here
+        return pd.DataFrame(
+            {
+                "w_a": pd.Series([], dtype=object),
+                "w_b": pd.Series([], dtype=object),
+                "c_ab": pd.Series([], dtype=np.int64),
+                "pmi": pd.Series([], dtype=np.float64),
+            }
+        )
+    ca = f["c_w"].to_numpy(np.float64)
+    cb = f["c_w_b"].to_numpy(np.float64)
+    cab = f["c_ab"].to_numpy(np.float64)
+    pmi = round_half_away(
+        np.log((cab * n_uni * n_uni) / (float(n_bi) * ca * cb)), round_dp
+    )
+    out = pd.DataFrame(
+        {
+            "w_a": f["a"],
+            "w_b": f["b"],
+            "c_ab": f["c_ab"].astype(np.int64),
+            "pmi": pmi,
+        }
+    )
+    out = out.sort_values(
+        ["pmi", "w_a", "w_b"], ascending=[False, True, True], kind="mergesort"
+    )
+    return out.head(k).reset_index(drop=True)
