@@ -164,8 +164,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_hard_negatives": q.q_ann_hard_negatives,
         "doc_bm25_search": q.q_doc_bm25_search,
         "token_pmi": q.q_token_pmi,
+        "event_transitions": q.q_event_transitions,
         # --- rows-only: no SQL form (pytest-gated) ---
         "approx_type_overlap": q.q_approx_type_overlap,
+        "crawl_host_hits": cq.q_crawl_host_hits,
         "pack_sequences": q.q_pack_sequences,
         "doc_compression": q.q_doc_compression,
         # --- crawl engine (rows-only; gated by oracle conformance tests) ---
@@ -322,4 +324,6 @@ def oracle_sql() -> dict[str, str]:
         "doc_bm25_search": q.SQL_DOC_BM25_SEARCH,
         # PMI collocations (partition-joined counts, vocabulary never moves)
         "token_pmi": q.SQL_TOKEN_PMI,
+        # first-order Markov transition matrix (lag-window parity)
+        "event_transitions": q.SQL_EVENT_TRANSITIONS,
     }

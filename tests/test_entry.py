@@ -62,7 +62,7 @@ def test_driver_prefix_is_fully_sql_oracled():
         "snapshot_diff", "doc_token_entropy", "doc_skyline",
         "event_type_user_overlap", "name_fuzzy_pairs",
         "changelog_apply", "user_activity_streaks", "ann_hard_negatives",
-        "doc_bm25_search", "token_pmi",
+        "doc_bm25_search", "token_pmi", "event_transitions",
     }, f"unexpected SQL-oracled entries below the driver prefix: {demoted_sql}"
 
 

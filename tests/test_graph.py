@@ -372,3 +372,31 @@ class TestBfsDistance:
         # deterministic across runs
         out2 = e.queries()["crawl_host_distance"]("/root/testdata/sf0.001")
         assert out.equals(out2)
+
+
+class TestHits:
+    def test_random_graph_matches_dense_oracle(self):
+        from webcrawl_lowres_lang_ray.stages.graph import hits, hits_numpy
+
+        df = _random_edges(n_nodes=50, n_edges=200, seed=5)
+        got = hits(_ds(df), "src", "dst").sort_values("id").reset_index(drop=True)
+        want = hits_numpy(df, "src", "dst")
+        assert got.equals(want)
+
+    def test_star_graph_separates_hub_from_authorities(self):
+        from webcrawl_lowres_lang_ray.stages.graph import hits
+
+        df = pd.DataFrame({"src": [0] * 5, "dst": [1, 2, 3, 4, 5]})
+        out = hits(_ds(df), "src", "dst").set_index("id")
+        assert out.loc[0, "hub"] == 1.0 and out.loc[0, "auth"] == 0.0
+        assert (out.loc[1:, "auth"] > 0.4).all()
+        assert (out.loc[1:, "hub"] == 0.0).all()
+
+    def test_crawl_host_hits_deterministic(self):
+        import __ray_entry__ as e
+
+        a = e.queries()["crawl_host_hits"]("/root/testdata/sf0.001")
+        b = e.queries()["crawl_host_hits"]("/root/testdata/sf0.001")
+        assert a.equals(b)
+        assert list(a.columns) == ["host", "hub", "auth"]
+        assert len(a) > 0

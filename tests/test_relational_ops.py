@@ -445,3 +445,22 @@ class TestApproxPairOverlap:
         )
         # disjoint: estimate must be tiny relative to set size
         assert out.iloc[0]["approx_overlap"] < 50
+
+
+def test_event_transitions_matches_duckdb_oracle():
+    import duckdb
+
+    import __ray_entry__ as e
+    from scripts.check_correctness import to_pandas, value_hash
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
+    )
+    mine = to_pandas(e.queries()["event_transitions"](SF))
+    theirs = con.execute(e.oracle_sql()["event_transitions"]).df()
+    assert len(mine) == len(theirs)
+    assert sorted(mine.columns) == sorted(theirs.columns)
+    assert value_hash(mine) == value_hash(theirs)
+    # probabilities normalize per from_type
+    assert mine.groupby("from_type")["p"].sum().between(0.999, 1.001).all()

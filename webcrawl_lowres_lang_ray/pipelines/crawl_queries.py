@@ -964,3 +964,58 @@ def q_crawl_host_distance(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(
         ["dist", "host"], kind="mergesort"
     ).reset_index(drop=True)
+
+
+def q_crawl_host_hits(sf_dir: str) -> pd.DataFrame:
+    """Hub/authority scores of the host link graph (Kleinberg 1999 HITS,
+    stages/graph.py:hits — alternating half-sweep power iteration,
+    broadcast score vector, per-batch partial sums).  Separates
+    directory-style hosts (high hub) from linked-to content hosts
+    (high authority) — a signal PageRank's single score conflates.
+    Rows-only gate: dense numpy oracle parity + star-graph values in
+    tests/test_graph.py."""
+    from urllib.parse import urlparse
+
+    from ..stages.agg import combiner_agg
+    from ..stages.graph import hits, url_ids
+
+    corpus = corpus_dir_for_sf(sf_dir)
+    edge_urls = _corpus_link_edges(corpus)
+
+    def host_edges(b: pd.DataFrame) -> pd.DataFrame:
+        src = [urlparse(u).netloc for u in b["src_url"]]
+        dst = [urlparse(u).netloc for u in b["dst_url"]]
+        return pd.DataFrame(
+            {
+                "src": url_ids(src),
+                "dst": url_ids(dst),
+                "src_host": np.array(src, dtype=object),
+                "dst_host": np.array(dst, dtype=object),
+            }
+        )
+
+    hedges = edge_urls.map_batches(host_edges, batch_format="pandas").materialize()
+    scores = hits(hedges, "src", "dst")
+
+    def vocab(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.concat(
+            [
+                pd.DataFrame({"id": b["src"], "host": b["src_host"]}),
+                pd.DataFrame({"id": b["dst"], "host": b["dst_host"]}),
+            ]
+        ).drop_duplicates("id")
+
+    names = (
+        combiner_agg(
+            hedges.map_batches(vocab, batch_format="pandas"),
+            ["id", "host"],
+            [("n", None, "count")],
+            parts=16,
+        )
+        .to_pandas()[["id", "host"]]
+        .drop_duplicates("id")
+    )
+    out = scores.merge(names, on="id", how="left")[["host", "hub", "auth"]]
+    return out.sort_values(
+        ["auth", "hub", "host"], ascending=[False, False, True], kind="mergesort"
+    ).reset_index(drop=True)

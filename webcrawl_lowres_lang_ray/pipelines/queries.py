@@ -3066,3 +3066,65 @@ def q_approx_type_overlap(sf_dir: str):
     return out.rename(
         columns={"event_type_a": "type_a", "event_type_b": "type_b"}
     ).sort_values(["type_a", "type_b"], kind="mergesort").reset_index(drop=True)
+
+
+def q_event_transitions(sf_dir: str):
+    """First-order Markov transition matrix over per-user time-ordered
+    event streams — the behavioral-model / anomaly-baseline primitive:
+    count and probability of (from_type -> to_type) steps.  One
+    user-hash exchange; each partition sorts ITS users' events once
+    (vectorized boundary-masked shift replaces the SQL lag window) and
+    emits local (from, to) counts; a tiny combiner sums the 25-row
+    matrix; probabilities normalize per from_type on the driver."""
+    from ..stages.agg import combiner_agg
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        f = b.copy()
+        f["__p"] = (
+            pd.util.hash_array(f["user_id"].to_numpy()) % np.uint64(32)
+        ).astype(np.int64)
+        return f
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        f = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = f["user_id"].to_numpy(np.int64)
+        t = f["event_type"].to_numpy(object)
+        same = u[1:] == u[:-1]
+        return pd.DataFrame({"from_type": t[:-1][same], "to_type": t[1:][same]})
+
+    counts = (
+        combiner_agg(
+            ev.map_batches(tag, batch_format="pandas")
+            .groupby("__p")
+            .map_groups(pairs, batch_format="pandas"),
+            ["from_type", "to_type"],
+            [("n", None, "count")],
+        )
+        .to_pandas()
+        .sort_values(["from_type", "to_type"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    counts["n"] = counts["n"].astype(np.int64)
+    tot = counts.groupby("from_type")["n"].transform("sum").to_numpy(np.float64)
+    counts["p"] = round_half_away(
+        counts["n"].to_numpy(np.float64) / tot, 5
+    )
+    return counts
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH s AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev
+  FROM events
+), c AS (
+  SELECT prev AS from_type, event_type AS to_type, count(*) AS n
+  FROM s WHERE prev IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+       round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type), 5) AS p
+FROM c
+"""

@@ -1011,3 +1011,115 @@ def bfs_numpy(
             "dist": np.array([v for _, v in items], dtype=np.int64),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities
+# ---------------------------------------------------------------------------
+
+
+def hits(
+    pairs_ds: "ray.data.Dataset",
+    col_a: str = "src",
+    col_b: str = "dst",
+    n_iter: int = 20,
+    round_dp: int = 6,
+) -> pd.DataFrame:
+    """HITS (Kleinberg 1999): hub/authority scores by alternating power
+    iteration — auth = A^T·hub then hub = A·auth, L2-normalized each
+    half-step (the classic formulation).  The link-spam-vs-directory
+    separator PageRank can't express (a page can be a great hub and a
+    terrible authority at once).
+
+    Vertex-state-broadcast shape like ``connected_components`` (the
+    needed score vector ``ray.put`` per half-sweep; each half-sweep is
+    ONE map over the edge blocks emitting per-batch partial sums) —
+    valid while the node vectors fit one process (~10^8); beyond that
+    the exchanged-ranks shape of ``pagerank()`` applies identically.
+    Fixed iteration count for cross-run determinism; multi-edges count
+    with multiplicity (both here and in the dense oracle)."""
+    import ray
+
+    ends = pairs_ds.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "id": np.unique(
+                    np.concatenate(
+                        [b[col_a].to_numpy(np.int64), b[col_b].to_numpy(np.int64)]
+                    )
+                )
+            }
+        ),
+        batch_format="pandas",
+    ).to_pandas()
+    ids = np.unique(ends["id"].to_numpy(np.int64))
+    n = len(ids)
+    hub = np.ones(n)
+    auth = np.ones(n)
+    edges = pairs_ds.materialize()
+
+    def half_sweep(vec: np.ndarray, out_end: str) -> np.ndarray:
+        """One A^T·vec (out_end='dst': auth from hubs) or A·vec
+        (out_end='src': hub from auths) as per-batch partial sums."""
+        ref = ray.put((ids, vec))
+        gather_src = out_end == "dst"
+
+        def sweep(b: pd.DataFrame) -> pd.DataFrame:
+            sids, v = ray.get(ref)
+            s = np.searchsorted(sids, b[col_a].to_numpy(np.int64))
+            d = np.searchsorted(sids, b[col_b].to_numpy(np.int64))
+            node, val = (d, v[s]) if gather_src else (s, v[d])
+            part = (
+                pd.DataFrame({"node": node, "v": val})
+                .groupby("node", sort=False)["v"]
+                .sum()
+            )
+            return pd.DataFrame({"node": part.index, "v": part.to_numpy()})
+
+        partials = edges.map_batches(sweep, batch_format="pandas").to_pandas()
+        out = np.zeros(n)
+        if len(partials):
+            np.add.at(
+                out, partials["node"].to_numpy(np.int64), partials["v"].to_numpy()
+            )
+        return out / (np.linalg.norm(out) or 1.0)
+
+    for _ in range(n_iter):
+        auth = half_sweep(hub, "dst")
+        hub = half_sweep(auth, "src")
+
+    return pd.DataFrame(
+        {
+            "id": ids,
+            "hub": np.round(hub, round_dp),
+            "auth": np.round(auth, round_dp),
+        }
+    )
+
+
+def hits_numpy(
+    pairs: pd.DataFrame,
+    col_a: str = "src",
+    col_b: str = "dst",
+    n_iter: int = 20,
+    round_dp: int = 6,
+) -> pd.DataFrame:
+    """Dense HITS oracle (tests)."""
+    ids = np.unique(
+        np.concatenate([pairs[col_a].to_numpy(), pairs[col_b].to_numpy()])
+    ).astype(np.int64)
+    n = len(ids)
+    s = np.searchsorted(ids, pairs[col_a].to_numpy(np.int64))
+    d = np.searchsorted(ids, pairs[col_b].to_numpy(np.int64))
+    A = np.zeros((n, n))
+    np.add.at(A, (s, d), 1.0)
+    hub = np.ones(n)
+    auth = np.ones(n)
+    for _ in range(n_iter):
+        auth = A.T @ hub
+        auth /= np.linalg.norm(auth) or 1.0
+        hub = A @ auth
+        hub /= np.linalg.norm(hub) or 1.0
+    return pd.DataFrame(
+        {"id": ids, "hub": np.round(hub, round_dp), "auth": np.round(auth, round_dp)}
+    )
