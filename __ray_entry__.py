@@ -165,6 +165,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bm25_search": q.q_doc_bm25_search,
         "token_pmi": q.q_token_pmi,
         "event_transitions": q.q_event_transitions,
+        "user_value_trend": q.q_user_value_trend,
+        "doc_weighted_sample": q.q_doc_weighted_sample,
+        "doc_containment": q.q_doc_containment,
         # --- rows-only: no SQL form (pytest-gated) ---
         "approx_type_overlap": q.q_approx_type_overlap,
         "crawl_host_hits": cq.q_crawl_host_hits,
@@ -326,4 +329,10 @@ def oracle_sql() -> dict[str, str]:
         "token_pmi": q.SQL_TOKEN_PMI,
         # first-order Markov transition matrix (lag-window parity)
         "event_transitions": q.SQL_EVENT_TRANSITIONS,
+        # per-user OLS slope from exact int64 moment sums
+        "user_value_trend": q.SQL_USER_VALUE_TREND,
+        # Efraimidis-Spirakis weighted sample (md5-deterministic draws)
+        "doc_weighted_sample": q.SQL_DOC_WEIGHTED_SAMPLE,
+        # one-sided containment join (excerpt/quote detection)
+        "doc_containment": q.SQL_DOC_CONTAINMENT,
     }

@@ -63,6 +63,7 @@ def test_driver_prefix_is_fully_sql_oracled():
         "event_type_user_overlap", "name_fuzzy_pairs",
         "changelog_apply", "user_activity_streaks", "ann_hard_negatives",
         "doc_bm25_search", "token_pmi", "event_transitions",
+        "user_value_trend", "doc_weighted_sample", "doc_containment",
     }, f"unexpected SQL-oracled entries below the driver prefix: {demoted_sql}"
 
 

@@ -464,3 +464,61 @@ def test_event_transitions_matches_duckdb_oracle():
     assert value_hash(mine) == value_hash(theirs)
     # probabilities normalize per from_type
     assert mine.groupby("from_type")["p"].sum().between(0.999, 1.001).all()
+
+
+# ---------------------------------------------------------------------------
+# batch 4: trend / weighted sample / containment
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "name", ["user_value_trend", "doc_weighted_sample", "doc_containment"]
+)
+def test_batch4_matches_duckdb_oracle(name):
+    import duckdb
+
+    import __ray_entry__ as e
+    from scripts.check_correctness import to_pandas, value_hash
+
+    con = duckdb.connect()
+    for t in ("documents", "events"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    mine = to_pandas(e.queries()[name](SF))
+    theirs = con.execute(e.oracle_sql()[name]).df()
+    assert len(mine) == len(theirs)
+    assert sorted(mine.columns) == sorted(theirs.columns)
+    assert value_hash(mine) == value_hash(theirs)
+
+
+class TestContainment:
+    def test_excerpt_detected_where_jaccard_misses(self):
+        import ray.data
+
+        from webcrawl_lowres_lang_ray.stages.dedup import ngram_jaccard_inverted
+
+        long = "w%d " * 50
+        long = " ".join(f"w{i}" for i in range(50))
+        short = " ".join(f"w{i}" for i in range(10, 16))  # excerpt of long
+        ds = ray.data.from_pandas(
+            pd.DataFrame({"doc_id": [1, 2], "text": [long, short]})
+        )
+        cont = ngram_jaccard_inverted(
+            ds, threshold=0.9, score="containment"
+        ).to_pandas()
+        assert len(cont) == 1 and cont.iloc[0]["cont_b"] == 1.0
+        jac = ngram_jaccard_inverted(ds, threshold=0.5).to_pandas()
+        assert len(jac) == 0  # symmetric jaccard misses the excerpt
+
+    def test_weighted_sample_prefers_heavy_docs(self):
+        """Statistical sanity: the ES sample over-represents high-weight
+        docs (mean sampled n_chars > corpus mean)."""
+        import __ray_entry__ as e
+        import pyarrow.parquet as pq_
+
+        out = e.queries()["doc_weighted_sample"](SF)
+        all_chars = pq_.read_table(
+            f"{SF}/documents.parquet", columns=["n_chars"]
+        ).to_pandas()["n_chars"]
+        assert out["n_chars"].mean() > all_chars.mean()

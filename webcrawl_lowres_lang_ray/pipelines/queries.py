@@ -3128,3 +3128,202 @@ SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
        round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type), 5) AS p
 FROM c
 """
+
+
+def q_user_value_trend(sf_dir: str):
+    """Per-user OLS trend (slope of value over time, units/day) from
+    EXACT integer moment sums, the lineitem_corr recipe: timestamps
+    quantized to integer seconds since 2024-01-01, values to 1e-4
+    micro-units, so the combiner exchange carries order-exact int64
+    partials and the closed-form slope is one deterministic IEEE
+    expression on both sides.  One bounded exchange (five sums/user);
+    no window, no sort."""
+    from ..stages.agg import combiner_agg
+
+    X0 = np.datetime64("2024-01-01", "us").astype(np.int64)
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        x = (
+            (b["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64) - X0)
+            // 1_000_000
+        ).astype(np.int64)
+        v = round_half_away(b["value"].to_numpy(np.float64) * 10000, 0).astype(
+            np.int64
+        )
+        return pd.DataFrame(
+            {
+                "user_id": b["user_id"].to_numpy(np.int64),
+                "x": x,
+                "v": v,
+                "xx": x * x,
+                "xv": x * v,
+            }
+        )
+
+    s = _combiner_agg(
+        ev.map_batches(prep, batch_format="pandas"),
+        ["user_id"],
+        [
+            ("n", None, "count"),
+            ("sx", "x", "sum"),
+            ("sy", "v", "sum"),
+            ("sxx", "xx", "sum"),
+            ("sxy", "xv", "sum"),
+        ],
+    )
+    n = s["n"].to_numpy(np.float64)
+    sx = s["sx"].to_numpy(np.float64)
+    sy = s["sy"].to_numpy(np.float64)
+    sxx = s["sxx"].to_numpy(np.float64)
+    sxy = s["sxy"].to_numpy(np.float64)
+    denom = n * sxx - sx * sx
+    keep = (s["n"].to_numpy(np.int64) >= 2) & (denom != 0)
+    slope = round_half_away(
+        (n * sxy - sx * sy) / denom * 86400 / 10000, 6
+    )
+    out = pd.DataFrame(
+        {
+            "user_id": s["user_id"].to_numpy(np.int64)[keep],
+            "n": s["n"].to_numpy(np.int64)[keep],
+            "slope_per_day": slope[keep],
+        }
+    )
+    return out.sort_values("user_id", kind="mergesort").reset_index(drop=True)
+
+
+SQL_USER_VALUE_TREND = """
+WITH qv AS (
+  SELECT user_id,
+         date_diff('second', TIMESTAMP '2024-01-01', ts) AS x,
+         CAST(round(value * 10000, 0) AS BIGINT) AS v
+  FROM events
+), s AS (
+  SELECT user_id, count(*) AS n, sum(x) AS sx, sum(v) AS sy,
+         sum(x * x) AS sxx, sum(x * v) AS sxy
+  FROM qv GROUP BY 1
+)
+SELECT user_id, CAST(n AS BIGINT) AS n,
+       round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+             * 86400 / 10000, 6) AS slope_per_day
+FROM s
+WHERE n >= 2 AND (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) <> 0
+"""
+
+
+def q_doc_weighted_sample(sf_dir: str):
+    """Weighted sampling WITHOUT replacement, k=50, weight = n_chars —
+    the Efraimidis–Spirakis (2006) one-pass reservoir scheme made
+    deterministic: each doc draws u from its md5(doc_id) hash and keys
+    on ln(u)/w (order-equivalent to u^(1/w)); the global top-k by key is
+    an exact weighted sample an independent engine reproduces bit-for-bit.
+    Per-batch local top-k partials, driver merges k x n_batches rows —
+    no global sort, no RNG state."""
+    import hashlib as _hl
+
+    k = 50
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(np.int64)
+        w = b["n_chars"].to_numpy(np.float64)
+        h = np.array(
+            [int(_hl.md5(str(i).encode()).hexdigest()[:8], 16) for i in ids],
+            dtype=np.float64,
+        )
+        u = (h + 1.0) / 4294967296.0
+        key = round_half_away(np.log(u) / w, 8)
+        order = np.lexsort((ids, -key))[:k]
+        return pd.DataFrame(
+            {
+                "doc_id": ids[order],
+                "n_chars": b["n_chars"].to_numpy(np.int64)[order],
+                "es_key": key[order],
+            }
+        )
+
+    allp = (
+        _read(sf_dir, "documents", ["doc_id", "n_chars"])
+        .map_batches(partial, batch_format="pandas")
+        .to_pandas()
+    )
+    allp = allp.sort_values(
+        ["es_key", "doc_id"], ascending=[False, True], kind="mergesort"
+    )
+    return allp.head(k).reset_index(drop=True)
+
+
+SQL_DOC_WEIGHTED_SAMPLE = """
+WITH h AS (
+  SELECT doc_id, n_chars,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS hx
+  FROM documents
+), v AS (
+  SELECT doc_id, n_chars,
+         (CAST(list_sum(list_transform(range(1, 9),
+             i -> (strpos('0123456789abcdef', substr(hx, CAST(i AS INTEGER), 1)) - 1)
+                  * power(16, 8 - i))) AS BIGINT) + 1) / 4294967296.0 AS u
+  FROM h
+)
+SELECT doc_id, n_chars, round(ln(u) / n_chars, 8) AS es_key
+FROM v
+ORDER BY es_key DESC, doc_id
+LIMIT 50
+"""
+
+
+def q_doc_containment(sf_dir: str):
+    """One-sided set-overlap (containment) join: pairs where
+    max(|A∩B|/|A|, |A∩B|/|B|) >= 0.5 over word-3-gram shingle sets —
+    the excerpt/quote detector symmetric Jaccard misses (a short doc
+    fully inside a long one).  Same PPJoin-family inverted-index
+    exchange as ngram_jaccard_inverted (score='containment'): no
+    all-pairs stage, nothing broadcast."""
+    from ..stages.dedup import ngram_jaccard_inverted
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = (
+        ngram_jaccard_inverted(docs, threshold=0.5, k=3, score="containment")
+        .to_pandas()
+        .sort_values(["id_a", "id_b"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    out["id_a"] = out["id_a"].astype(np.int64)
+    out["id_b"] = out["id_b"].astype(np.int64)
+    return out
+
+
+SQL_DOC_CONTAINMENT = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE
+           WHEN len(ws) = 0 THEN []::VARCHAR[]
+           WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+           ELSE list_distinct(list_transform(range(1, len(ws) - 1),
+                                             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+         END AS s
+  FROM w
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.s, b.s)) AS inter,
+         len(a.s) AS na, len(b.s) AS nb
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+), scored AS (
+  SELECT id_a, id_b,
+         CASE WHEN na = 0 AND nb = 0 THEN 1.0
+              WHEN na = 0 OR nb = 0 THEN 0.0
+              ELSE inter::DOUBLE / na END AS ca,
+         CASE WHEN na = 0 AND nb = 0 THEN 1.0
+              WHEN na = 0 OR nb = 0 THEN 0.0
+              ELSE inter::DOUBLE / nb END AS cb
+  FROM pairs
+)
+SELECT id_a, id_b, round(ca, 4) AS cont_a, round(cb, 4) AS cont_b
+FROM scored
+WHERE greatest(ca, cb) >= 0.5
+"""

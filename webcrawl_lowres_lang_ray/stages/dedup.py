@@ -664,6 +664,7 @@ def ngram_jaccard_inverted(
     text_col: str = "text",
     parts: int = _PAIR_PARTITIONS,
     round_dp: int = 4,
+    score: str = "jaccard",
 ) -> "ray.data.Dataset":
     """EXACT n-gram Jaccard >= threshold via an inverted-index
     set-similarity join — no all-pairs stage, no broadcast, no per-pair
@@ -851,14 +852,34 @@ def ngram_jaccard_inverted(
 
     def finish(b: pd.DataFrame) -> pd.DataFrame:
         if len(b) == 0:
+            cols = (
+                {"jaccard": pd.Series(dtype="float64")}
+                if score == "jaccard"
+                else {
+                    "cont_a": pd.Series(dtype="float64"),
+                    "cont_b": pd.Series(dtype="float64"),
+                }
+            )
             return pd.DataFrame(
                 {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
-                 "jaccard": pd.Series(dtype="float64")}
+                 **cols}
             )
         na = np.array([int.from_bytes(s, "big") for s in b["sig_a"]], dtype=np.int64)
         nb = np.array([int.from_bytes(s, "big") for s in b["sig_b"]], dtype=np.int64)
         inter = b["inter"].to_numpy(np.int64)
         both_empty = (na == 0) & (nb == 0)
+        if score == "containment":
+            # one-sided overlap: |A∩B| / |A| (excerpt/quote detection —
+            # a short doc fully inside a long one scores 1.0 though its
+            # Jaccard is tiny).  Both-empty -> 1.0; one-empty pairs never
+            # meet (no shared shingle) and are defined 0.
+            ca = np.where(both_empty, 1.0, inter / np.where(na == 0, 1, na))
+            cb = np.where(both_empty, 1.0, inter / np.where(nb == 0, 1, nb))
+            keep = np.maximum(ca, cb) >= threshold
+            out = b.loc[keep, ["id_a", "id_b"]].copy()
+            out["cont_a"] = np.round(ca[keep], round_dp)
+            out["cont_b"] = np.round(cb[keep], round_dp)
+            return out.reset_index(drop=True)
         denom = np.where(both_empty, 1, na + nb - inter)
         jac = np.where(both_empty, 1.0, inter / denom)
         keep = jac >= threshold
