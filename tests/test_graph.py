@@ -400,3 +400,22 @@ class TestHits:
         assert a.equals(b)
         assert list(a.columns) == ["host", "hub", "auth"]
         assert len(a) > 0
+
+    def test_long_chain_many_rounds_stays_coalesced(self):
+        """A 40-chain forces 40 BFS rounds — exercises the per-round
+        block-coalesce guard (without it, union+sort fragmentation
+        compounds per round and the driver drowns in tiny blocks)."""
+        from webcrawl_lowres_lang_ray.stages.graph import bfs_distance
+
+        n = 40
+        df = pd.DataFrame(
+            {"src": np.arange(n - 1, dtype=np.int64),
+             "dst": np.arange(1, n, dtype=np.int64)}
+        )
+        out = bfs_distance(
+            _ds(df), np.array([0]), col_a="src", col_b="dst",
+            directed=True, parts=4, max_rounds=n + 2,
+        )
+        assert out.num_blocks() <= 8  # 2 * parts
+        got = out.to_pandas().sort_values("id").reset_index(drop=True)
+        assert (got["dist"].to_numpy() == np.arange(n)).all()
