@@ -189,6 +189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_thumbnail": cq.q_multimodal_thumbnail,
         "multimodal_audio_features": cq.q_multimodal_audio_features,
         "multimodal_image_stats": cq.q_multimodal_image_stats,
+        "multimodal_phash_dedup": cq.q_multimodal_phash_dedup,
         "lexicon_regen": cq.q_lexicon_regen,
         "lexicon_growth": cq.q_lexicon_growth,
         "query_generation": cq.q_query_generation,

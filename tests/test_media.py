@@ -259,3 +259,36 @@ class TestImageStats:
         b = q_multimodal_image_stats("/root/testdata/sf0.001")
         pd.testing.assert_frame_equal(a, b)
         assert len(a) > 50
+
+
+class TestPhashDedup:
+    def test_dhash_invariants(self):
+        import numpy as np
+
+        from webcrawl_lowres_lang_ray.functions.media import resize_nearest
+        from webcrawl_lowres_lang_ray.stages.multimodal import dhash64
+
+        r = np.arange(24)[:, None] // 2
+        c = np.arange(32)[None, :] // 3
+        img = (255 * ((r + c) % 2)).astype(np.uint8)[..., None].repeat(3, 2)
+        h0 = dhash64(img)
+        assert dhash64(img) == h0  # deterministic
+        up = resize_nearest(img, 48, 64)
+        assert bin(h0 ^ dhash64(up)).count("1") <= 7  # resize-robust
+        inv = 255 - img
+        assert bin(h0 ^ dhash64(inv)).count("1") >= 50  # inversion flips
+
+    def test_planted_pairs_found_no_false_positives(self):
+        import __ray_entry__ as e
+
+        out = e.queries()["multimodal_phash_dedup"]("/root/testdata/sf0.001")
+        got = set(zip(out["id_a"], out["id_b"]))
+        assert got == {(2000 + j, 3000 + j) for j in range(5)}
+        assert (out["hamming"] <= 7).all()
+
+    def test_deterministic(self):
+        import __ray_entry__ as e
+
+        a = e.queries()["multimodal_phash_dedup"]("/root/testdata/sf0.001")
+        b = e.queries()["multimodal_phash_dedup"]("/root/testdata/sf0.001")
+        assert a.equals(b)

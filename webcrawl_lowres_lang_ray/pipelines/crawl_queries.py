@@ -1019,3 +1019,37 @@ def q_crawl_host_hits(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(
         ["auth", "hub", "host"], ascending=[False, False, True], kind="mergesort"
     ).reset_index(drop=True)
+
+
+def q_multimodal_phash_dedup(sf_dir: str) -> pd.DataFrame:
+    """Image near-duplicate detection by 64-bit perceptual dHash
+    (stages/multimodal.py: actor-pool PNG decode -> block-mean dHash ->
+    SimHash-style 16-bit band partitioning, hamming <= 3 verified by
+    vectorized popcount — nothing quadratic, nothing broadcast).  The
+    synthetic corpus plants 2x-upscaled copies of five PNGs; the
+    operator must pair each with its original.  Rows-only gate:
+    planted-pair recall + determinism in tests/test_media.py."""
+    import json as _json
+
+    from ..functions.media import png_encode, resize_nearest
+    from ..stages.multimodal import phash_near_pairs, synth_media_batch
+
+    media = synth_media_batch(200)
+    # plant STRUCTURED images (gradients — dHash is knife-edge on pure
+    # noise, by design: no perceptual structure means no stable hash)
+    # with a 2x nearest-upscaled near-copy each
+    extra = []
+    for j in range(5):
+        h, w = 24 + 4 * j, 32 + 4 * j
+        r = np.arange(h)[:, None] // (j + 2)
+        c = np.arange(w)[None, :] // (j + 3)
+        img = (255 * ((r + c) % 2)).astype(np.uint8)[..., None].repeat(3, axis=2)
+        meta = _json.dumps({"source": "planted"})
+        extra.append((2000 + j, "image/png", png_encode(img), meta))
+        up = resize_nearest(img, h * 2, w * 2)
+        extra.append((3000 + j, "image/png", png_encode(up), meta))
+    planted = pd.concat(
+        [media, pd.DataFrame(extra, columns=list(media.columns))],
+        ignore_index=True,
+    )
+    return phash_near_pairs(ray.data.from_pandas(planted), max_hamming=7)

@@ -279,3 +279,140 @@ class ImageStatStage:
         for c in ("mean_lum", "std_lum", "entropy_bits"):
             out[c] = round_half_away(out[c].to_numpy(np.float64), 4)
         return out
+
+
+def dhash64(arr: "np.ndarray") -> int:
+    """64-bit difference hash (dHash): grayscale -> block-mean downscale
+    to 9x8 -> adjacent-column compare.  Robust to re-encode, resize and
+    mild noise; the standard cheap perceptual image fingerprint."""
+    a = arr.astype(np.float64)
+    if a.ndim == 3:
+        a = a.mean(axis=2)
+    h, w = a.shape
+    # block-mean resize to 8 rows x 9 cols via bin-edge slicing
+    ri = np.linspace(0, h, 9).astype(int)
+    ci = np.linspace(0, w, 10).astype(int)
+    g = np.empty((8, 9))
+    for r in range(8):
+        for c in range(9):
+            block = a[ri[r]:max(ri[r + 1], ri[r] + 1),
+                      ci[c]:max(ci[c + 1], ci[c] + 1)]
+            g[r, c] = block.mean()
+    bits = (g[:, 1:] > g[:, :-1]).ravel()
+    out = 0
+    for b in bits:
+        out = (out << 1) | int(b)
+    return out
+
+
+class PHashStage:
+    """Actor-pool perceptual-hash stage: PNG payloads -> 64-bit dHash.
+    Non-PNG rows carry ok=False (a sentinel hash value would COLLIDE:
+    half of all 64-bit hashes are negative as int64)."""
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        hashes, oks = [], []
+        for mt, p in zip(batch["media_type"], batch["payload"]):
+            if mt != "image/png":
+                hashes.append(np.int64(0))
+                oks.append(False)
+                continue
+            hashes.append(np.uint64(dhash64(png_decode(p))).view(np.int64))
+            oks.append(True)
+        return pd.DataFrame(
+            {
+                "media_id": batch["media_id"].to_numpy(np.int64),
+                "phash": np.array(hashes, dtype=np.int64),
+                "ok": np.array(oks, dtype=bool),
+            }
+        )
+
+
+def phash_near_pairs(
+    ds: "ray.data.Dataset",
+    max_hamming: int = 7,
+    parts: int = 32,
+) -> pd.DataFrame:
+    """Image near-duplicate pairs by dHash hamming distance <= k, the
+    SimHash band trick: split the 64-bit hash into 8 8-bit bands —
+    hamming <= 7 guarantees at least one identical band (pigeonhole), so
+    candidates come from band-keyed partitions (nothing quadratic,
+    nothing broadcast) and one vectorized popcount verifies.  A 2x
+    nearest resize of a structured image lands at hamming 4-6 (block-bin
+    truncation), so 7 is the right default for resize-robust near-dup;
+    max_hamming above 7 would need more bands."""
+    assert max_hamming <= 7, "8x8-bit banding guarantees recall only to 7"
+    hashed = ds.map_batches(
+        PHashStage, batch_format="pandas", batch_size=16, concurrency=2
+    )
+
+    def bands(b: pd.DataFrame) -> pd.DataFrame:
+        f = b[b["ok"]]
+        h = f["phash"].to_numpy(np.int64).view(np.uint64)
+        ids = f["media_id"].to_numpy(np.int64)
+        outs = []
+        for i in range(8):
+            band = ((h >> np.uint64(8 * i)) & np.uint64(0xFF)).astype(np.int64)
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "media_id": ids,
+                        "phash": f["phash"].to_numpy(np.int64),
+                        "bkey": band * 8 + i,
+                    }
+                )
+            )
+        f2 = pd.concat(outs, ignore_index=True)
+        f2["__bp"] = (
+            pd.util.hash_array(f2["bkey"].to_numpy()) % np.uint64(parts)
+        ).astype(np.int64)
+        return f2
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        f = g.drop_duplicates(["media_id", "bkey"])
+        m = f.merge(f, on="bkey", suffixes=("_a", "_b"))
+        m = m[m["media_id_a"] < m["media_id_b"]]
+        if not len(m):
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series([], dtype=np.int64),
+                    "id_b": pd.Series([], dtype=np.int64),
+                    "hamming": pd.Series([], dtype=np.int64),
+                }
+            )
+        x = m["phash_a"].to_numpy(np.int64).view(np.uint64) ^ m[
+            "phash_b"
+        ].to_numpy(np.int64).view(np.uint64)
+        ham = np.zeros(len(m), dtype=np.int64)
+        v = x.copy()
+        for _ in range(64):
+            ham += (v & np.uint64(1)).astype(np.int64)
+            v >>= np.uint64(1)
+        keep = ham <= max_hamming
+        return pd.DataFrame(
+            {
+                "id_a": m["media_id_a"].to_numpy(np.int64)[keep],
+                "id_b": m["media_id_b"].to_numpy(np.int64)[keep],
+                "hamming": ham[keep],
+            }
+        ).drop_duplicates(["id_a", "id_b"])
+
+    out = (
+        hashed.map_batches(bands, batch_format="pandas")
+        .groupby("__bp")
+        .map_groups(pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(out) == 0:
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype=np.int64),
+                "id_b": pd.Series([], dtype=np.int64),
+                "hamming": pd.Series([], dtype=np.int64),
+            }
+        )
+    return (
+        out.drop_duplicates(["id_a", "id_b"])
+        .sort_values(["id_a", "id_b"], kind="mergesort")
+        .reset_index(drop=True)
+    )
