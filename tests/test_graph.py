@@ -415,7 +415,7 @@ class TestHits:
         out = bfs_distance(
             _ds(df), np.array([0]), col_a="src", col_b="dst",
             directed=True, parts=4, max_rounds=n + 2,
-        )
+        ).materialize()
         assert out.num_blocks() <= 8  # 2 * parts
         got = out.to_pandas().sort_values("id").reset_index(drop=True)
         assert (got["dist"].to_numpy() == np.arange(n)).all()
