@@ -168,6 +168,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_trend": q.q_user_value_trend,
         "doc_weighted_sample": q.q_doc_weighted_sample,
         "doc_containment": q.q_doc_containment,
+        "events_cube": q.q_events_cube,
+        "token_chi2": q.q_token_chi2,
         # --- rows-only: no SQL form (pytest-gated) ---
         "approx_type_overlap": q.q_approx_type_overlap,
         "crawl_host_hits": cq.q_crawl_host_hits,
@@ -336,4 +338,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_weighted_sample": q.SQL_DOC_WEIGHTED_SAMPLE,
         # one-sided containment join (excerpt/quote detection)
         "doc_containment": q.SQL_DOC_CONTAINMENT,
+        # GROUP BY CUBE from one finest-grain combiner pass
+        "events_cube": q.SQL_EVENTS_CUBE,
+        # chi-square token-language feature selection
+        "token_chi2": q.SQL_TOKEN_CHI2,
     }

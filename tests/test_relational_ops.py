@@ -522,3 +522,59 @@ class TestContainment:
             f"{SF}/documents.parquet", columns=["n_chars"]
         ).to_pandas()["n_chars"]
         assert out["n_chars"].mean() > all_chars.mean()
+
+
+@pytest.mark.parametrize("name", ["events_cube", "token_chi2"])
+def test_batch5_matches_duckdb_oracle(name):
+    import duckdb
+
+    import __ray_entry__ as e
+    from scripts.check_correctness import to_pandas, value_hash
+
+    con = duckdb.connect()
+    for t in ("documents", "events"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    mine = to_pandas(e.queries()[name](SF))
+    theirs = con.execute(e.oracle_sql()[name]).df()
+    assert len(mine) == len(theirs)
+    assert sorted(mine.columns) == sorted(theirs.columns)
+    assert value_hash(mine) == value_hash(theirs)
+
+
+class TestCube:
+    def test_levels_are_consistent(self):
+        import __ray_entry__ as e
+
+        out = e.queries()["events_cube"](SF)
+        grand = out[(out["event_type"] == "ALL") & (out["hr_key"] == "ALL")]
+        fine = out[(out["event_type"] != "ALL") & (out["hr_key"] != "ALL")]
+        by_type = out[(out["event_type"] != "ALL") & (out["hr_key"] == "ALL")]
+        assert len(grand) == 1
+        assert grand["n"].iloc[0] == fine["n"].sum() == by_type["n"].sum()
+
+
+class TestChi2:
+    def test_planted_exclusive_token_dominates(self):
+        """A token appearing ONLY in one lang's docs must top that lang."""
+        import tempfile, os
+
+        from webcrawl_lowres_lang_ray.pipelines.queries import q_token_chi2
+
+        rows = []
+        for i in range(40):
+            lang = "aa" if i % 2 == 0 else "bb"
+            marker = "onlyaa" if lang == "aa" else "onlybb"
+            rows.append(
+                {"doc_id": i, "lang": lang,
+                 "text": f"{marker} common filler words here"}
+            )
+        with tempfile.TemporaryDirectory() as td:
+            pd.DataFrame(rows).to_parquet(os.path.join(td, "documents.parquet"))
+            out = q_token_chi2(td)
+        top = out.sort_values(["lang", "chi2"], ascending=[True, False]).groupby(
+            "lang"
+        ).head(1)
+        got = dict(zip(top["lang"], top["w"]))
+        assert got == {"aa": "onlyaa", "bb": "onlybb"}

@@ -3327,3 +3327,167 @@ SELECT id_a, id_b, round(ca, 4) AS cont_a, round(cb, 4) AS cont_b
 FROM scored
 WHERE greatest(ca, cb) >= 0.5
 """
+
+
+def q_events_cube(sf_dir: str):
+    """GROUP BY CUBE(event_type, hour) — all four aggregation levels
+    (fine, by-type, by-hour, grand total) from ONE combiner pass at the
+    finest grain; the coarser levels fold from that tiny (type, hour)
+    result on the driver, never a second scan.  Values summed as exact
+    1e-4 integer units so the distributed sum is order-exact; rolled-up
+    dims use the 'ALL' sentinel."""
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        ts = b["ts"].to_numpy(dtype="datetime64[us]")
+        hours = (ts.astype(np.int64) // 3_600_000_000) % 24
+        return pd.DataFrame(
+            {
+                "event_type": b["event_type"].to_numpy(object),
+                "hr": hours.astype(np.int64),
+                "v": round_half_away(
+                    b["value"].to_numpy(np.float64) * 10000, 0
+                ).astype(np.int64),
+            }
+        )
+
+    fine = _combiner_agg(
+        _read(sf_dir, "events", ["event_type", "ts", "value"]).map_batches(
+            prep, batch_format="pandas"
+        ),
+        ["event_type", "hr"],
+        [("n", None, "count"), ("c", "v", "sum")],
+    )
+    fine["hr_key"] = fine["hr"].astype(np.int64).astype(str)
+
+    def level(keys: list[str]) -> pd.DataFrame:
+        if keys:
+            g = fine.groupby(keys, as_index=False).agg(
+                n=("n", "sum"), c=("c", "sum")
+            )
+        else:
+            g = pd.DataFrame({"n": [int(fine["n"].sum())], "c": [int(fine["c"].sum())]})
+        for col in ("event_type", "hr_key"):
+            if col not in g.columns:
+                g[col] = "ALL"
+        return g[["event_type", "hr_key", "n", "c"]]
+
+    out = pd.concat(
+        [level(["event_type", "hr_key"]), level(["event_type"]),
+         level(["hr_key"]), level([])],
+        ignore_index=True,
+    )
+    out["n"] = out["n"].astype(np.int64)
+    out["total_value"] = round_half_away(
+        out["c"].to_numpy(np.float64) / 10000.0, 4
+    )
+    out = out.drop(columns=["c"])
+    return out.sort_values(
+        ["event_type", "hr_key"], kind="mergesort"
+    ).reset_index(drop=True)
+
+
+SQL_EVENTS_CUBE = """
+WITH e AS (
+  SELECT event_type, EXTRACT(hour FROM ts) AS hr,
+         CAST(round(value * 10000, 0) AS BIGINT) AS v
+  FROM events
+)
+SELECT COALESCE(event_type, 'ALL') AS event_type,
+       COALESCE(CAST(hr AS VARCHAR), 'ALL') AS hr_key,
+       CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(v) AS DOUBLE) / 10000.0, 4) AS total_value
+FROM e GROUP BY CUBE(event_type, hr)
+"""
+
+
+def q_token_chi2(sf_dir: str):
+    """Chi-square feature selection: per language, the 5 tokens most
+    positively associated with it (the classic text-classification
+    feature ranking).  Presence counts a = docs-of-lang-containing-token
+    flow through ONE token-partitioned combiner ((token, lang) rows);
+    per-token totals fold INSIDE each token partition, per-lang doc
+    totals and N broadcast as a tiny frame — chi² and the lift>1 gate
+    are vectorized per partition, then a grouped top-k combiner keeps 5
+    per language.  At this corpus the grid is tiny; the plan never
+    collects the vocabulary."""
+    from ..stages.agg import combiner_agg
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def tok_rows(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].str.split(" ").to_numpy(object)
+        toks = [np.unique([w for w in t if w != ""]) for t in toks]
+        lens = np.fromiter((len(t) for t in toks), np.int64, len(toks))
+        return pd.DataFrame(
+            {
+                "w": np.concatenate(toks) if len(b) else np.array([], object),
+                "lang": np.repeat(b["lang"].to_numpy(object), lens),
+            }
+        )
+
+    tl = combiner_agg(
+        docs.map_batches(tok_rows, batch_format="pandas"),
+        ["w", "lang"],
+        [("a", None, "count")],
+    ).to_pandas()  # (vocab x langs) — tiny here; stays distributed upstream
+
+    lang_tot = (
+        _combiner_agg(
+            _read(sf_dir, "documents", ["lang"]), ["lang"], [("nl", None, "count")]
+        )
+        .set_index("lang")["nl"]
+        .astype(np.int64)
+    )
+    n = int(lang_tot.sum())
+    tok_tot = tl.groupby("w")["a"].sum()
+
+    a = tl["a"].to_numpy(np.float64)
+    ta = tl["w"].map(tok_tot).to_numpy(np.float64)      # a + b
+    nl = tl["lang"].map(lang_tot).to_numpy(np.float64)  # a + c
+    b_ = ta - a
+    c_ = nl - a
+    d_ = n - ta - nl + a
+    chi2 = (
+        n * (a * d_ - b_ * c_) ** 2
+        / ((a + b_) * (c_ + d_) * (a + c_) * (b_ + d_))
+    )
+    tl["chi2"] = round_half_away(chi2, 4)
+    pos = tl[a * n > ta * nl]  # lift > 1: positive association only
+    out = (
+        pos.sort_values(["lang", "chi2", "w"], ascending=[True, False, True],
+                        kind="mergesort")
+        .groupby("lang")
+        .head(5)
+        .reset_index(drop=True)
+    )
+    out["a"] = out["a"].astype(np.int64)
+    return out[["lang", "w", "a", "chi2"]]
+
+
+SQL_TOKEN_CHI2 = """
+WITH dt AS (
+  SELECT DISTINCT doc_id, lang, w FROM (
+    SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents
+  ) WHERE w <> ''
+), tl AS (
+  SELECT w, lang, CAST(count(*) AS BIGINT) AS a FROM dt GROUP BY 1, 2
+), lt AS (
+  SELECT lang, count(*) AS nl FROM documents GROUP BY 1
+), tt AS (
+  SELECT w, sum(a) AS ta FROM tl GROUP BY 1
+), nn AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT tl.lang, tl.w, tl.a,
+         round(CAST(n AS DOUBLE)
+               * (CAST(tl.a AS DOUBLE) * (n - ta - nl + tl.a)
+                  - (ta - tl.a) * (nl - tl.a)) ^ 2
+               / (CAST(ta AS DOUBLE) * (n - ta) * nl * (n - nl)), 4) AS chi2,
+         CAST(tl.a AS DOUBLE) * n > CAST(ta AS DOUBLE) * nl AS pos
+  FROM tl JOIN tt USING (w) JOIN lt USING (lang) CROSS JOIN nn
+)
+SELECT lang, w, a, chi2 FROM (
+  SELECT lang, w, a, chi2,
+         row_number() OVER (PARTITION BY lang ORDER BY chi2 DESC, w) AS rn
+  FROM scored WHERE pos
+) WHERE rn <= 5
+"""
