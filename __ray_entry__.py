@@ -170,6 +170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_containment": q.q_doc_containment,
         "events_cube": q.q_events_cube,
         "token_chi2": q.q_token_chi2,
+        "events_value_psi": q.q_events_value_psi,
         # --- rows-only: no SQL form (pytest-gated) ---
         "approx_type_overlap": q.q_approx_type_overlap,
         "crawl_host_hits": cq.q_crawl_host_hits,
@@ -192,6 +193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_audio_features": cq.q_multimodal_audio_features,
         "multimodal_image_stats": cq.q_multimodal_image_stats,
         "multimodal_phash_dedup": cq.q_multimodal_phash_dedup,
+        "multimodal_audio_dedup": cq.q_multimodal_audio_dedup,
         "lexicon_regen": cq.q_lexicon_regen,
         "lexicon_growth": cq.q_lexicon_growth,
         "query_generation": cq.q_query_generation,
@@ -342,4 +344,6 @@ def oracle_sql() -> dict[str, str]:
         "events_cube": q.SQL_EVENTS_CUBE,
         # chi-square token-language feature selection
         "token_chi2": q.SQL_TOKEN_CHI2,
+        # PSI drift monitor between time halves (integer-us midpoint)
+        "events_value_psi": q.SQL_EVENTS_VALUE_PSI,
     }

@@ -64,7 +64,7 @@ def test_driver_prefix_is_fully_sql_oracled():
         "changelog_apply", "user_activity_streaks", "ann_hard_negatives",
         "doc_bm25_search", "token_pmi", "event_transitions",
         "user_value_trend", "doc_weighted_sample", "doc_containment",
-        "events_cube", "token_chi2",
+        "events_cube", "token_chi2", "events_value_psi",
     }, f"unexpected SQL-oracled entries below the driver prefix: {demoted_sql}"
 
 

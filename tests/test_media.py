@@ -292,3 +292,34 @@ class TestPhashDedup:
         a = e.queries()["multimodal_phash_dedup"]("/root/testdata/sf0.001")
         b = e.queries()["multimodal_phash_dedup"]("/root/testdata/sf0.001")
         assert a.equals(b)
+
+
+class TestAudioDedup:
+    def test_fingerprint_gain_invariant(self):
+        import numpy as np
+
+        from webcrawl_lowres_lang_ray.stages.multimodal import audio_fp64
+
+        t = np.arange(4000)
+        x = (3000 * np.sin(2 * np.pi * 440 * t / 16000)
+             * np.linspace(1, 0.2, 4000)).astype(np.int16)
+        a = audio_fp64(x)
+        b = audio_fp64((x * 0.3).astype(np.int16))
+        assert bin(a ^ b).count("1") <= 4  # re-volume is near-identical
+        rev = audio_fp64(x[::-1].copy())
+        assert bin(a ^ rev).count("1") >= 20  # reversal flips the envelope
+
+    def test_planted_scaled_noisy_copies_found(self):
+        import __ray_entry__ as e
+
+        out = e.queries()["multimodal_audio_dedup"]("/root/testdata/sf0.001")
+        planted = out[(out["id_b"] >= 5000) & (out["id_b"] - 5000 == out["id_a"])]
+        assert sorted(planted["id_a"]) == [1, 4, 7, 10, 13]
+        assert (planted["hamming"] <= 7).all()
+
+    def test_deterministic(self):
+        import __ray_entry__ as e
+
+        a = e.queries()["multimodal_audio_dedup"]("/root/testdata/sf0.001")
+        b = e.queries()["multimodal_audio_dedup"]("/root/testdata/sf0.001")
+        assert a.equals(b)

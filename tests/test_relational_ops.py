@@ -578,3 +578,20 @@ class TestChi2:
         ).head(1)
         got = dict(zip(top["lang"], top["w"]))
         assert got == {"aa": "onlyaa", "bb": "onlybb"}
+
+
+def test_events_value_psi_matches_duckdb_oracle():
+    import duckdb
+
+    import __ray_entry__ as e
+    from scripts.check_correctness import to_pandas, value_hash
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
+    )
+    mine = to_pandas(e.queries()["events_value_psi"](SF))
+    theirs = con.execute(e.oracle_sql()["events_value_psi"]).df()
+    assert len(mine) == len(theirs)
+    assert value_hash(mine) == value_hash(theirs)
+    assert (mine["psi"] >= 0).all()  # PSI is a divergence

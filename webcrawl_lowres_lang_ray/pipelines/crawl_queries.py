@@ -1053,3 +1053,37 @@ def q_multimodal_phash_dedup(sf_dir: str) -> pd.DataFrame:
         ignore_index=True,
     )
     return phash_near_pairs(ray.data.from_pandas(planted), max_hamming=7)
+
+
+def q_multimodal_audio_dedup(sf_dir: str) -> pd.DataFrame:
+    """Audio near-duplicate detection by 64-bit envelope fingerprint
+    (stages/multimodal.py: gain-normalized framewise RMS+ZCR
+    adjacent-compare bits -> the same banded hamming join as the image
+    path).  Plants five amplitude-scaled, lightly-noised copies of
+    synthetic clips — re-volume/re-encode duplicates the raw-byte hash
+    misses.  Rows-only gate: planted-pair recall + no cross-frequency
+    false positives in tests/test_media.py."""
+    from ..functions.media import wav_decode, wav_encode
+    from ..stages.multimodal import audio_near_pairs, synth_media_batch
+
+    media = synth_media_batch(200)
+    wavs = media[media["media_type"] == "audio/wav"].head(5)
+    rng = np.random.RandomState(77)
+    extra = []
+    for _, r in wavs.iterrows():
+        samples, rate = wav_decode(r["payload"])
+        scaled = (samples.astype(np.float64) * 0.4).astype(np.int16)
+        noise = rng.randint(-8, 9, size=len(scaled)).astype(np.int16)
+        extra.append(
+            (
+                5000 + int(r["media_id"]),
+                "audio/wav",
+                wav_encode((scaled + noise).astype(np.int16), rate),
+                r["meta"],
+            )
+        )
+    planted = pd.concat(
+        [media, pd.DataFrame(extra, columns=list(media.columns))],
+        ignore_index=True,
+    )
+    return audio_near_pairs(ray.data.from_pandas(planted), max_hamming=7)

@@ -3491,3 +3491,107 @@ SELECT lang, w, a, chi2 FROM (
   FROM scored WHERE pos
 ) WHERE rn <= 5
 """
+
+
+def q_events_value_psi(sf_dir: str):
+    """Population Stability Index per event type — the drift monitor a
+    production pipeline runs between two time windows: PSI =
+    Σ (p_i − q_i)·ln(p_i/q_i) over 10 fixed value bins, comparing the
+    first half of the time range (reference) vs the second (current).
+    One combiner pass carries (type, period, bin) counts; Laplace +1
+    smoothing keeps empty bins finite EXACTLY as the SQL oracle does."""
+    from ..stages.agg import combiner_agg
+
+    BINS = 10
+
+    ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
+    lo, hi = ev.min("ts"), ev.max("ts")
+    # midpoint in integer MICROSECONDS on both sides — DuckDB interval
+    # division truncates the day component (a 29d23h range halves to
+    # 14d11h, 12 hours off), so neither side may use timestamp/interval
+    # arithmetic for the split
+    lo_us = np.datetime64(lo, "us").astype(np.int64)
+    hi_us = np.datetime64(hi, "us").astype(np.int64)
+    mid_us = lo_us + (hi_us - lo_us) // 2
+    vmax = float(ev.max("value")) or 1.0
+
+    def binned(b: pd.DataFrame) -> pd.DataFrame:
+        period = np.where(
+            b["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64) <= mid_us,
+            "ref",
+            "cur",
+        ).astype(object)
+        bins = np.clip(
+            (b["value"].to_numpy(np.float64) / vmax * BINS).astype(np.int64),
+            0,
+            BINS - 1,
+        )
+        return pd.DataFrame(
+            {"event_type": b["event_type"].to_numpy(object), "period": period,
+             "bin": bins}
+        )
+
+    cnt = combiner_agg(
+        ev.map_batches(binned, batch_format="pandas"),
+        ["event_type", "period", "bin"],
+        [("n", None, "count")],
+    ).to_pandas()
+    # dense (type, period, bin) grid with +1 smoothing
+    types = sorted(cnt["event_type"].unique())
+    grid = pd.MultiIndex.from_product(
+        [types, ["ref", "cur"], range(BINS)], names=["event_type", "period", "bin"]
+    )
+    dense = (
+        cnt.set_index(["event_type", "period", "bin"])["n"]
+        .reindex(grid, fill_value=0)
+        .astype(np.int64)
+        + 1
+    ).reset_index(name="n")
+    tot = dense.groupby(["event_type", "period"])["n"].transform("sum")
+    dense["p"] = dense["n"] / tot
+    piv = dense.pivot_table(
+        index=["event_type", "bin"], columns="period", values="p"
+    ).reset_index()
+    term = (piv["cur"] - piv["ref"]) * np.log(piv["cur"] / piv["ref"])
+    piv["term"] = term
+    out = (
+        piv.groupby("event_type")["term"].sum().reset_index(name="psi")
+    )
+    out["psi"] = round_half_away(out["psi"].to_numpy(np.float64), 6)
+    return out.sort_values("event_type", kind="mergesort").reset_index(drop=True)
+
+
+SQL_EVENTS_VALUE_PSI = """
+WITH bounds AS (
+  SELECT epoch_us(min(ts)) AS lo_us, epoch_us(max(ts)) AS hi_us,
+         max(value) AS vmax
+  FROM events
+), e AS (
+  SELECT event_type,
+         CASE WHEN epoch_us(ts) <= lo_us + (hi_us - lo_us) // 2
+              THEN 'ref' ELSE 'cur' END AS period,
+         LEAST(CAST(floor(value / vmax * 10) AS BIGINT), 9) AS bin
+  FROM events CROSS JOIN bounds
+), grid AS (
+  SELECT t.event_type, p.period, b.bin
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (SELECT unnest(['ref', 'cur']) AS period) p
+  CROSS JOIN (SELECT unnest(range(10)) AS bin) b
+), cnt AS (
+  SELECT g.event_type, g.period, g.bin,
+         COALESCE(c.n, 0) + 1 AS n
+  FROM grid g LEFT JOIN (
+    SELECT event_type, period, bin, count(*) AS n FROM e GROUP BY 1, 2, 3
+  ) c USING (event_type, period, bin)
+), p AS (
+  SELECT event_type, period, bin,
+         CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY event_type, period) AS p
+  FROM cnt
+), piv AS (
+  SELECT r.event_type, r.bin, r.p AS pref, c.p AS pcur
+  FROM p r JOIN p c ON r.event_type = c.event_type AND r.bin = c.bin
+  WHERE r.period = 'ref' AND c.period = 'cur'
+)
+SELECT event_type, round(sum((pcur - pref) * ln(pcur / pref)), 6) AS psi
+FROM piv GROUP BY event_type
+"""

@@ -328,36 +328,34 @@ class PHashStage:
         )
 
 
-def phash_near_pairs(
-    ds: "ray.data.Dataset",
+def hamming_near_pairs64(
+    hashed: "ray.data.Dataset",
     max_hamming: int = 7,
     parts: int = 32,
+    id_col: str = "media_id",
+    hash_col: str = "phash",
+    ok_col: str = "ok",
 ) -> pd.DataFrame:
-    """Image near-duplicate pairs by dHash hamming distance <= k, the
-    SimHash band trick: split the 64-bit hash into 8 8-bit bands —
-    hamming <= 7 guarantees at least one identical band (pigeonhole), so
-    candidates come from band-keyed partitions (nothing quadratic,
-    nothing broadcast) and one vectorized popcount verifies.  A 2x
-    nearest resize of a structured image lands at hamming 4-6 (block-bin
-    truncation), so 7 is the right default for resize-robust near-dup;
-    max_hamming above 7 would need more bands."""
+    """Near-pairs by hamming distance <= k over a 64-bit hash column —
+    the SimHash band trick shared by the image (dHash) and audio
+    (envelope fingerprint) near-dup operators: split the hash into 8
+    8-bit bands; hamming <= 7 guarantees at least one identical band
+    (pigeonhole), so candidates come from band-keyed partitions (nothing
+    quadratic, nothing broadcast) and one vectorized popcount verifies."""
     assert max_hamming <= 7, "8x8-bit banding guarantees recall only to 7"
-    hashed = ds.map_batches(
-        PHashStage, batch_format="pandas", batch_size=16, concurrency=2
-    )
 
     def bands(b: pd.DataFrame) -> pd.DataFrame:
-        f = b[b["ok"]]
-        h = f["phash"].to_numpy(np.int64).view(np.uint64)
-        ids = f["media_id"].to_numpy(np.int64)
+        f = b[b[ok_col]]
+        h = f[hash_col].to_numpy(np.int64).view(np.uint64)
+        ids = f[id_col].to_numpy(np.int64)
         outs = []
         for i in range(8):
             band = ((h >> np.uint64(8 * i)) & np.uint64(0xFF)).astype(np.int64)
             outs.append(
                 pd.DataFrame(
                     {
-                        "media_id": ids,
-                        "phash": f["phash"].to_numpy(np.int64),
+                        id_col: ids,
+                        hash_col: f[hash_col].to_numpy(np.int64),
                         "bkey": band * 8 + i,
                     }
                 )
@@ -369,9 +367,9 @@ def phash_near_pairs(
         return f2
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        f = g.drop_duplicates(["media_id", "bkey"])
+        f = g.drop_duplicates([id_col, "bkey"])
         m = f.merge(f, on="bkey", suffixes=("_a", "_b"))
-        m = m[m["media_id_a"] < m["media_id_b"]]
+        m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
         if not len(m):
             return pd.DataFrame(
                 {
@@ -380,8 +378,8 @@ def phash_near_pairs(
                     "hamming": pd.Series([], dtype=np.int64),
                 }
             )
-        x = m["phash_a"].to_numpy(np.int64).view(np.uint64) ^ m[
-            "phash_b"
+        x = m[f"{hash_col}_a"].to_numpy(np.int64).view(np.uint64) ^ m[
+            f"{hash_col}_b"
         ].to_numpy(np.int64).view(np.uint64)
         ham = np.zeros(len(m), dtype=np.int64)
         v = x.copy()
@@ -391,8 +389,8 @@ def phash_near_pairs(
         keep = ham <= max_hamming
         return pd.DataFrame(
             {
-                "id_a": m["media_id_a"].to_numpy(np.int64)[keep],
-                "id_b": m["media_id_b"].to_numpy(np.int64)[keep],
+                "id_a": m[f"{id_col}_a"].to_numpy(np.int64)[keep],
+                "id_b": m[f"{id_col}_b"].to_numpy(np.int64)[keep],
                 "hamming": ham[keep],
             }
         ).drop_duplicates(["id_a", "id_b"])
@@ -416,3 +414,88 @@ def phash_near_pairs(
         .sort_values(["id_a", "id_b"], kind="mergesort")
         .reset_index(drop=True)
     )
+
+
+def phash_near_pairs(
+    ds: "ray.data.Dataset",
+    max_hamming: int = 7,
+    parts: int = 32,
+) -> pd.DataFrame:
+    """Image near-duplicate pairs by dHash hamming distance <= k (see
+    hamming_near_pairs64 for the banded-join plan).  A 2x nearest resize
+    of a structured image lands at hamming 4-6 (block-bin truncation),
+    so 7 is the right default for resize-robust near-dup."""
+    hashed = ds.map_batches(
+        PHashStage, batch_format="pandas", batch_size=16, concurrency=2
+    )
+    return hamming_near_pairs64(hashed, max_hamming=max_hamming, parts=parts)
+
+
+def audio_fp64(samples: "np.ndarray") -> int:
+    """64-bit audio envelope fingerprint: gain-normalize, split into 32
+    equal frames, per-frame RMS and zero-cross rate, adjacent-compare
+    each (31 + 31 bits, dHash-style), 2 parity bits from global shape.
+    Gain-invariant by construction (monotone transforms preserve
+    comparisons); robust to mild noise; shifts/retimings move it far —
+    this is the cheap re-encode/re-volume duplicate detector, not a
+    Shazam-style landmark matcher."""
+    x = samples.astype(np.float64)
+    if len(x) < 64:
+        x = np.pad(x, (0, 64 - len(x)))
+    peak = np.abs(x).max() or 1.0
+    x = x / peak
+    edges = np.linspace(0, len(x), 33).astype(int)
+    rms = np.empty(32)
+    zcr = np.empty(32)
+    for i in range(32):
+        f = x[edges[i]:max(edges[i + 1], edges[i] + 1)]
+        rms[i] = np.sqrt((f * f).mean())
+        zcr[i] = (np.signbit(f[1:]) != np.signbit(f[:-1])).mean() if len(f) > 1 else 0.0
+    bits = np.concatenate(
+        [
+            rms[1:] > rms[:-1],
+            zcr[1:] > zcr[:-1],
+            [rms[:16].mean() > rms[16:].mean(), zcr[:16].mean() > zcr[16:].mean()],
+        ]
+    )
+    out = 0
+    for b in bits:
+        out = (out << 1) | int(b)
+    return out
+
+
+class AudioFpStage:
+    """Actor-pool audio fingerprint: WAV payloads -> 64-bit envelope fp
+    (ok=False on non-WAV rows — same explicit-flag contract as
+    PHashStage)."""
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        hashes, oks = [], []
+        for mt, p in zip(batch["media_type"], batch["payload"]):
+            if mt != "audio/wav":
+                hashes.append(np.int64(0))
+                oks.append(False)
+                continue
+            samples, _ = wav_decode(p)
+            hashes.append(np.uint64(audio_fp64(samples)).view(np.int64))
+            oks.append(True)
+        return pd.DataFrame(
+            {
+                "media_id": batch["media_id"].to_numpy(np.int64),
+                "phash": np.array(hashes, dtype=np.int64),
+                "ok": np.array(oks, dtype=bool),
+            }
+        )
+
+
+def audio_near_pairs(
+    ds: "ray.data.Dataset",
+    max_hamming: int = 7,
+    parts: int = 32,
+) -> pd.DataFrame:
+    """Audio near-duplicate pairs by envelope-fingerprint hamming <= k
+    through the shared banded join (hamming_near_pairs64)."""
+    hashed = ds.map_batches(
+        AudioFpStage, batch_format="pandas", batch_size=16, concurrency=2
+    )
+    return hamming_near_pairs64(hashed, max_hamming=max_hamming, parts=parts)
