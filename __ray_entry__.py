@@ -171,6 +171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cube": q.q_events_cube,
         "token_chi2": q.q_token_chi2,
         "events_value_psi": q.q_events_value_psi,
+        "doc_hybrid_search": q.q_doc_hybrid_search,
         # --- rows-only: no SQL form (pytest-gated) ---
         "approx_type_overlap": q.q_approx_type_overlap,
         "crawl_host_hits": cq.q_crawl_host_hits,
@@ -346,4 +347,6 @@ def oracle_sql() -> dict[str, str]:
         "token_chi2": q.SQL_TOKEN_CHI2,
         # PSI drift monitor between time halves (integer-us midpoint)
         "events_value_psi": q.SQL_EVENTS_VALUE_PSI,
+        # RRF hybrid retrieval (BM25 + hashed-embedding cosine, both ranked in SQL)
+        "doc_hybrid_search": q.SQL_DOC_HYBRID_SEARCH,
     }

@@ -595,3 +595,38 @@ def test_events_value_psi_matches_duckdb_oracle():
     assert len(mine) == len(theirs)
     assert value_hash(mine) == value_hash(theirs)
     assert (mine["psi"] >= 0).all()  # PSI is a divergence
+
+
+class TestHybridSearch:
+    def test_matches_duckdb_oracle(self):
+        import duckdb
+
+        import __ray_entry__ as e
+        from scripts.check_correctness import to_pandas, value_hash
+
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+        )
+        mine = to_pandas(e.queries()["doc_hybrid_search"](SF))
+        theirs = con.execute(e.oracle_sql()["doc_hybrid_search"]).df()
+        assert len(mine) == len(theirs)
+        assert sorted(mine.columns) == sorted(theirs.columns)
+        assert value_hash(mine) == value_hash(theirs)
+
+    def test_doc_in_both_lists_outranks_single_list(self):
+        import ray.data
+
+        from webcrawl_lowres_lang_ray.stages.bm25 import hybrid_rrf_topk
+
+        # doc 1 matches lexically AND semantically; doc 2 lexical only
+        # (query term present but drowned); doc 3 unrelated
+        rows = [
+            {"doc_id": 1, "text": "scan merge sort pipeline"},
+            {"doc_id": 2, "text": "scan " + "unrelated " * 60},
+            {"doc_id": 3, "text": "completely different topic"},
+        ]
+        ds = ray.data.from_pandas(pd.DataFrame(rows))
+        out = hybrid_rrf_topk(ds, ["scan", "merge", "sort"], k=3)
+        assert out.iloc[0]["doc_id"] == 1
+        assert out.iloc[0]["rrf"] > out.iloc[1]["rrf"]

@@ -3595,3 +3595,107 @@ WITH bounds AS (
 SELECT event_type, round(sum((pcur - pref) * ln(pcur / pref)), 6) AS psi
 FROM piv GROUP BY event_type
 """
+
+
+def q_doc_hybrid_search(sf_dir: str):
+    """Hybrid retrieval: Reciprocal Rank Fusion of the BM25 lexical
+    top-50 and the hashing-embedding cosine top-50 for the fixed query
+    ['scan','merge','sort'] (stages/bm25.py:hybrid_rrf_topk).  Both
+    candidate lists are per-batch local top-k partials; the semantic
+    rank key is dot/sqrt(ssq) over EXACT integer hashed vectors, so the
+    entire fusion — tokenizer, vectorizer, both rankings, RRF — is
+    reproduced bit-for-bit by the SQL oracle."""
+    from ..stages.bm25 import hybrid_rrf_topk
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return hybrid_rrf_topk(docs, ["scan", "merge", "sort"], k=10)
+
+
+SQL_DOC_HYBRID_SEARCH = r"""
+WITH s AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS dl,
+         len(list_filter(string_split(text, ' '), x -> x = 'scan')) AS tf0,
+         len(list_filter(string_split(text, ' '), x -> x = 'merge')) AS tf1,
+         len(list_filter(string_split(text, ' '), x -> x = 'sort')) AS tf2
+  FROM documents
+), c AS (
+  SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+         sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+         sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+         sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+  FROM s
+), lex AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rank_lex
+  FROM (
+    SELECT doc_id,
+           round(
+             ln(1 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0 * 2.2
+               / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+           + ln(1 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1 * 2.2
+               / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+           + ln(1 + (n - df2 + 0.5) / (df2 + 0.5)) * tf2 * 2.2
+               / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 5) AS score
+    FROM s, c
+  ) ORDER BY rank_lex LIMIT 50
+), toks AS (
+  SELECT doc_id, lower(w) AS w
+  FROM (
+    SELECT doc_id,
+           unnest(list_filter(
+               regexp_split_to_array(regexp_replace(text, '[^\w\s]', ' ', 'g'),
+                                     '\s+'),
+               x -> length(x) >= 3 AND NOT regexp_matches(x, '[0-9]')
+           )) AS w
+    FROM documents
+  )
+), feat AS (
+  SELECT doc_id,
+         ((strpos('0123456789abcdef', substr(md5(w), 1, 1)) - 1) * 4096
+        + (strpos('0123456789abcdef', substr(md5(w), 2, 1)) - 1) * 256
+        + (strpos('0123456789abcdef', substr(md5(w), 3, 1)) - 1) * 16
+        + (strpos('0123456789abcdef', substr(md5(w), 4, 1)) - 1)) % 256 AS bucket,
+         CASE WHEN strpos('0123456789abcdef', substr(md5(w), 5, 1)) - 1 >= 8
+              THEN -1 ELSE 1 END AS sgn
+  FROM toks
+), vec AS (
+  SELECT doc_id, bucket, sum(sgn) AS v FROM feat GROUP BY 1, 2
+), ssq AS (
+  SELECT doc_id, sum(v * v) AS q FROM vec GROUP BY 1
+), qfeat AS (
+  SELECT ((strpos('0123456789abcdef', substr(md5(w), 1, 1)) - 1) * 4096
+        + (strpos('0123456789abcdef', substr(md5(w), 2, 1)) - 1) * 256
+        + (strpos('0123456789abcdef', substr(md5(w), 3, 1)) - 1) * 16
+        + (strpos('0123456789abcdef', substr(md5(w), 4, 1)) - 1)) % 256 AS bucket,
+         CASE WHEN strpos('0123456789abcdef', substr(md5(w), 5, 1)) - 1 >= 8
+              THEN -1 ELSE 1 END AS sgn
+  FROM (SELECT unnest(['scan', 'merge', 'sort']) AS w)
+), qvec AS (
+  SELECT bucket, sum(sgn) AS qv FROM qfeat GROUP BY 1
+), dot AS (
+  SELECT vec.doc_id, sum(vec.v * qvec.qv) AS d
+  FROM vec JOIN qvec USING (bucket) GROUP BY 1
+), sem AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rank_sem
+  FROM (
+    SELECT d0.doc_id,
+           CASE WHEN COALESCE(ssq.q, 0) > 0
+                THEN CAST(COALESCE(dot.d, 0) AS DOUBLE)
+                     / sqrt(CAST(ssq.q AS DOUBLE))
+                ELSE 0.0 END AS score
+    FROM documents d0
+    LEFT JOIN ssq ON d0.doc_id = ssq.doc_id
+    LEFT JOIN dot ON d0.doc_id = dot.doc_id
+  ) ORDER BY rank_sem LIMIT 50
+)
+SELECT CAST(COALESCE(lex.doc_id, sem.doc_id) AS BIGINT) AS doc_id,
+       CAST(COALESCE(rank_lex, 0) AS BIGINT) AS rank_lex,
+       CAST(COALESCE(rank_sem, 0) AS BIGINT) AS rank_sem,
+       round(COALESCE(1.0 / (60 + rank_lex), 0)
+             + COALESCE(1.0 / (60 + rank_sem), 0), 8) AS rrf
+FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+ORDER BY rrf DESC, COALESCE(lex.doc_id, sem.doc_id)
+LIMIT 10
+"""
