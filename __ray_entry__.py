@@ -172,6 +172,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_chi2": q.q_token_chi2,
         "events_value_psi": q.q_events_value_psi,
         "doc_hybrid_search": q.q_doc_hybrid_search,
+        "event_paths": q.q_event_paths,
+        "value_outliers": q.q_value_outliers,
         # --- rows-only: no SQL form (pytest-gated) ---
         "approx_type_overlap": q.q_approx_type_overlap,
         "crawl_host_hits": cq.q_crawl_host_hits,
@@ -349,4 +351,8 @@ def oracle_sql() -> dict[str, str]:
         "events_value_psi": q.SQL_EVENTS_VALUE_PSI,
         # RRF hybrid retrieval (BM25 + hashed-embedding cosine, both ranked in SQL)
         "doc_hybrid_search": q.SQL_DOC_HYBRID_SEARCH,
+        # top-10 three-step behavioral paths (double-lag parity)
+        "event_paths": q.SQL_EVENT_PATHS,
+        # Tukey-fence outlier report (quantile_cont parity)
+        "value_outliers": q.SQL_VALUE_OUTLIERS,
     }

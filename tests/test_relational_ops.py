@@ -630,3 +630,35 @@ class TestHybridSearch:
         out = hybrid_rrf_topk(ds, ["scan", "merge", "sort"], k=3)
         assert out.iloc[0]["doc_id"] == 1
         assert out.iloc[0]["rrf"] > out.iloc[1]["rrf"]
+
+
+@pytest.mark.parametrize("name", ["event_paths", "value_outliers"])
+def test_batch6_matches_duckdb_oracle(name):
+    import duckdb
+
+    import __ray_entry__ as e
+    from scripts.check_correctness import to_pandas, value_hash
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
+    )
+    mine = to_pandas(e.queries()[name](SF))
+    theirs = con.execute(e.oracle_sql()[name]).df()
+    assert len(mine) == len(theirs)
+    assert sorted(mine.columns) == sorted(theirs.columns)
+    assert value_hash(mine) == value_hash(theirs)
+
+
+class TestOutliers:
+    def test_planted_outlier_counted(self):
+        import tempfile, os
+
+        from webcrawl_lowres_lang_ray.pipelines.queries import q_value_outliers
+
+        rows = [{"event_type": "x", "value": float(v)}
+                for v in list(range(100)) + [10_000.0]]
+        with tempfile.TemporaryDirectory() as td:
+            pd.DataFrame(rows).to_parquet(os.path.join(td, "events.parquet"))
+            out = q_value_outliers(td)
+        assert out.loc[0, "n_outliers"] == 1

@@ -3699,3 +3699,132 @@ FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
 ORDER BY rrf DESC, COALESCE(lex.doc_id, sem.doc_id)
 LIMIT 10
 """
+
+
+def q_event_paths(sf_dir: str):
+    """Top-10 three-step behavioral paths (t1 -> t2 -> t3) over per-user
+    time-ordered event streams — the path-analysis extension of
+    event_transitions: same one user-hash exchange, the vectorized
+    double-shift replaces two SQL lag windows, tiny path-count combiner,
+    (n desc, path) top-k."""
+    from ..stages.agg import combiner_agg
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        f = b.copy()
+        f["__p"] = (
+            pd.util.hash_array(f["user_id"].to_numpy()) % np.uint64(32)
+        ).astype(np.int64)
+        return f
+
+    def paths(g: pd.DataFrame) -> pd.DataFrame:
+        f = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = f["user_id"].to_numpy(np.int64)
+        t = f["event_type"].to_numpy(object)
+        if len(f) < 3:
+            return pd.DataFrame(
+                {"t1": pd.Series([], dtype=object),
+                 "t2": pd.Series([], dtype=object),
+                 "t3": pd.Series([], dtype=object)}
+            )
+        same = (u[2:] == u[1:-1]) & (u[1:-1] == u[:-2])
+        return pd.DataFrame(
+            {"t1": t[:-2][same], "t2": t[1:-1][same], "t3": t[2:][same]}
+        )
+
+    counts = (
+        combiner_agg(
+            ev.map_batches(tag, batch_format="pandas")
+            .groupby("__p")
+            .map_groups(paths, batch_format="pandas"),
+            ["t1", "t2", "t3"],
+            [("n", None, "count")],
+        )
+        .to_pandas()
+    )
+    counts["n"] = counts["n"].astype(np.int64)
+    out = counts.sort_values(
+        ["n", "t1", "t2", "t3"], ascending=[False, True, True, True],
+        kind="mergesort",
+    ).head(10)
+    return out.reset_index(drop=True)
+
+
+SQL_EVENT_PATHS = """
+WITH s AS (
+  SELECT user_id, event_type,
+         lag(event_type, 1) OVER w AS p1,
+         lag(event_type, 2) OVER w AS p2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT p2 AS t1, p1 AS t2, event_type AS t3, CAST(count(*) AS BIGINT) AS n
+FROM s WHERE p2 IS NOT NULL
+GROUP BY 1, 2, 3
+ORDER BY n DESC, t1, t2, t3
+LIMIT 10
+"""
+
+
+def q_value_outliers(sf_dir: str):
+    """Tukey-fence outlier report per event type: exact q1/q3 (DuckDB
+    quantile_cont parity), fences at 1.5 IQR, outlier count and rate —
+    the data-quality observability op run before trusting a numeric
+    column.  Each type's value multiset is already co-located by the
+    exact-quantile shuffle, so fences AND counts come from the SAME
+    single exchange (low group cardinality; the sketch twin covers the
+    high-cardinality regime)."""
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["value"].to_numpy(np.float64)
+        q1 = float(np.quantile(v, 0.25, method="linear"))
+        q3 = float(np.quantile(v, 0.75, method="linear"))
+        lo = q1 - 1.5 * (q3 - q1)
+        hi = q3 + 1.5 * (q3 - q1)
+        n_out = int(((v < lo) | (v > hi)).sum())
+        return pd.DataFrame(
+            [
+                {
+                    "event_type": g["event_type"].iloc[0],
+                    "q1": round_half_away(q1, 4),
+                    "q3": round_half_away(q3, 4),
+                    "n_outliers": np.int64(n_out),
+                    "outlier_pct": round_half_away(n_out / len(v), 6),
+                }
+            ]
+        )
+
+    out = (
+        ev.groupby("event_type")
+        .map_groups(per_group, batch_format="pandas")
+        .to_pandas()
+        .sort_values("event_type", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    out["n_outliers"] = out["n_outliers"].astype(np.int64)
+    return out
+
+
+SQL_VALUE_OUTLIERS = """
+WITH qs AS (
+  SELECT event_type,
+         quantile_cont(value, 0.25) AS q1,
+         quantile_cont(value, 0.75) AS q3,
+         count(*) AS n
+  FROM events GROUP BY 1
+)
+SELECT e.event_type,
+       round(any_value(qs.q1), 4) AS q1,
+       round(any_value(qs.q3), 4) AS q3,
+       CAST(sum(CASE WHEN e.value < qs.q1 - 1.5 * (qs.q3 - qs.q1)
+                       OR e.value > qs.q3 + 1.5 * (qs.q3 - qs.q1)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       round(CAST(sum(CASE WHEN e.value < qs.q1 - 1.5 * (qs.q3 - qs.q1)
+                             OR e.value > qs.q3 + 1.5 * (qs.q3 - qs.q1)
+                           THEN 1 ELSE 0 END) AS DOUBLE) / any_value(qs.n), 6)
+         AS outlier_pct
+FROM events e JOIN qs USING (event_type)
+GROUP BY e.event_type
+"""
