@@ -174,6 +174,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_hybrid_search": q.q_doc_hybrid_search,
         "event_paths": q.q_event_paths,
         "value_outliers": q.q_value_outliers,
+        "key_skew_report": q.q_key_skew_report,
+        "user_recency_features": q.q_user_recency_features,
         # --- rows-only: no SQL form (pytest-gated) ---
         "approx_type_overlap": q.q_approx_type_overlap,
         "crawl_host_hits": cq.q_crawl_host_hits,
@@ -355,4 +357,8 @@ def oracle_sql() -> dict[str, str]:
         "event_paths": q.SQL_EVENT_PATHS,
         # Tukey-fence outlier report (quantile_cont parity)
         "value_outliers": q.SQL_VALUE_OUTLIERS,
+        # join-key skew diagnostic (Gini + heavy keys)
+        "key_skew_report": q.SQL_KEY_SKEW_REPORT,
+        # RFM-style per-user recency/frequency feature block
+        "user_recency_features": q.SQL_USER_RECENCY_FEATURES,
     }

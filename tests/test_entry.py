@@ -66,6 +66,7 @@ def test_driver_prefix_is_fully_sql_oracled():
         "user_value_trend", "doc_weighted_sample", "doc_containment",
         "events_cube", "token_chi2", "events_value_psi",
         "doc_hybrid_search", "event_paths", "value_outliers",
+        "key_skew_report", "user_recency_features",
     }, f"unexpected SQL-oracled entries below the driver prefix: {demoted_sql}"
 
 

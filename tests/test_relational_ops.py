@@ -662,3 +662,48 @@ class TestOutliers:
             pd.DataFrame(rows).to_parquet(os.path.join(td, "events.parquet"))
             out = q_value_outliers(td)
         assert out.loc[0, "n_outliers"] == 1
+
+
+@pytest.mark.parametrize("name", ["key_skew_report", "user_recency_features"])
+def test_batch7_matches_duckdb_oracle(name):
+    import duckdb
+
+    import __ray_entry__ as e
+    from scripts.check_correctness import to_pandas, value_hash
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
+    )
+    mine = to_pandas(e.queries()[name](SF))
+    theirs = con.execute(e.oracle_sql()[name]).df()
+    assert len(mine) == len(theirs)
+    assert sorted(mine.columns) == sorted(theirs.columns)
+    assert value_hash(mine) == value_hash(theirs)
+
+
+class TestSkewReport:
+    def test_uniform_keys_have_near_zero_gini(self):
+        import tempfile, os
+
+        from webcrawl_lowres_lang_ray.pipelines.queries import q_key_skew_report
+
+        rows = [{"user_id": i % 10, "ts": pd.Timestamp("2026-01-01")}
+                for i in range(100)]
+        with tempfile.TemporaryDirectory() as td:
+            pd.DataFrame(rows).to_parquet(os.path.join(td, "events.parquet"))
+            out = q_key_skew_report(td).set_index("stat")["value"]
+        assert out["gini"] == 0.0 and out["max_over_mean"] == 1.0
+
+    def test_hot_key_detected(self):
+        import tempfile, os
+
+        from webcrawl_lowres_lang_ray.pipelines.queries import q_key_skew_report
+
+        rows = [{"user_id": 7, "ts": pd.Timestamp("2026-01-01")}] * 90
+        rows += [{"user_id": i, "ts": pd.Timestamp("2026-01-01")}
+                 for i in range(10)]
+        with tempfile.TemporaryDirectory() as td:
+            pd.DataFrame(rows).to_parquet(os.path.join(td, "events.parquet"))
+            out = q_key_skew_report(td).set_index("stat")["value"]
+        assert out["top1_key"] == 7.0 and out["gini"] > 0.5

@@ -3828,3 +3828,148 @@ SELECT e.event_type,
 FROM events e JOIN qs USING (event_type)
 GROUP BY e.event_type
 """
+
+
+def q_key_skew_report(sf_dir: str):
+    """Join-key skew report for events.user_id — the diagnostic a
+    planner reads before choosing plain vs salted vs broadcast joins
+    (stages/join.py:auto_join samples this same signal): per-key counts
+    from ONE combiner exchange, then Gini coefficient, max/mean ratio
+    and the top-5 heavy keys from the tiny per-key result.  At
+    high key cardinality the count table itself is the operator's
+    output partition; the Count-Min twin (approx_top_users) covers the
+    can't-hold-the-counts regime."""
+    from ..stages.agg import combiner_agg
+
+    cnt = (
+        combiner_agg(
+            _read(sf_dir, "events", ["user_id"]),
+            ["user_id"],
+            [("n", None, "count")],
+        )
+        .to_pandas()
+        .sort_values(["n", "user_id"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    c = cnt["n"].to_numpy(np.float64)
+    k = len(c)
+    tot = c.sum()
+    # Gini over the count distribution (counts ascending, 1-based ranks)
+    gini = (2.0 * (np.arange(1, k + 1) * c).sum()) / (k * tot) - (k + 1.0) / k
+    top = cnt.sort_values(["n", "user_id"], ascending=[False, True],
+                          kind="mergesort").head(5)
+    out = pd.DataFrame(
+        {
+            "stat": ["n_keys", "gini", "max_over_mean"]
+            + [f"top{i+1}_key" for i in range(len(top))],
+            "value": [
+                float(k),
+                float(round_half_away(gini, 6)),
+                float(round_half_away(c.max() / (tot / k), 6)),
+            ]
+            + [float(u) for u in top["user_id"]],
+        }
+    )
+    return out.reset_index(drop=True)
+
+
+SQL_KEY_SKEW_REPORT = """
+WITH c AS (
+  SELECT user_id, count(*) AS n FROM events GROUP BY 1
+), r AS (
+  SELECT user_id, n,
+         row_number() OVER (ORDER BY n, user_id) AS rk,
+         count(*) OVER () AS k,
+         sum(n) OVER () AS tot
+  FROM c
+), g AS (
+  SELECT any_value(k) AS k, any_value(tot) AS tot,
+         sum(CAST(rk AS DOUBLE) * n) AS rn, max(n) AS mx
+  FROM r
+), top AS (
+  SELECT user_id, row_number() OVER (ORDER BY n DESC, user_id) AS i
+  FROM c QUALIFY i <= 5
+)
+SELECT stat, value FROM (
+  SELECT 'n_keys' AS stat, CAST(k AS DOUBLE) AS value, 0 AS ord FROM g
+  UNION ALL
+  SELECT 'gini', round(2.0 * rn / (k * tot) - (k + 1.0) / k, 6), 1 FROM g
+  UNION ALL
+  SELECT 'max_over_mean', round(mx / (CAST(tot AS DOUBLE) / k), 6), 2 FROM g
+  UNION ALL
+  SELECT 'top' || CAST(i AS VARCHAR) || '_key', CAST(user_id AS DOUBLE), 2 + i
+  FROM top
+) ORDER BY ord
+"""
+
+
+def q_user_recency_features(sf_dir: str):
+    """Churn-model feature engineering per user: days since last
+    activity (vs the corpus max timestamp), distinct active days, events
+    per active day — the standard RFM-style feature block, built from
+    ONE combiner pass (max ts, count) plus the user-day dedup exchange;
+    day arithmetic in integer days since epoch on both sides."""
+    from ..stages.agg import combiner_agg
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    hi_day = np.datetime64(ev.max("ts"), "us").astype("datetime64[D]").astype(np.int64)
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["ts"].to_numpy(dtype="datetime64[D]").astype(np.int64)
+        return pd.DataFrame(
+            {"user_id": b["user_id"].to_numpy(np.int64), "day": d}
+        )
+
+    base = ev.map_batches(prep, batch_format="pandas").materialize()
+    agg = _combiner_agg(
+        base, ["user_id"],
+        [("n_events", None, "count"), ("last_day", "day", "max")],
+    )
+
+    def dedup_days(b: pd.DataFrame) -> pd.DataFrame:
+        f = b.drop_duplicates()
+        f = f.copy()
+        f["__p"] = (
+            pd.util.hash_array(f["user_id"].to_numpy()) % np.uint64(32)
+        ).astype(np.int64)
+        return f
+
+    days = (
+        combiner_agg(
+            base.map_batches(dedup_days, batch_format="pandas")
+            .groupby("__p")
+            .map_groups(
+                lambda g: g.drop_duplicates(["user_id", "day"])[["user_id", "day"]],
+                batch_format="pandas",
+            ),
+            ["user_id"],
+            [("n_days", None, "count")],
+        )
+        .to_pandas()
+    )
+    out = agg.merge(days, on="user_id")
+    out["days_since_last"] = (hi_day - out["last_day"]).astype(np.int64)
+    out["n_events"] = out["n_events"].astype(np.int64)
+    out["n_days"] = out["n_days"].astype(np.int64)
+    out["events_per_day"] = round_half_away(
+        out["n_events"].to_numpy(np.float64) / out["n_days"].to_numpy(np.float64), 4
+    )
+    out = out[["user_id", "n_events", "n_days", "days_since_last", "events_per_day"]]
+    return out.sort_values("user_id", kind="mergesort").reset_index(drop=True)
+
+
+SQL_USER_RECENCY_FEATURES = """
+WITH hi AS (
+  SELECT CAST(max(ts) AS DATE) - DATE '1970-01-01' AS hi_day FROM events
+), f AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+         max(CAST(ts AS DATE) - DATE '1970-01-01') AS last_day
+  FROM events GROUP BY 1
+)
+SELECT user_id, n_events, n_days,
+       CAST(hi_day - last_day AS BIGINT) AS days_since_last,
+       round(CAST(n_events AS DOUBLE) / n_days, 4) AS events_per_day
+FROM f CROSS JOIN hi
+"""
