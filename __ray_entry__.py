@@ -176,6 +176,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_outliers": q.q_value_outliers,
         "key_skew_report": q.q_key_skew_report,
         "user_recency_features": q.q_user_recency_features,
+        "monthly_revenue_growth": q.q_monthly_revenue_growth,
+        "customer_linkage": q.q_customer_linkage,
         # --- rows-only: no SQL form (pytest-gated) ---
         "approx_type_overlap": q.q_approx_type_overlap,
         "crawl_host_hits": cq.q_crawl_host_hits,
@@ -361,4 +363,8 @@ def oracle_sql() -> dict[str, str]:
         "key_skew_report": q.SQL_KEY_SKEW_REPORT,
         # RFM-style per-user recency/frequency feature block
         "user_recency_features": q.SQL_USER_RECENCY_FEATURES,
+        # monthly revenue + MoM growth (lag over the aggregated series)
+        "monthly_revenue_growth": q.SQL_MONTHLY_REVENUE_GROWTH,
+        # record linkage: FastSS candidates + attribute agreement scoring
+        "customer_linkage": q.SQL_CUSTOMER_LINKAGE,
     }

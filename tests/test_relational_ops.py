@@ -707,3 +707,36 @@ class TestSkewReport:
             pd.DataFrame(rows).to_parquet(os.path.join(td, "events.parquet"))
             out = q_key_skew_report(td).set_index("stat")["value"]
         assert out["top1_key"] == 7.0 and out["gini"] > 0.5
+
+
+@pytest.mark.parametrize(
+    "name", ["monthly_revenue_growth", "customer_linkage"]
+)
+def test_batch8_matches_duckdb_oracle(name):
+    import duckdb
+
+    import __ray_entry__ as e
+    from scripts.check_correctness import to_pandas, value_hash
+
+    con = duckdb.connect()
+    for t in ("orders", "customer"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    mine = to_pandas(e.queries()[name](SF))
+    theirs = con.execute(e.oracle_sql()[name]).df()
+    assert len(mine) == len(theirs)
+    assert sorted(mine.columns) == sorted(theirs.columns)
+    assert value_hash(mine) == value_hash(theirs)
+
+
+class TestLinkage:
+    def test_scores_bounded_and_pairs_are_lev1(self):
+        import __ray_entry__ as e
+
+        out = e.queries()["customer_linkage"](SF)
+        assert ((out["score"] >= 3) & (out["score"] <= 4)).all()
+        # every linked pair differs by exactly one character
+        for a, b in zip(out["name_a"], out["name_b"]):
+            assert len(a) == len(b)
+            assert sum(x != y for x, y in zip(a, b)) == 1

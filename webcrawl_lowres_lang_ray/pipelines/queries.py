@@ -3973,3 +3973,124 @@ SELECT user_id, n_events, n_days,
        round(CAST(n_events AS DOUBLE) / n_days, 4) AS events_per_day
 FROM f CROSS JOIN hi
 """
+
+
+def q_monthly_revenue_growth(sf_dir: str):
+    """Monthly revenue time series with month-over-month growth — the
+    reporting staple that needs an ordered window over an AGGREGATED
+    series: one (year, month) combiner pass in exact integer cents, then
+    the lag/pct-change on the tiny monthly frame (driver-side — the
+    series is months, not rows).  Growth = (rev - prev)/prev, first
+    month NULL->0 sentinel, 6 dp."""
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["o_orderdate"].to_numpy(dtype="datetime64[M]")
+        yr = d.astype("datetime64[Y]").astype(np.int64) + 1970
+        mo = d.astype(np.int64) % 12 + 1
+        return pd.DataFrame(
+            {
+                "yr": yr.astype(np.int64),
+                "mo": mo.astype(np.int64),
+                "cents": np.round(
+                    b["o_totalprice"].to_numpy(np.float64) * 100
+                ).astype(np.int64),
+            }
+        )
+
+    m = _combiner_agg(
+        _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"]).map_batches(
+            prep, batch_format="pandas"
+        ),
+        ["yr", "mo"],
+        [("n_orders", None, "count"), ("c", "cents", "sum")],
+    ).sort_values(["yr", "mo"]).reset_index(drop=True)
+    rev = m["c"].to_numpy(np.float64) / 100.0
+    prev = np.r_[np.nan, rev[:-1]]
+    growth = np.where(np.isnan(prev), 0.0, (rev - prev) / prev)
+    out = pd.DataFrame(
+        {
+            "yr": m["yr"].astype(np.int64),
+            "mo": m["mo"].astype(np.int64),
+            "n_orders": m["n_orders"].astype(np.int64),
+            "revenue": round_half_away(rev, 2),
+            "mom_growth": round_half_away(growth, 6),
+        }
+    )
+    return out
+
+
+SQL_MONTHLY_REVENUE_GROWTH = """
+WITH m AS (
+  SELECT EXTRACT(year FROM o_orderdate) AS yr,
+         EXTRACT(month FROM o_orderdate) AS mo,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS c
+  FROM orders GROUP BY 1, 2
+), g AS (
+  SELECT yr, mo, n_orders,
+         CAST(c AS DOUBLE) / 100.0 AS rev,
+         lag(CAST(c AS DOUBLE) / 100.0) OVER (ORDER BY yr, mo) AS prev
+  FROM m
+)
+SELECT CAST(yr AS BIGINT) AS yr, CAST(mo AS BIGINT) AS mo, n_orders,
+       round(rev, 2) AS revenue,
+       round(CASE WHEN prev IS NULL THEN 0.0 ELSE (rev - prev) / prev END, 6)
+         AS mom_growth
+FROM g
+"""
+
+
+def q_customer_linkage(sf_dir: str):
+    """Record linkage (Fellegi–Sunter-lite): candidate pairs from the
+    FastSS deletion-neighborhood lev-1 join on names, then agreement
+    scoring on the blocked attributes — same nation (+2), same market
+    segment (+1), account balances within 500 (+1).  The fuzzy join is
+    the scale stage (each name moves O(len) times); attributes attach
+    through the generic partition hash join, twice, never broadcast.
+    Output: pairs scoring >= 3 of 4."""
+    from ..stages.fuzzy import fuzzy_pairs_lev1
+    from ..stages.join import hash_join
+
+    cust = _read(
+        sf_dir, "customer",
+        ["c_name", "c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment"],
+    )
+    pairs = fuzzy_pairs_lev1(
+        cust.select_columns(["c_name"]), "c_name", out_cols=("name_a", "name_b")
+    )
+    j1 = hash_join(pairs, cust, left_key="name_a", right_key="c_name")
+    j2 = hash_join(
+        j1, cust, left_key="name_b", right_key="c_name", suffixes=("", "_b")
+    )
+    f = j2.to_pandas()
+    score = (
+        (f["c_nationkey"] == f["c_nationkey_b"]).to_numpy() * 2
+        + (f["c_mktsegment"] == f["c_mktsegment_b"]).to_numpy() * 1
+        + (
+            (f["c_acctbal"] - f["c_acctbal_b"]).abs().to_numpy() <= 500.0
+        ) * 1
+    ).astype(np.int64)
+    f["score"] = score
+    out = f.loc[f["score"] >= 3, ["name_a", "name_b", "score"]]
+    return out.sort_values(
+        ["name_a", "name_b"], kind="mergesort"
+    ).reset_index(drop=True)
+
+
+SQL_CUSTOMER_LINKAGE = """
+WITH w AS (SELECT DISTINCT c_name AS w FROM customer),
+p AS (
+  SELECT a.w AS name_a, b.w AS name_b
+  FROM w a JOIN w b ON a.w < b.w AND levenshtein(a.w, b.w) = 1
+)
+SELECT p.name_a, p.name_b,
+       CAST(CASE WHEN ca.c_nationkey = cb.c_nationkey THEN 2 ELSE 0 END
+          + CASE WHEN ca.c_mktsegment = cb.c_mktsegment THEN 1 ELSE 0 END
+          + CASE WHEN abs(ca.c_acctbal - cb.c_acctbal) <= 500 THEN 1 ELSE 0 END
+         AS BIGINT) AS score
+FROM p JOIN customer ca ON ca.c_name = p.name_a
+       JOIN customer cb ON cb.c_name = p.name_b
+WHERE CASE WHEN ca.c_nationkey = cb.c_nationkey THEN 2 ELSE 0 END
+    + CASE WHEN ca.c_mktsegment = cb.c_mktsegment THEN 1 ELSE 0 END
+    + CASE WHEN abs(ca.c_acctbal - cb.c_acctbal) <= 500 THEN 1 ELSE 0 END >= 3
+"""
