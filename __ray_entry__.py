@@ -178,6 +178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_recency_features": q.q_user_recency_features,
         "monthly_revenue_growth": q.q_monthly_revenue_growth,
         "customer_linkage": q.q_customer_linkage,
+        "daily_active_users": q.q_daily_active_users,
         # --- rows-only: no SQL form (pytest-gated) ---
         "approx_type_overlap": q.q_approx_type_overlap,
         "crawl_host_hits": cq.q_crawl_host_hits,
@@ -367,4 +368,6 @@ def oracle_sql() -> dict[str, str]:
         "monthly_revenue_growth": q.SQL_MONTHLY_REVENUE_GROWTH,
         # record linkage: FastSS candidates + attribute agreement scoring
         "customer_linkage": q.SQL_CUSTOMER_LINKAGE,
+        # DAU / trailing-7d WAU / stickiness (windowed distinct count)
+        "daily_active_users": q.SQL_DAILY_ACTIVE_USERS,
     }

@@ -67,7 +67,7 @@ def test_driver_prefix_is_fully_sql_oracled():
         "events_cube", "token_chi2", "events_value_psi",
         "doc_hybrid_search", "event_paths", "value_outliers",
         "key_skew_report", "user_recency_features",
-        "monthly_revenue_growth", "customer_linkage",
+        "monthly_revenue_growth", "customer_linkage", "daily_active_users",
     }, f"unexpected SQL-oracled entries below the driver prefix: {demoted_sql}"
 
 

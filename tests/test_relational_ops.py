@@ -740,3 +740,30 @@ class TestLinkage:
         for a, b in zip(out["name_a"], out["name_b"]):
             assert len(a) == len(b)
             assert sum(x != y for x, y in zip(a, b)) == 1
+
+
+class TestDailyActiveUsers:
+    def test_matches_duckdb_oracle(self):
+        import duckdb
+
+        import __ray_entry__ as e
+        from scripts.check_correctness import to_pandas, value_hash
+
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
+        )
+        mine = to_pandas(e.queries()["daily_active_users"](SF))
+        theirs = con.execute(e.oracle_sql()["daily_active_users"]).df()
+        assert len(mine) == len(theirs)
+        assert sorted(mine.columns) == sorted(theirs.columns)
+        assert value_hash(mine) == value_hash(theirs)
+
+    def test_wau_bounds(self):
+        import __ray_entry__ as e
+
+        out = e.queries()["daily_active_users"](SF)
+        assert (out["wau"] >= out["dau"]).all()          # window superset
+        assert (out["stickiness"] <= 1.0).all()
+        # trailing window: wau never exceeds 7x dau max
+        assert (out["wau"] <= 7 * out["dau"].max()).all()

@@ -4094,3 +4094,107 @@ WHERE CASE WHEN ca.c_nationkey = cb.c_nationkey THEN 2 ELSE 0 END
     + CASE WHEN ca.c_mktsegment = cb.c_mktsegment THEN 1 ELSE 0 END
     + CASE WHEN abs(ca.c_acctbal - cb.c_acctbal) <= 500 THEN 1 ELSE 0 END >= 3
 """
+
+
+def q_daily_active_users(sf_dir: str):
+    """DAU / trailing-7-day WAU / stickiness per day — the engagement
+    report that needs a WINDOWED DISTINCT COUNT (no SQL window frame
+    expresses it; engines resort to self-joins).  Plan: user-day dedup
+    inside user-hash partitions, then each user-day fans out to its <= 7
+    trailing day-buckets (bucket set pruned to OBSERVED days via a tiny
+    broadcast), a second (bucket, user) dedup inside bucket-hash
+    partitions, and a count combiner.  Exchanges carry user-days x 7,
+    never raw events; day arithmetic in integer days since epoch."""
+    from ..stages.agg import combiner_agg
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def user_days(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["ts"].to_numpy(dtype="datetime64[D]").astype(np.int64)
+        f = pd.DataFrame(
+            {"user_id": b["user_id"].to_numpy(np.int64), "day": d}
+        ).drop_duplicates()
+        f["__p"] = (
+            pd.util.hash_array(f["user_id"].to_numpy()) % np.uint64(32)
+        ).astype(np.int64)
+        return f
+
+    ud = (
+        ev.map_batches(user_days, batch_format="pandas")
+        .groupby("__p")
+        .map_groups(
+            lambda g: g.drop_duplicates(["user_id", "day"])[["user_id", "day"]],
+            batch_format="pandas",
+        )
+        .materialize()
+    )
+    days = np.sort(
+        ud.map_batches(
+            lambda b: pd.DataFrame({"day": b["day"].unique()}),
+            batch_format="pandas",
+        )
+        .to_pandas()["day"]
+        .unique()
+    )
+    days_ref = ray.put(set(int(x) for x in days))
+
+    def fan_out(b: pd.DataFrame) -> pd.DataFrame:
+        present = ray.get(days_ref)
+        u = np.repeat(b["user_id"].to_numpy(np.int64), 7)
+        d = np.repeat(b["day"].to_numpy(np.int64), 7) + np.tile(
+            np.arange(7, dtype=np.int64), len(b)
+        )
+        keep = np.fromiter((int(x) in present for x in d), bool, len(d))
+        f = pd.DataFrame({"bucket": d[keep], "user_id": u[keep]}).drop_duplicates()
+        f["__bp"] = (
+            pd.util.hash_array(f["bucket"].to_numpy()) % np.uint64(32)
+        ).astype(np.int64)
+        return f
+
+    wau = (
+        combiner_agg(
+            ud.map_batches(fan_out, batch_format="pandas")
+            .groupby("__bp")
+            .map_groups(
+                lambda g: g.drop_duplicates(["bucket", "user_id"])[
+                    ["bucket", "user_id"]
+                ],
+                batch_format="pandas",
+            ),
+            ["bucket"],
+            [("wau", None, "count")],
+        )
+        .to_pandas()
+        .rename(columns={"bucket": "day_num"})
+    )
+    dau = (
+        _combiner_agg(ud, ["day"], [("dau", None, "count")])
+        .rename(columns={"day": "day_num"})
+    )
+    out = dau.merge(wau, on="day_num")
+    out["day_num"] = out["day_num"].astype(np.int64)
+    out["dau"] = out["dau"].astype(np.int64)
+    out["wau"] = out["wau"].astype(np.int64)
+    out["stickiness"] = round_half_away(
+        out["dau"].to_numpy(np.float64) / out["wau"].to_numpy(np.float64), 4
+    )
+    return out.sort_values("day_num", kind="mergesort").reset_index(drop=True)
+
+
+SQL_DAILY_ACTIVE_USERS = """
+WITH ud AS (
+  SELECT DISTINCT CAST(ts AS DATE) - DATE '1970-01-01' AS day, user_id
+  FROM events
+), days AS (
+  SELECT DISTINCT day FROM ud
+), wau AS (
+  SELECT d.day AS day_num, CAST(count(DISTINCT u.user_id) AS BIGINT) AS wau
+  FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+  GROUP BY 1
+), dau AS (
+  SELECT day AS day_num, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY 1
+)
+SELECT CAST(day_num AS BIGINT) AS day_num, dau, wau,
+       round(CAST(dau AS DOUBLE) / wau, 4) AS stickiness
+FROM dau JOIN wau USING (day_num)
+"""
