@@ -52,15 +52,13 @@ def test_driver_prefix_is_fully_sql_oracled():
         "embedding_neardup", "embedding_neardup_lsh", "ngram_jaccard",
         "ngram_jaccard_lsh", "lang_counts", "order_priority_counts",
         "top_docs_by_chars", "doc_dsir_score", "doc_embed_neardup",
-        "doc_c4_filter", "doc_nb_langid",
+        "doc_c4_filter",
         # round-4 post-freeze additions (SQL-checked in CORRECTNESS_FULL.json
         # + the duckdb parametrize in tests/test_curation.py):
-        "doc_pii_scrub", "token_budget_select", "cluster_representatives",
+        "token_budget_select", "cluster_representatives",
         "source_mix_sample", "source_cap_sample",
-        "orders_rollup", "lineitem_corr", "user_customer_outer",
-        "event_funnel", "user_retention", "table_expectations",
-        "snapshot_diff", "doc_token_entropy", "doc_skyline",
-        "event_type_user_overlap", "name_fuzzy_pairs",
+        "table_expectations", "doc_token_entropy",
+        "event_type_user_overlap",
         "changelog_apply", "user_activity_streaks", "ann_hard_negatives",
         "doc_bm25_search", "token_pmi", "event_transitions",
         "user_value_trend", "doc_weighted_sample", "doc_containment",
@@ -68,6 +66,13 @@ def test_driver_prefix_is_fully_sql_oracled():
         "doc_hybrid_search", "event_paths", "value_outliers",
         "key_skew_report", "user_recency_features",
         "monthly_revenue_growth", "customer_linkage", "daily_active_users",
+        # round-5 rotation OUT (triple driver-green r1-r4; rotated below the
+        # line to free prefix slots for never-driver-checked SQL queries —
+        # see PREFIX ROTATION POLICY in __ray_entry__.py):
+        "sorted_token_dedup", "source_conditional_agg", "chars_histogram",
+        "doc_stratified_sample", "label_centroids", "nation_region_rollup",
+        "event_type_summary", "events_pivot", "events_props_extract",
+        "events_unpivot",
     }, f"unexpected SQL-oracled entries below the driver prefix: {demoted_sql}"
 
 
