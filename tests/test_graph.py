@@ -347,6 +347,21 @@ class TestBfsDistance:
         )
         assert dict(zip(out["id"], out["dist"])) == {0: 0, 1: 1, 2: 2, 3: 1, 4: 0}
 
+    def test_node_id_minus_one_is_a_legal_vertex(self):
+        """Node ids are signed md5-derived int64s, so -1 is a legal id; the
+        frontier marker must be an explicit column, not an in-band dst
+        sentinel (a -1 sentinel made -1's out-edges read as frontier rows
+        and silently dropped them)."""
+        from webcrawl_lowres_lang_ray.stages.graph import bfs_distance
+
+        df = pd.DataFrame({"src": [0, -1], "dst": [-1, 7]})
+        out = (
+            bfs_distance(_ds(df), np.array([0]), col_a="src", col_b="dst",
+                         directed=True, parts=4)
+            .to_pandas().sort_values("id").reset_index(drop=True)
+        )
+        assert dict(zip(out["id"], out["dist"])) == {-1: 1, 0: 0, 7: 2}
+
     def test_random_graphs_match_serial_oracle(self):
         from webcrawl_lowres_lang_ray.stages.graph import bfs_distance, bfs_numpy
 

@@ -83,6 +83,19 @@ def crawl_output_dir(sf_dir: str) -> str:
     return out
 
 
+def media_rows_for_sf(sf_dir: str) -> int:
+    """Synthetic media-table size derived from the scale factor so the
+    multimodal catalog entries measure a workload that grows with sf
+    (sf0.001/sf0.01 keep the historical 200-row floor — the planted-pair
+    test invariants live there; sf0.1 -> 2,000; sf1 -> 20,000)."""
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        sf = float(base.replace("sf", "")) if base.startswith("sf") else 0.001
+    except ValueError:
+        sf = 0.001
+    return max(200, min(20_000, int(20_000 * sf)))
+
+
 def q_crawl_ledger(sf_dir: str):
     """The full crawl-state ledger (the reference urls table, sql.py:47-66)."""
     from ..frontier import LEDGER_META_COLS
@@ -276,7 +289,7 @@ def q_multimodal_audio_features(sf_dir: str) -> pd.DataFrame:
     values pinned in tests/test_media.py."""
     from ..stages.multimodal import AudioFeatureStage, synth_media_batch
 
-    media = ray.data.from_pandas(synth_media_batch(200))
+    media = ray.data.from_pandas(synth_media_batch(media_rows_for_sf(sf_dir)))
     out = media.map_batches(
         AudioFeatureStage,
         batch_format="pandas",
@@ -292,7 +305,7 @@ def q_multimodal_image_stats(sf_dir: str) -> pd.DataFrame:
     pinned in tests/test_media.py."""
     from ..stages.multimodal import ImageStatStage, synth_media_batch
 
-    media = ray.data.from_pandas(synth_media_batch(200))
+    media = ray.data.from_pandas(synth_media_batch(media_rows_for_sf(sf_dir)))
     out = media.map_batches(
         ImageStatStage, batch_format="pandas", batch_size=16, concurrency=2
     )
@@ -303,7 +316,7 @@ def q_multimodal_decode(sf_dir: str) -> pd.DataFrame:
     """Multimodal decode plumbing (stubbed kernels, real Ray wiring)."""
     from ..stages.multimodal import DecodeStage, synth_media_batch
 
-    media = ray.data.from_pandas(synth_media_batch(200))
+    media = ray.data.from_pandas(synth_media_batch(media_rows_for_sf(sf_dir)))
     out = media.map_batches(
         DecodeStage,
         fn_constructor_kwargs={"fake": True},
@@ -320,7 +333,7 @@ def q_multimodal_thumbnail(sf_dir: str) -> pd.DataFrame:
     batches for wide rows)."""
     from ..stages.multimodal import ThumbnailStage, synth_media_batch
 
-    media = ray.data.from_pandas(synth_media_batch(200))
+    media = ray.data.from_pandas(synth_media_batch(media_rows_for_sf(sf_dir)))
     out = media.map_batches(
         ThumbnailStage,
         fn_constructor_kwargs={"max_side": 12},
@@ -1034,7 +1047,7 @@ def q_multimodal_phash_dedup(sf_dir: str) -> pd.DataFrame:
     from ..functions.media import png_encode, resize_nearest
     from ..stages.multimodal import phash_near_pairs, synth_media_batch
 
-    media = synth_media_batch(200)
+    media = synth_media_batch(media_rows_for_sf(sf_dir))
     # plant STRUCTURED images (gradients — dHash is knife-edge on pure
     # noise, by design: no perceptual structure means no stable hash)
     # with a 2x nearest-upscaled near-copy each
@@ -1066,7 +1079,7 @@ def q_multimodal_audio_dedup(sf_dir: str) -> pd.DataFrame:
     from ..functions.media import wav_decode, wav_encode
     from ..stages.multimodal import audio_near_pairs, synth_media_batch
 
-    media = synth_media_batch(200)
+    media = synth_media_batch(media_rows_for_sf(sf_dir))
     wavs = media[media["media_type"] == "audio/wav"].head(5)
     rng = np.random.RandomState(77)
     extra = []

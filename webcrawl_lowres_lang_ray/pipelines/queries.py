@@ -3521,8 +3521,11 @@ def q_events_value_psi(sf_dir: str):
             "ref",
             "cur",
         ).astype(object)
+        # floor-then-clip so a negative value bins identically to the SQL
+        # oracle's GREATEST(LEAST(floor(...), 9), 0) (astype alone truncates
+        # toward zero, which disagrees with floor() below 0)
         bins = np.clip(
-            (b["value"].to_numpy(np.float64) / vmax * BINS).astype(np.int64),
+            np.floor(b["value"].to_numpy(np.float64) / vmax * BINS).astype(np.int64),
             0,
             BINS - 1,
         )
@@ -3570,7 +3573,7 @@ WITH bounds AS (
   SELECT event_type,
          CASE WHEN epoch_us(ts) <= lo_us + (hi_us - lo_us) // 2
               THEN 'ref' ELSE 'cur' END AS period,
-         LEAST(CAST(floor(value / vmax * 10) AS BIGINT), 9) AS bin
+         GREATEST(LEAST(CAST(floor(value / vmax * 10) AS BIGINT), 9), 0) AS bin
   FROM events CROSS JOIN bounds
 ), grid AS (
   SELECT t.event_type, p.period, b.bin

@@ -127,6 +127,10 @@ def fuzzy_pairs_lev1(
         av, bv = m["w_a"].to_numpy(object), m["w_b"].to_numpy(object)
         keep = _lev1_mask(av, bv)
         out = pd.DataFrame({ca: av[keep], cb: bv[keep]}).drop_duplicates()
+        # the joined string is ONLY a partition router: two distinct pairs
+        # colliding on it (possible if a value contains \x1f) merely land in
+        # the same partition — pair identity downstream is always the two
+        # columns (dedup_part drops duplicates on [ca, cb], never the key)
         out["__pp"] = (
             pd.util.hash_array((out[ca] + "\x1f" + out[cb]).to_numpy(object))
             % np.uint64(parts)

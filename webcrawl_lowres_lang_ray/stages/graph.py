@@ -896,6 +896,10 @@ def bfs_distance(
         f["__ep"] = (
             pd.util.hash_array(f["src"].to_numpy()) % np.uint64(parts)
         ).astype(np.int64)
+        # explicit edge/frontier marker for the per-round union (an in-band
+        # dst sentinel would misread a genuine node id equal to it — node
+        # ids here are signed md5-derived int64s, so every value is legal)
+        f["__fr"] = np.int64(0)
         return f
 
     edges = pairs_ds.map_batches(tag_edges, batch_format="pandas").materialize()
@@ -921,18 +925,20 @@ def bfs_distance(
             return pd.DataFrame(
                 {
                     "src": ids,
-                    "dst": np.int64(-1),
+                    "dst": np.int64(0),  # unused for frontier rows
                     "__ep": (
                         pd.util.hash_array(ids) % np.uint64(parts)
                     ).astype(np.int64),
+                    "__fr": np.int64(1),
                 }
             )
 
         fds = state.map_batches(front_rows, batch_format="pandas")
 
         def expand(g: pd.DataFrame) -> pd.DataFrame:
-            fr = g[g["dst"] == -1]["src"].to_numpy(np.int64)
-            eg = g[g["dst"] != -1]
+            is_fr = g["__fr"].to_numpy(np.int64) == 1
+            fr = g[is_fr]["src"].to_numpy(np.int64)
+            eg = g[~is_fr]
             hit = (
                 eg[np.isin(eg["src"].to_numpy(np.int64), fr)]["dst"]
                 .drop_duplicates()

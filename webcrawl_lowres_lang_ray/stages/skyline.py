@@ -84,7 +84,9 @@ def skyline(
         m = b[dims].to_numpy(np.float64)
         return b.loc[_local_skyline(m), cols]
 
-    cand = ds.map_batches(local, batch_format="pandas")
+    # materialize once: count() would otherwise execute the whole upstream
+    # pipeline, and the to_pandas() below would execute it a second time
+    cand = ds.map_batches(local, batch_format="pandas").materialize()
     n = cand.count()
     if n > SKYLINE_CANDIDATE_CAP:
         raise ValueError(

@@ -595,23 +595,35 @@ def token_pmi(
     from .join import hash_join
 
     def partials(b: pd.DataFrame) -> pd.DataFrame:
+        # bigrams ride the exchange as TWO key columns (key_a, key_b), not a
+        # delimiter-joined string: tokens are arbitrary non-space bytes, so
+        # any in-band delimiter could collide with token content.  Unigram
+        # rows set key_b = "" — unambiguous because empty tokens are
+        # filtered out above.
         toks = b[text_col].str.split(" ").to_numpy(object)
         toks = [np.asarray([w for w in t if w != ""], object) for t in toks]
         uni = pd.Series(
             np.concatenate(toks) if toks else np.array([], object)
         ).value_counts()
-        pairs = [
-            t[:-1].astype(object) + "\x1f" + t[1:].astype(object)
-            for t in toks
-            if len(t) > 1
-        ]
-        bi = pd.Series(
-            np.concatenate(pairs) if pairs else np.array([], object)
-        ).value_counts()
+        pa = [t[:-1] for t in toks if len(t) > 1]
+        pb = [t[1:] for t in toks if len(t) > 1]
+        if pa:
+            bi = (
+                pd.DataFrame(
+                    {"key_a": np.concatenate(pa), "key_b": np.concatenate(pb)}
+                )
+                .groupby(["key_a", "key_b"], sort=False)
+                .size()
+            )
+        else:
+            bi = pd.Series(np.array([], np.int64))
+        bi_a = [a for a, _ in bi.index] if len(bi) else []
+        bi_b = [bb for _, bb in bi.index] if len(bi) else []
         return pd.DataFrame(
             {
                 "kind": ["u"] * len(uni) + ["b"] * len(bi),
-                "key": list(uni.index) + list(bi.index),
+                "key_a": list(uni.index) + bi_a,
+                "key_b": [""] * len(uni) + bi_b,
                 "c": np.concatenate(
                     [uni.to_numpy(np.int64), bi.to_numpy(np.int64)]
                 ),
@@ -620,7 +632,7 @@ def token_pmi(
 
     counts = combiner_agg(
         ds.map_batches(partials, batch_format="pandas"),
-        ["kind", "key"],
+        ["kind", "key_a", "key_b"],
         [("c", "c", "sum")],
     ).materialize()
 
@@ -635,8 +647,8 @@ def token_pmi(
         lambda b: (
             lambda f: pd.DataFrame(
                 {
-                    "a": f["key"].str.split("\x1f").str[0],
-                    "b": f["key"].str.split("\x1f").str[1],
+                    "a": f["key_a"].to_numpy(object),
+                    "b": f["key_b"].to_numpy(object),
                     "c_ab": f["c"].to_numpy(np.int64),
                 }
             )
@@ -644,8 +656,8 @@ def token_pmi(
         batch_format="pandas",
     )
     uni = counts.map_batches(
-        lambda b: b[b["kind"] == "u"][["key", "c"]].rename(
-            columns={"key": "w", "c": "c_w"}
+        lambda b: b[b["kind"] == "u"][["key_a", "c"]].rename(
+            columns={"key_a": "w", "c": "c_w"}
         ),
         batch_format="pandas",
     )
