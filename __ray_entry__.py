@@ -75,6 +75,11 @@ from typing import Any
 
 from webcrawl_lowres_lang_ray.pipelines import crawl_queries as cq
 from webcrawl_lowres_lang_ray.pipelines import queries as q
+from webcrawl_lowres_lang_ray.raylog import install_empty_schema_filter
+
+# the driver owns the Ray session; this only touches one logging filter
+# (drops Ray's known-benign empty-new-schema warning — see raylog.py)
+install_empty_schema_filter()
 
 # Number of queries() entries the driver's correctness harness records
 # (an exact dict-order prefix; measured r1-r3).

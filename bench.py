@@ -84,6 +84,9 @@ def run_bench() -> dict:
     )
     from ray.data import DataContext
 
+    from webcrawl_lowres_lang_ray.raylog import install_empty_schema_filter
+
+    install_empty_schema_filter()
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     ctx.execution_options.preserve_order = False
@@ -358,6 +361,9 @@ def run_opsoak(sizes=(10_000, 50_000)) -> dict:
     )
     from ray.data import DataContext
 
+    from webcrawl_lowres_lang_ray.raylog import install_empty_schema_filter
+
+    install_empty_schema_filter()
     DataContext.get_current().enable_progress_bars = False
 
     import glob

@@ -56,6 +56,8 @@ def main():
         address="local", num_cpus=8, include_dashboard=False,
         ignore_reinit_error=True, logging_level="ERROR",
     )
+    from webcrawl_lowres_lang_ray.raylog import install_empty_schema_filter
+    install_empty_schema_filter()
     from ray.data import DataContext
 
     ctx = DataContext.get_current()

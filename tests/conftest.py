@@ -16,6 +16,8 @@ def ray_session():
         ignore_reinit_error=True,
         logging_level="ERROR",
     )
+    from webcrawl_lowres_lang_ray.raylog import install_empty_schema_filter
+    install_empty_schema_filter()
     from ray.data import DataContext
 
     ctx = DataContext.get_current()

@@ -33,6 +33,8 @@ def _init_ray(num_cpus: int | None) -> bool:
             kwargs["num_cpus"] = num_cpus
         ray.init(**kwargs)
         owns = True
+    from webcrawl_lowres_lang_ray.raylog import install_empty_schema_filter
+    install_empty_schema_filter()
     from ray.data import DataContext
 
     ctx = DataContext.get_current()

@@ -90,7 +90,9 @@ def benchmark_ngrams(
         out: set[str] = set()
         for t in b[text_col]:
             out |= _word_ngram_set(t, n)
-        return pd.DataFrame({"gram": sorted(out)})
+        # dtype=object even when empty: a [] column defaults to float64,
+        # which flaps the block schema across batches
+        return pd.DataFrame({"gram": pd.Series(sorted(out), dtype=object)})
 
     parts = docs.map_batches(grams, batch_format="pandas").to_pandas()
     return frozenset(parts["gram"])

@@ -24,6 +24,107 @@ import pandas as pd
 import ray.data
 
 
+def _np_dtype(t) -> np.dtype:
+    """Schema type (pyarrow DataType or numpy dtype) -> numpy dtype."""
+    import pyarrow as pa
+
+    if isinstance(t, pa.DataType):
+        try:
+            return np.dtype(t.to_pandas_dtype())
+        except Exception:
+            return np.dtype(object)
+    return np.dtype(t)
+
+
+def _cat(dt: np.dtype) -> str:
+    if np.issubdtype(dt, np.bool_):
+        return "bool"
+    if np.issubdtype(dt, np.integer):
+        return "int"
+    if np.issubdtype(dt, np.floating):
+        return "float"
+    if np.issubdtype(dt, np.datetime64):
+        return "datetime"
+    return "other"
+
+
+def _side_dtypes(ds: "ray.data.Dataset") -> dict[str, np.dtype]:
+    sch = ds.schema()
+    return {n: _np_dtype(t) for n, t in zip(sch.names, sch.types)}
+
+
+def _exchange_plan(ldt: dict, rdt: dict):
+    """One exchange schema both sides can emit, so the tagged union is
+    schema-stable (mixed-schema bundles draw Ray's 'different schema'
+    warning and would be illegal as Arrow blocks).  Per column:
+    on BOTH sides -> the common dtype (int64/bool/float64; other
+    categories trusted equal, object if the categories disagree); on ONE
+    side -> a null-able exchange dtype (ints/floats ride as float64 —
+    exactly what the pandas concat inside the partition groupby did
+    before this alignment, see join_part's restore; bools/objects as
+    object; datetimes keep their unit, missing side fills NaT)."""
+    all_cols = list(ldt) + [c for c in rdt if c not in ldt]
+    plan: dict[str, tuple[str, object]] = {}
+    for c in all_cols:
+        if c in ldt and c in rdt:
+            cl, cr = _cat(ldt[c]), _cat(rdt[c])
+            if cl != cr:
+                plan[c] = ("cast", object)
+            elif cl == "int":
+                plan[c] = ("cast", "int64")
+            elif cl == "bool":
+                plan[c] = ("cast", "bool")
+            elif cl == "float":
+                plan[c] = ("cast", "float64")
+            else:  # datetime/other: same category, trust equal dtypes
+                plan[c] = ("keep", None)
+        else:
+            dt = ldt.get(c, rdt.get(c))
+            cat = _cat(dt)
+            if cat in ("int", "float"):
+                plan[c] = ("null_float", None)
+            elif cat == "datetime":
+                plan[c] = ("null_dt", dt)
+            else:
+                plan[c] = ("null_obj", None)
+    return all_cols, plan
+
+
+def _canon_key(arr: np.ndarray) -> np.ndarray:
+    """Canonical dtype for partition hashing: equal key values must hash
+    equally on both sides regardless of each side's physical width."""
+    if np.issubdtype(arr.dtype, np.bool_):
+        return arr.astype(np.int64)
+    if np.issubdtype(arr.dtype, np.integer):
+        return arr.astype(np.int64)
+    if np.issubdtype(arr.dtype, np.floating):
+        return arr.astype(np.float64)
+    return arr
+
+
+def _align_batch(
+    b: pd.DataFrame, have: frozenset, all_cols: list, plan: dict
+) -> pd.DataFrame:
+    for c in all_cols:
+        mode, arg = plan[c]
+        if c in have:
+            if mode == "cast":
+                b[c] = b[c].astype(arg)
+            elif mode == "null_float":
+                b[c] = b[c].astype("float64")
+            elif mode == "null_obj":
+                b[c] = b[c].astype(object)
+            # keep / null_dt (owning side): leave untouched
+        else:
+            if mode == "null_dt":
+                b[c] = pd.Series(pd.NaT, index=b.index, dtype=arg)
+            elif mode == "null_obj" or mode == "cast" and arg is object:
+                b[c] = pd.Series(np.nan, index=b.index, dtype=object)
+            else:
+                b[c] = np.float64(np.nan)
+    return b
+
+
 def hash_join(
     left: "ray.data.Dataset",
     right: "ray.data.Dataset",
@@ -41,66 +142,80 @@ def hash_join(
     survive a left/outer merge there).  NaN-widening of int columns on
     the unmatched side is the caller's to coalesce."""
     right_key = right_key or left_key
-    # column lists + integer/bool dtypes recorded BEFORE the union: the
-    # mixed-schema union NaN-fills each side's missing columns through the
-    # shuffle, silently widening int64 -> float64 — restored per partition
-    import pyarrow as pa
+    # column lists + integer/bool dtypes recorded BEFORE the union; both
+    # sides are aligned to ONE exchange schema (one-side-only int columns
+    # ride as float64 — the same widening the partition concat always did —
+    # and are restored per partition below), so every bundle the union
+    # emits has the same schema
+    ldt, rdt = _side_dtypes(left), _side_dtypes(right)
+    lcols, rcols = list(ldt), list(rdt)
+    lcasts = {
+        n: ("int64" if _cat(t) == "int" else "bool")
+        for n, t in ldt.items() if _cat(t) in ("int", "bool")
+    }
+    rcasts = {
+        n: ("int64" if _cat(t) == "int" else "bool")
+        for n, t in rdt.items() if _cat(t) in ("int", "bool")
+    }
+    all_cols, plan = _exchange_plan(ldt, rdt)
+    out_cols = all_cols + ["__side", "__jp"]
 
-    def _cols_and_casts(ds: "ray.data.Dataset"):
-        # upstream map_batches stages surface pandas block schemas (numpy
-        # dtypes) instead of pyarrow types — handle both
-        def is_int(t):
-            return (
-                pa.types.is_integer(t)
-                if isinstance(t, pa.DataType)
-                else np.issubdtype(t, np.integer)
-            )
-
-        def is_bool(t):
-            return (
-                pa.types.is_boolean(t)
-                if isinstance(t, pa.DataType)
-                else np.issubdtype(t, np.bool_)
-            )
-
-        sch = ds.schema()
-        cols = list(sch.names)
-        casts = {
-            n: ("int64" if is_int(t) else "bool")
-            for n, t in zip(sch.names, sch.types)
-            if is_int(t) or is_bool(t)
-        }
-        return cols, casts
-
-    lcols, lcasts = _cols_and_casts(left)
-    rcols, rcasts = _cols_and_casts(right)
-
-    def tag(side: int, key: str):
+    def tag(side: int, key: str, have: frozenset):
         def fn(b: pd.DataFrame) -> pd.DataFrame:
-            b = b.copy()
-            b["__side"] = np.int64(side)
-            b["__jp"] = (
-                pd.util.hash_array(b[key].to_numpy()) % np.uint64(parts)
+            # hash the key BEFORE dtype alignment, canonicalized, so equal
+            # key values land in the same partition even when one side's
+            # key column rides the exchange widened (int64 and float64
+            # hash differently under hash_array)
+            jp = (
+                pd.util.hash_array(_canon_key(b[key].to_numpy()))
+                % np.uint64(parts)
             ).astype(np.int64)
-            return b
+            b = _align_batch(b.copy(), have, all_cols, plan)
+            b["__side"] = np.int64(side)
+            b["__jp"] = jp
+            return b[out_cols]
 
         return fn
 
-    lt = left.map_batches(tag(0, left_key), batch_format="pandas")
-    rt = right.map_batches(tag(1, right_key), batch_format="pandas")
+    lt = left.map_batches(tag(0, left_key, frozenset(lcols)), batch_format="pandas")
+    rt = right.map_batches(tag(1, right_key, frozenset(rcols)), batch_format="pandas")
+
+    # post-merge dtype stabilization: a left/outer partition WITH unmatched
+    # rows NaN-widens the nullable side's int->float64 / bool->object while
+    # a fully-matched partition keeps the native dtypes — per-partition
+    # divergence that both warns and feeds mixed blocks downstream.  Cast
+    # the nullable side(s) unconditionally so every partition emits one
+    # schema (a shared-name equi-key is never NaN and is excluded).
+    overlap = (set(lcols) & set(rcols)) - (
+        {left_key} if left_key == right_key else set()
+    )
+    nullable_sides = {"inner": (), "left": (1,), "outer": (0, 1)}.get(how, ())
+    stab_casts: dict[str, str] = {}
+    for side, cols_casts in ((0, lcasts), (1, rcasts)):
+        if side in nullable_sides:
+            for c, t in cols_casts.items():
+                if left_key == right_key and c == left_key:
+                    continue
+                name = c + suffixes[side] if c in overlap else c
+                stab_casts[name] = "float64" if t == "int64" else "object"
 
     def join_part(g: pd.DataFrame) -> pd.DataFrame:
         # reindex, not select: a partition holding rows from only one side
         # never saw the other side's columns in its concatenated blocks
         lg = g[g["__side"] == 0].reindex(columns=lcols).astype(lcasts)
         rg = g[g["__side"] == 1].reindex(columns=rcols).astype(rcasts)
-        return lg.merge(
+        merged = lg.merge(
             rg,
             left_on=left_key,
             right_on=right_key,
             how=how,
             suffixes=suffixes,
         )
+        if stab_casts:
+            merged = merged.astype(
+                {k: v for k, v in stab_casts.items() if k in merged.columns}
+            )
+        return merged
 
     return lt.union(rt).groupby("__jp").map_groups(join_part, batch_format="pandas")
 
@@ -128,53 +243,35 @@ def salted_hash_join(
     single-salt path, so the exchange grows only by
     ``len(hot_keys) x salt_n`` replicated right rows."""
     right_key = right_key or left_key
-    import pyarrow as pa
-
-    def _cols_and_casts(ds: "ray.data.Dataset"):
-        # upstream map_batches stages surface pandas block schemas (numpy
-        # dtypes) instead of pyarrow types — handle both
-        def is_int(t):
-            return (
-                pa.types.is_integer(t)
-                if isinstance(t, pa.DataType)
-                else np.issubdtype(t, np.integer)
-            )
-
-        def is_bool(t):
-            return (
-                pa.types.is_boolean(t)
-                if isinstance(t, pa.DataType)
-                else np.issubdtype(t, np.bool_)
-            )
-
-        sch = ds.schema()
-        cols = list(sch.names)
-        casts = {
-            n: ("int64" if is_int(t) else "bool")
-            for n, t in zip(sch.names, sch.types)
-            if is_int(t) or is_bool(t)
-        }
-        return cols, casts
-
-    lcols, lcasts = _cols_and_casts(left)
-    rcols, rcasts = _cols_and_casts(right)
+    ldt, rdt = _side_dtypes(left), _side_dtypes(right)
+    lcols, rcols = list(ldt), list(rdt)
+    lcasts = {
+        n: ("int64" if _cat(t) == "int" else "bool")
+        for n, t in ldt.items() if _cat(t) in ("int", "bool")
+    }
+    rcasts = {
+        n: ("int64" if _cat(t) == "int" else "bool")
+        for n, t in rdt.items() if _cat(t) in ("int", "bool")
+    }
+    all_cols, plan = _exchange_plan(ldt, rdt)
+    out_cols = all_cols + ["__salt", "__side", "__jp"]
     hot = set(hot_keys)
 
     def tag_left(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.copy()
-        keys = b[left_key].to_numpy()
+        keys = _canon_key(b[left_key].to_numpy())
         is_hot = np.isin(keys, list(hot)) if hot else np.zeros(len(b), dtype=bool)
         salt = np.where(is_hot, np.arange(len(b), dtype=np.int64) % salt_n, 0)
+        b = _align_batch(b.copy(), frozenset(lcols), all_cols, plan)
         b["__salt"] = salt
         b["__side"] = np.int64(0)
         b["__jp"] = (
             (pd.util.hash_array(keys) + np.uint64(0x9E37) * salt.astype(np.uint64))
             % np.uint64(parts)
         ).astype(np.int64)
-        return b
+        return b[out_cols]
 
     def tag_right(b: pd.DataFrame) -> pd.DataFrame:
-        keys = b[right_key].to_numpy()
+        keys = _canon_key(b[right_key].to_numpy())
         is_hot = np.isin(keys, list(hot)) if hot else np.zeros(len(b), dtype=bool)
         cold = b[~is_hot].copy()
         cold["__salt"] = np.int64(0)
@@ -185,8 +282,9 @@ def salted_hash_join(
             rep["__salt"] = np.int64(s)
             frames.append(rep)
         out = pd.concat(frames, ignore_index=True)
+        kk = _canon_key(out[right_key].to_numpy())  # BEFORE dtype alignment
+        out = _align_batch(out, frozenset(rcols), all_cols, plan)
         out["__side"] = np.int64(1)
-        kk = out[right_key].to_numpy()
         out["__jp"] = (
             (
                 pd.util.hash_array(kk)
@@ -194,7 +292,7 @@ def salted_hash_join(
             )
             % np.uint64(parts)
         ).astype(np.int64)
-        return out
+        return out[out_cols]
 
     lt = left.map_batches(tag_left, batch_format="pandas")
     rt = right.map_batches(tag_right, batch_format="pandas")
