@@ -34,6 +34,11 @@ SOAK.json, which the headline bench embeds as out["soak"].
 LLM-curation operators (dedup families, line dedup, NB classifier, C4
 filter) at two corpus sizes (default 10k/50k docs) with time-vs-linear
 ratios; persists OPSOAK.json, embedded as out["opsoak"].
+
+--graphsoak [n_lo n_hi]: graph tail at real edge volume (default 1M and 4M
+edges = 4x the node sizes 250k/1M) so the wedge-join m^1.5 term, k-core
+peeling rounds and BFS frontier exchanges are observed, not just their
+fixed constants; persists GRAPHSOAK.json.
 """
 
 from __future__ import annotations
@@ -525,6 +530,97 @@ def run_opsoak(sizes=(10_000, 50_000)) -> dict:
     }
 
 
+GRAPHSOAK_JSON = os.path.join(REPO, "GRAPHSOAK.json")
+
+
+def run_graphsoak(node_sizes=(250_000, 1_000_000)) -> dict:
+    """Graph-operator soak at REAL edge volume (round-5, VERDICT r4 ask #8):
+    the 10k/50k opsoak cells measured mostly fixed exchange constants
+    (0.23-0.27 vs_linear at 200k edges).  This cell runs the graph tail at
+    4x node_sizes edges (default 1M and 4M edges) so the O(m^1.5) wedge
+    term of triangle counting, the k-core peeling rounds and BFS's
+    per-round frontier exchanges are actually observed against theory.
+    Time-vs-linear ratios reported like the opsoak; triangles also against
+    the m^1.5 curve."""
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    from webcrawl_lowres_lang_ray.raylog import install_empty_schema_filter
+
+    install_empty_schema_filter()
+    DataContext.get_current().enable_progress_bars = False
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from webcrawl_lowres_lang_ray.stages.graph import (
+        bfs_distance,
+        kcore,
+        pagerank_auto,
+        triangle_count,
+    )
+
+    def edges_ds(n: int):
+        rng = np.random.RandomState(13)
+        m = 4 * n
+        df = pd.DataFrame(
+            {
+                "src": rng.randint(0, n, m).astype(np.int64),
+                "dst": rng.randint(0, n, m).astype(np.int64),
+            }
+        )
+        return rd.from_pandas(df).repartition(NUM_CPUS * 2).materialize()
+
+    ops = {
+        "triangle_count": triangle_count,
+        "bfs_distance": lambda e: bfs_distance(
+            e, np.array([0]), col_a="src", col_b="dst"
+        ),
+        # k = avg_degree/2 on this synthetic graph: the k-core is large and
+        # peeling converges in a handful of rounds (k at the critical
+        # erosion threshold would measure round COUNT, not scaling)
+        "kcore": lambda e: kcore(e, k=4, src_col="src", dst_col="dst"),
+        "pagerank_auto": lambda e: pagerank_auto(e, iterations=5),
+    }
+    results: dict = {}
+    for n in node_sizes:
+        eds = edges_ds(n)
+        for name, fn in ops.items():
+            t0 = time.time()
+            r = fn(eds)
+            rows = r.count() if hasattr(r, "count") and not isinstance(
+                r, pd.DataFrame
+            ) else len(r)
+            results.setdefault(name, {})[str(4 * n)] = {
+                "sec": round(time.time() - t0, 3), "rows": rows,
+            }
+    m_lo, m_hi = 4 * node_sizes[0], 4 * node_sizes[-1]
+    size_ratio = m_hi / m_lo
+    for name, r in results.items():
+        lo, hi = r[str(m_lo)]["sec"], r[str(m_hi)]["sec"]
+        r["time_ratio"] = round(hi / lo, 2) if lo else None
+        r["vs_linear"] = round((hi / lo) / size_ratio, 2) if lo else None
+        if name == "triangle_count":
+            r["vs_m1_5"] = round((hi / lo) / (size_ratio ** 1.5), 2) if lo else None
+    ray.shutdown()
+    return {
+        "metric": "graph_operator_edge_scaling_soak",
+        "edges": [m_lo, m_hi],
+        "size_ratio": size_ratio,
+        "cpus": NUM_CPUS,
+        "ops": results,
+    }
+
+
 BENCH_FULL_JSON = os.path.join(REPO, "BENCH_FULL.json")
 
 
@@ -572,6 +668,16 @@ if __name__ == "__main__":
         sizes = tuple(int(a) for a in rest) if len(rest) >= 2 else (10_000, 50_000)
         res = run_opsoak(sizes)
         with open(OPSOAK_JSON, "w") as fh:
+            json.dump(res, fh, indent=1)
+        print(json.dumps(res))
+    elif "--graphsoak" in sys.argv:
+        i = sys.argv.index("--graphsoak")
+        rest = [a for a in sys.argv[i + 1 :] if a.isdigit()]
+        nodes = (
+            tuple(int(a) for a in rest) if len(rest) >= 2 else (250_000, 1_000_000)
+        )
+        res = run_graphsoak(nodes)
+        with open(GRAPHSOAK_JSON, "w") as fh:
             json.dump(res, fh, indent=1)
         print(json.dumps(res))
     elif "--scaling" in sys.argv:

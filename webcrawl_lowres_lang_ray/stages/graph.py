@@ -819,6 +819,12 @@ def kcore(
             .map_groups(jb, batch_format="pandas")
             .materialize()
         )
+        # per-round union+groupby fragments blocks, and each round's output
+        # feeds the next round's union, so block counts COMPOUND (the same
+        # driver-scheduling collapse bfs_distance hit — see its guard);
+        # coalesce whenever fragmentation outruns the partition count
+        if edges_next.num_blocks() > 2 * parts:
+            edges_next = edges_next.repartition(parts).materialize()
         n_next = edges_next.count()
         if n_next == n_edges:
             edges = edges_next
