@@ -403,9 +403,11 @@ def run_opsoak(sizes=(10_000, 50_000)) -> dict:
     from webcrawl_lowres_lang_ray.stages.graph import bfs_distance, triangle_count
     from webcrawl_lowres_lang_ray.stages.skyline import skyline
 
-    corpus = corpus_dir_for_pages(300_000)
-    texts: list[str] = []
     need = max(sizes)
+    # the 300k-page corpus feeds the standard 10k/50k cells; the 10x
+    # "sf1-equivalent" cell (500k docs) draws from the 1M-page corpus
+    corpus = corpus_dir_for_pages(1_000_000 if need > 250_000 else 300_000)
+    texts: list[str] = []
     for f in sorted(glob.glob(os.path.join(corpus, "pages", "bucket=*.parquet"))):
         texts.extend(pq.read_table(f, columns=["text"])["text"].to_pylist())
         if len(texts) >= need:

@@ -323,3 +323,18 @@ class TestAudioDedup:
         a = e.queries()["multimodal_audio_dedup"]("/root/testdata/sf0.001")
         b = e.queries()["multimodal_audio_dedup"]("/root/testdata/sf0.001")
         assert a.equals(b)
+
+
+class TestMediaRowsForSf:
+    def test_scales_with_sf_with_floor_and_cap(self):
+        from webcrawl_lowres_lang_ray.pipelines.crawl_queries import (
+            media_rows_for_sf,
+        )
+
+        # the planted-pair test invariants live at the 200-row floor
+        assert media_rows_for_sf("/root/testdata/sf0.001") == 200
+        assert media_rows_for_sf("/root/testdata/sf0.01") == 200
+        assert media_rows_for_sf("/root/testdata/sf0.1") == 2000
+        assert media_rows_for_sf("/any/sf1") == 20000
+        assert media_rows_for_sf("/any/sf10") == 20000  # capped
+        assert media_rows_for_sf("/weird/path") == 200  # non-sf dir -> floor
