@@ -669,7 +669,13 @@ if __name__ == "__main__":
         rest = [a for a in sys.argv[i + 1 :] if a.isdigit()]
         sizes = tuple(int(a) for a in rest) if len(rest) >= 2 else (10_000, 50_000)
         res = run_opsoak(sizes)
-        with open(OPSOAK_JSON, "w") as fh:
+        # the standard 10k/50k cell keeps its round-over-round artifact;
+        # the 10x "sf1-equivalent" cell (500k docs) gets its own file so
+        # neither clobbers the other
+        target = OPSOAK_JSON if max(sizes) <= 250_000 else os.path.join(
+            REPO, "OPSOAK10X.json"
+        )
+        with open(target, "w") as fh:
             json.dump(res, fh, indent=1)
         print(json.dumps(res))
     elif "--graphsoak" in sys.argv:
