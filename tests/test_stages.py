@@ -83,6 +83,27 @@ class TestMinHash:
         p2 = minhash_lsh_pairs(ds).to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
         pd.testing.assert_frame_equal(p1, p2)
 
+    def test_giant_bucket_emits_star_edges_not_all_pairs(self):
+        """Buckets above max_bucket fall back to star edges (everyone <->
+        bucket-min): O(c) pairs, connectivity preserved.  30 identical docs
+        with max_bucket=8 must yield exactly the 29 star pairs (0, i) at
+        est_jaccard 1.0 — not the C(30,2)=435 all-pairs set; with the cap
+        above the bucket size the full clique comes back."""
+        import ray.data
+
+        from webcrawl_lowres_lang_ray.stages.dedup import minhash_lsh_pairs
+
+        text = "the same template page body repeated verbatim " * 5
+        df = pd.DataFrame({"doc_id": range(30), "text": [text] * 30})
+        ds = ray.data.from_pandas(df)
+
+        star = minhash_lsh_pairs(ds, threshold=0.5, max_bucket=8).to_pandas()
+        assert set(zip(star["id_a"], star["id_b"])) == {(0, i) for i in range(1, 30)}
+        assert (star["est_jaccard"] == 1.0).all()
+
+        full = minhash_lsh_pairs(ds, threshold=0.5, max_bucket=64).to_pandas()
+        assert len(full) == 435  # C(30,2): cap above bucket size -> all pairs
+
     def test_ngram_jaccard_lsh_vs_exact(self):
         """The shipped scale path (LSH candidates + exact shuffle-joined
         Jaccard) must report the exact Jaccard for every pair it emits, emit

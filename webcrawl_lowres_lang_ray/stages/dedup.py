@@ -186,14 +186,28 @@ def _minhash_sigs(
     )
 
 
+# Buckets larger than this emit star edges (everyone <-> bucket-min) instead
+# of all C(c,2) pairs.  A bucket of c docs sharing one LSH band is a dense
+# near-dup cluster; all-pairs is O(c^2) rows x ~1 KB of attached signatures
+# each — the round-5 10x opsoak caught a single 80 GB partition on a
+# template-heavy 500k-doc corpus.  Star edges are O(c), and for dedup
+# clustering (connected components) they preserve connectivity exactly.
+MINHASH_MAX_BUCKET = 256
+
+
 def _lsh_candidates(
-    sigs_ds: "ray.data.Dataset", id_col: str, bands: int, rows_per_band: int
+    sigs_ds: "ray.data.Dataset",
+    id_col: str,
+    bands: int,
+    rows_per_band: int,
+    max_bucket: int = MINHASH_MAX_BUCKET,
 ) -> "ray.data.Dataset":
     """Distinct candidate pairs from banded LSH.  Only (band, band_hash:int64)
     rows ride the shuffle — no signature payload (512 B x bands per doc would
     dominate the exchange).  Band hashing is fully vectorized: polynomial
     combine down the band's rows + a splitmix64 finalizer keyed by band index
-    (one matrix pass per batch, no per-row Python)."""
+    (one matrix pass per batch, no per-row Python).  Buckets above
+    ``max_bucket`` fall back to star edges (see MINHASH_MAX_BUCKET)."""
 
     def band_stage(batch: pd.DataFrame) -> pd.DataFrame:
         n = len(batch)
@@ -228,8 +242,14 @@ def _lsh_candidates(
             if c < 2:
                 continue
             ids = sub[id_col].to_numpy(np.int64)
-            iu, ju = np.triu_indices(c, 1)
-            ia, ib = ids[iu], ids[ju]
+            if c > max_bucket:
+                # dense cluster: star edges to the bucket min, O(c) not O(c^2)
+                mn = ids.min()
+                others = ids[ids != mn]
+                ia, ib = np.full(len(others), mn, dtype=np.int64), others
+            else:
+                iu, ju = np.triu_indices(c, 1)
+                ia, ib = ids[iu], ids[ju]
             lo_all.append(np.minimum(ia, ib))
             hi_all.append(np.maximum(ia, ib))
         if not lo_all:
@@ -315,6 +335,7 @@ def minhash_lsh_pairs(
     bands: int = 32,
     rows_per_band: int = 2,
     threshold: float = 0.5,
+    max_bucket: int = MINHASH_MAX_BUCKET,
 ) -> "ray.data.Dataset":
     """Candidate near-dup pairs with MinHash-estimated Jaccard >= threshold.
 
@@ -328,7 +349,7 @@ def minhash_lsh_pairs(
     """
     a, b = _perm_params(bands * rows_per_band)
     sigs_ds = _minhash_sigs(ds, text_col, id_col, a, b).materialize()
-    cands = _lsh_candidates(sigs_ds, id_col, bands, rows_per_band)
+    cands = _lsh_candidates(sigs_ds, id_col, bands, rows_per_band, max_bucket)
     with_a = _attach_sig(cands, sigs_ds, "id_a", ["id_a", "id_b"], "sig_a", id_col)
     with_ab = _attach_sig(
         with_a, sigs_ds, "id_b", ["id_a", "id_b", "sig_a"], "sig_b", id_col
