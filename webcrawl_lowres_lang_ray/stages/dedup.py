@@ -267,6 +267,16 @@ def _lsh_candidates(
     return _dedup_pairs(cands, ["id_a", "id_b"])
 
 
+# Salt fan-out for the pair side of _attach_sig.  Star-edge hubs (a bucket-min
+# id appearing in up to bands x cluster-size pairs) would otherwise funnel
+# every one of their pair rows into ONE join partition — the round-5 10x
+# opsoak observed a single 15 GB join_part task.  Pairs spread across
+# _ATTACH_SALTS partitions keyed by the OPPOSITE pair id; each sig row is
+# replicated once per salt (sigs are ~520 B/doc, so the replication is cheap
+# next to the pair payload it de-skews).
+_ATTACH_SALTS = 8
+
+
 def _attach_sig(
     pairs: "ray.data.Dataset",
     sigs_ds: "ray.data.Dataset",
@@ -277,26 +287,35 @@ def _attach_sig(
 ) -> "ray.data.Dataset":
     """Shuffle hash-join: attach ``sig`` bytes from sigs_ds to each pair row
     by ``pairs[key] == sigs[id_col]``.  Both sides are tagged into one
-    schema-aligned dataset, hash-partitioned on the join key, and merged with
-    a vectorized dict-map per partition — the signature matrix is never
+    schema-aligned dataset, hash-partitioned on (join key, salt), and merged
+    with a vectorized dict-map per partition — the signature matrix is never
     collected on the driver (the round-1 broadcast verify died at ~10^9
-    docs)."""
-    cols = ["jkey", "is_sig", "sig", *carry]
+    docs), and hot join keys are salted by the opposite pair id (see
+    _ATTACH_SALTS)."""
+    cols = ["jkey", "jsalt", "is_sig", "sig", *carry]
+    other = "id_b" if key == "id_a" else "id_a"
 
     def prep_pairs(b: pd.DataFrame) -> pd.DataFrame:
         out = b[carry].copy()
         out["jkey"] = b[key].to_numpy(np.int64)
+        out["jsalt"] = (
+            pd.util.hash_array(b[other].to_numpy(np.int64)) % _ATTACH_SALTS
+        ).astype(np.int64)
         out["is_sig"] = False
         out["sig"] = pd.Series([b""] * len(b), dtype=object, index=out.index)
         return out[cols]
 
     def prep_sigs(b: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame({"jkey": b[id_col].to_numpy(np.int64)})
+        n = len(b)
+        out = pd.DataFrame(
+            {"jkey": np.repeat(b[id_col].to_numpy(np.int64), _ATTACH_SALTS)}
+        )
+        out["jsalt"] = np.tile(np.arange(_ATTACH_SALTS, dtype=np.int64), n)
         out["is_sig"] = True
-        out["sig"] = b["sig"].to_numpy(object)
+        out["sig"] = np.repeat(b["sig"].to_numpy(object), _ATTACH_SALTS)
         for c in carry:
             out[c] = (
-                pd.Series([b""] * len(b), dtype=object)
+                pd.Series([b""] * len(out), dtype=object)
                 if c.startswith("sig")
                 else np.int64(-1)
             )
@@ -307,7 +326,9 @@ def _attach_sig(
             return b.assign(jpart=pd.Series(dtype="int64"))
         b = b.copy()
         b["jpart"] = (
-            pd.util.hash_array(b["jkey"].to_numpy(np.int64)) % _PAIR_PARTITIONS
+            (pd.util.hash_array(b["jkey"].to_numpy(np.int64)) % _PAIR_PARTITIONS)
+            * _ATTACH_SALTS
+            + b["jsalt"].to_numpy(np.int64)
         ).astype(np.int64)
         return b
 
