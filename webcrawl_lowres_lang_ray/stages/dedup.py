@@ -1208,7 +1208,20 @@ def dup_ngram_fraction(
     Output ``dup_fraction`` is rounded (``round_dp``) to match the SQL
     oracle; docs with < n words have no shingles and are absent (SQL join
     semantics).
+
+    Hot-path note (round-5, measured at a 500k-doc / 348M-shingle opsoak
+    cell): the original pandas version spent 36 s/task in
+    ``DataFrame.drop_duplicates`` and 12 s/task double-hashing the word
+    array, and shipped pandas blocks through both exchanges.  This version
+    is Arrow-native end to end — ``pyarrow.compute`` whitespace split (no
+    per-doc Python loop), one ``pd.factorize`` + vocab-only double hash,
+    ``np.lexsort`` + run-boundary masks for the per-doc distinct and the
+    per-partition owner min (no pandas groupby), and ``pa.Table`` blocks
+    through the sorts (zero-copy exchange instead of pickled frames).
     """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     from ..stages.textstats import round_half_away
 
     # Shingle identity = TWO independent 64-bit keys (SipHash over words
@@ -1221,32 +1234,38 @@ def dup_ngram_fraction(
     # hashlib loop, no string joins).
     _HK2 = "wllr-dupngram-k2"  # 16 chars, second independent SipHash key
 
-    def shingle_rows(b: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {
-                id_col: pd.Series(dtype="int64"),
-                "g1": pd.Series(dtype="int64"),
-                "g2": pd.Series(dtype="int64"),
-                "__part": pd.Series(dtype="int64"),
-            }
+    _SHINGLE_SCHEMA = pa.schema(
+        [(id_col, pa.int64()), ("g1", pa.int64()), ("g2", pa.int64()),
+         ("__part", pa.int64())]
+    )
+    _PARTIAL_SCHEMA = pa.schema(
+        [(id_col, pa.int64()), ("n_shingles", pa.int64()),
+         ("n_dup", pa.int64()), ("__dpart", pa.int64())]
+    )
+
+    def shingle_rows(b: pa.Table) -> pa.Table:
+        ids_all = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = pc.fill_null(
+            pc.cast(b[text_col].combine_chunks(), pa.string()), ""
         )
-        words: list[str] = []
-        bounds: list[int] = [0]  # word-offset of each doc's start
-        ids: list[int] = []
-        for i, t in zip(b[id_col].to_numpy(np.int64), b[text_col]):
-            if not isinstance(t, str):
-                continue
-            ws = t.split()
-            if len(ws) < n:
-                continue
-            words.extend(ws)
-            bounds.append(bounds[-1] + len(ws))
-            ids.append(int(i))
-        if not words:
-            return empty
-        flat = np.asarray(words, dtype=object)
-        wh1 = pd.util.hash_array(flat)
-        wh2 = pd.util.hash_array(flat, hash_key=_HK2)
+        lst = pc.utf8_split_whitespace(texts)
+        flat = pc.list_flatten(lst)
+        counts = pc.list_value_length(lst).to_numpy().astype(np.int64)
+        # arrow's split emits empty strings at text edges (python str.split
+        # drops them — and the SQL oracle list_filter()s them out): mask
+        ne = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        docidx = np.repeat(np.arange(len(ids_all), dtype=np.int64), counts)[ne]
+        words = flat.to_numpy(zero_copy_only=False)[ne]
+        if len(words) < n:
+            return pa.Table.from_arrays(
+                [pa.array([], type=pa.int64())] * 4, schema=_SHINGLE_SCHEMA
+            )
+        # one categorize pass; the double SipHash runs on the small vocab
+        # only (hash_array(obj) is elementwise, so uh[codes] == hash of
+        # every word — bit-identical to hashing the full flat array)
+        codes, uniq = pd.factorize(words)
+        wh1 = pd.util.hash_array(uniq, categorize=False)[codes]
+        wh2 = pd.util.hash_array(uniq, hash_key=_HK2, categorize=False)[codes]
 
         def rolling(wh: np.ndarray) -> np.ndarray:
             out = wh[: len(wh) - n + 1].copy()
@@ -1254,64 +1273,84 @@ def dup_ngram_fraction(
                 out = out * _POLY + wh[j : len(wh) - n + 1 + j]
             return out
 
-        g1 = rolling(wh1)
-        g2 = rolling(wh2)
+        g1 = rolling(wh1).view(np.int64)
+        g2 = rolling(wh2).view(np.int64)
         # valid shingle starts: the window [j, j+n) stays inside one doc
-        starts = np.asarray(bounds[:-1], dtype=np.int64)
-        ends = np.asarray(bounds[1:], dtype=np.int64)
-        n_sh = ends - starts - (n - 1)  # >= 1 by the len(ws) >= n filter
-        take = np.concatenate(
-            [np.arange(s, s + c) for s, c in zip(starts, n_sh)]
+        # (docidx is sorted, so "same doc n-1 ahead" == "window in one doc")
+        valid = docidx[: len(docidx) - n + 1] == docidx[n - 1 :]
+        if not valid.any():
+            return pa.Table.from_arrays(
+                [pa.array([], type=pa.int64())] * 4, schema=_SHINGLE_SCHEMA
+            )
+        doc = ids_all[docidx[: len(docidx) - n + 1][valid]]
+        g1 = g1[valid]
+        g2 = g2[valid]
+        # distinct (doc, g1, g2): lexsort + run-boundary mask (pandas
+        # drop_duplicates was 36 s/task at this volume; this is ~2 s)
+        order = np.lexsort((g2, g1, doc))
+        doc, g1, g2 = doc[order], g1[order], g2[order]
+        keep = np.empty(len(doc), dtype=bool)
+        keep[0] = True
+        keep[1:] = (
+            (doc[1:] != doc[:-1]) | (g1[1:] != g1[:-1]) | (g2[1:] != g2[:-1])
         )
-        doc = np.repeat(np.asarray(ids, dtype=np.int64), n_sh)
-        df = pd.DataFrame(
-            {id_col: doc, "g1": g1[take].view(np.int64), "g2": g2[take].view(np.int64)}
-        ).drop_duplicates()  # distinct shingles per doc (set semantics)
-        df["__part"] = (
-            df["g1"].to_numpy(np.int64).view(np.uint64) % np.uint64(parts)
-        ).astype(np.int64)
-        return df
+        doc, g1, g2 = doc[keep], g1[keep], g2[keep]
+        part = (g1.view(np.uint64) % np.uint64(parts)).astype(np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(doc), pa.array(g1), pa.array(g2), pa.array(part)],
+            schema=_SHINGLE_SCHEMA,
+        )
 
-    def owner_partials(g: pd.DataFrame) -> pd.DataFrame:
-        owner = g.groupby(["g1", "g2"], sort=False)[id_col].transform("min")
-        dup = (g[id_col].to_numpy(np.int64) > owner.to_numpy(np.int64)).astype(
-            np.int64
+    def owner_partials(g: pa.Table) -> pa.Table:
+        doc = g[id_col].to_numpy(zero_copy_only=False)
+        g1 = g["g1"].to_numpy(zero_copy_only=False)
+        g2 = g["g2"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, g2, g1))
+        doc, g1, g2 = doc[order], g1[order], g2[order]
+        newrun = np.empty(len(g1), dtype=bool)
+        newrun[0] = True
+        newrun[1:] = (g1[1:] != g1[:-1]) | (g2[1:] != g2[:-1])
+        starts = np.nonzero(newrun)[0]
+        # doc is the lexsort minor key -> run-first element IS the run min
+        owner_per_row = np.repeat(doc[starts], np.diff(np.append(starts, len(doc))))
+        dup = doc > owner_per_row
+        udoc, inv = np.unique(doc, return_inverse=True)
+        n_shingles = np.bincount(inv)
+        n_dup = np.bincount(inv, weights=dup).astype(np.int64)
+        dpart = (pd.util.hash_array(udoc) % np.uint64(parts)).astype(np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(udoc), pa.array(n_shingles.astype(np.int64)),
+             pa.array(n_dup), pa.array(dpart)],
+            schema=_PARTIAL_SCHEMA,
         )
-        out = (
-            pd.DataFrame({id_col: g[id_col].to_numpy(np.int64), "__dup": dup})
-            .groupby(id_col, sort=False)
-            .agg(n_shingles=("__dup", "size"), n_dup=("__dup", "sum"))
-            .reset_index()
-            .astype({id_col: "int64", "n_shingles": "int64", "n_dup": "int64"})
-        )
-        # partition key for the per-doc sum (partition-key groupby, not one
-        # map_groups dispatch per doc)
-        out["__dpart"] = (
-            pd.util.hash_array(out[id_col].to_numpy(np.int64)) % np.uint64(parts)
-        ).astype(np.int64)
-        return out
 
-    def finish(g: pd.DataFrame) -> pd.DataFrame:
-        out = (
-            g.groupby(id_col, sort=False)[["n_shingles", "n_dup"]]
-            .sum()
-            .reset_index()
-            .astype({id_col: "int64", "n_shingles": "int64", "n_dup": "int64"})
-        )
-        out["dup_fraction"] = round_half_away(
-            out["n_dup"].to_numpy(np.float64)
-            / np.maximum(out["n_shingles"].to_numpy(np.float64), 1.0),
+    def finish(g: pa.Table) -> pa.Table:
+        doc = g[id_col].to_numpy(zero_copy_only=False)
+        udoc, inv = np.unique(doc, return_inverse=True)
+        n_shingles = np.bincount(
+            inv, weights=g["n_shingles"].to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        n_dup = np.bincount(
+            inv, weights=g["n_dup"].to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        frac = round_half_away(
+            n_dup.astype(np.float64)
+            / np.maximum(n_shingles.astype(np.float64), 1.0),
             round_dp,
         )
-        return out
+        return pa.Table.from_arrays(
+            [pa.array(udoc), pa.array(n_shingles), pa.array(n_dup),
+             pa.array(frac)],
+            names=[id_col, "n_shingles", "n_dup", "dup_fraction"],
+        )
 
     return (
         ds.select_columns([id_col, text_col])
-        .map_batches(shingle_rows, batch_format="pandas")
+        .map_batches(shingle_rows, batch_format="pyarrow")
         .groupby("__part")
-        .map_groups(owner_partials, batch_format="pandas")
+        .map_groups(owner_partials, batch_format="pyarrow")
         .groupby("__dpart")
-        .map_groups(finish, batch_format="pandas")
+        .map_groups(finish, batch_format="pyarrow")
     )
 
 
