@@ -83,6 +83,40 @@ class TestMinHash:
         p2 = minhash_lsh_pairs(ds).to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
         pd.testing.assert_frame_equal(p1, p2)
 
+    def test_bucket_verify_plan_matches_attach_plan(self):
+        """minhash_lsh_pairs has two verify exchange plans (attach-sig join
+        vs bucket-local verify, picked by candidate density under
+        verify="auto"); both must emit the identical (id_a, id_b,
+        est_jaccard) set — on a mixed corpus AND on a dense template corpus
+        where the star-edge cap engages inside each plan."""
+        import ray.data
+
+        from webcrawl_lowres_lang_ray.stages.dedup import minhash_lsh_pairs
+
+        def canon(ds):
+            return (
+                ds.to_pandas()
+                .sort_values(["id_a", "id_b"])
+                .reset_index(drop=True)
+            )
+
+        mixed = ray.data.from_pandas(_docs_with_dups())
+        pd.testing.assert_frame_equal(
+            canon(minhash_lsh_pairs(mixed, threshold=0.5, verify="attach")),
+            canon(minhash_lsh_pairs(mixed, threshold=0.5, verify="bucket")),
+        )
+
+        text = "dense template body repeated across the whole bucket " * 4
+        dense = ray.data.from_pandas(
+            pd.DataFrame({"doc_id": range(40), "text": [text] * 40})
+        )
+        att = canon(minhash_lsh_pairs(dense, threshold=0.5, max_bucket=8, verify="attach"))
+        buk = canon(minhash_lsh_pairs(dense, threshold=0.5, max_bucket=8, verify="bucket"))
+        pd.testing.assert_frame_equal(att, buk)
+        # and auto must agree with both (it picks one of them)
+        auto = canon(minhash_lsh_pairs(dense, threshold=0.5, max_bucket=8))
+        pd.testing.assert_frame_equal(att, auto)
+
     def test_giant_bucket_emits_star_edges_not_all_pairs(self):
         """Buckets above max_bucket fall back to star edges (everyone <->
         bucket-min): O(c) pairs, connectivity preserved.  30 identical docs

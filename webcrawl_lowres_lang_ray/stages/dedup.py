@@ -349,6 +349,123 @@ def _attach_sig(
     )
 
 
+def _bucket_verified_pairs(
+    sigs_ds: "ray.data.Dataset",
+    id_col: str,
+    bands: int,
+    rows_per_band: int,
+    threshold: float,
+    max_bucket: int,
+) -> "ray.data.Dataset":
+    """Bucket-local LSH verify: band rows carry the FULL signature into the
+    bucket partition, and pairs are generated AND verified inside it — no
+    pair-keyed signature join at all.  Exchange = n_docs x bands x sig_width,
+    independent of candidate count.  This is the scale path for dense
+    (template-heavy) corpora: the round-5 500k-doc opsoak cell produced
+    40.7M candidates whose two ``_attach_sig`` exchanges shipped 28 + 26 GB
+    (the 512 B signature replicated per pair row, twice) and took ~2,300 s;
+    carrying signatures once per band is 8.6 GB and the survivors (est >=
+    threshold, ~23k rows) are the only pair rows that ever ride a shuffle.
+    Arrow-native blocks (binary signature column) keep the exchange
+    zero-copy.  Output is identical to the attach-sig path: distinct
+    (id_a, id_b, est_jaccard), id_a < id_b, est rounded to 4 dp."""
+    import pyarrow as pa
+
+    _EMPTY_PAIRS = pa.schema(
+        [("id_a", pa.int64()), ("id_b", pa.int64()), ("est_jaccard", pa.float64())]
+    )
+
+    def band_stage_sig(batch: pd.DataFrame):
+        n = len(batch)
+        if n == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], type=pa.int64())] * 4 + [pa.array([], type=pa.binary())],
+                names=[id_col, "band", "band_hash", "part", "sig"],
+            )
+        mat = np.frombuffer(b"".join(batch["sig"]), dtype=np.uint64).reshape(
+            n, bands, rows_per_band
+        )
+        acc = np.zeros((n, bands), dtype=np.uint64)
+        for j in range(rows_per_band):
+            acc = acc * _POLY + mat[:, :, j]
+        band_key = _mix64(np.arange(bands, dtype=np.uint64))
+        bh = (_mix64(acc ^ band_key[None, :]) >> np.uint64(1)).astype(np.int64)
+        ids = np.repeat(batch[id_col].to_numpy(np.int64), bands)
+        band = np.tile(np.arange(bands, dtype=np.int64), n)
+        bh = bh.ravel()
+        part = (
+            pd.util.hash_array((band << 56) ^ bh) % _PAIR_PARTITIONS
+        ).astype(np.int64)
+        sig_rep = np.repeat(batch["sig"].to_numpy(object), bands)
+        return pa.table(
+            {id_col: ids, "band": band, "band_hash": bh, "part": part,
+             "sig": pa.array(sig_rep, type=pa.binary())}
+        )
+
+    banded = sigs_ds.map_batches(band_stage_sig, batch_format="pandas")
+
+    def part_verify(g: "pa.Table") -> "pa.Table":
+        ids = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        band = g["band"].to_numpy(zero_copy_only=False)
+        bh = g["band_hash"].to_numpy(zero_copy_only=False)
+        sig = g["sig"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, bh, band))
+        ids, band, bh = ids[order], band[order], bh[order]
+        mat = np.frombuffer(b"".join(sig[order]), dtype=np.uint64).reshape(
+            len(ids), -1
+        )
+        newrun = np.empty(len(ids), dtype=bool)
+        newrun[0] = True
+        newrun[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
+        starts = np.nonzero(newrun)[0]
+        ends = np.append(starts[1:], len(ids))
+        ia_all, ib_all, es_all = [], [], []
+        for s, e in zip(starts, ends):
+            c = e - s
+            if c < 2:
+                continue
+            bi = ids[s:e]  # ascending (lexsort minor key)
+            m = mat[s:e]
+            if c > max_bucket:
+                # dense cluster: star edges to the bucket min, O(c) not O(c^2)
+                est = np.round((m[1:] == m[0]).mean(axis=1), 4)
+                ia, ib = np.full(c - 1, bi[0], dtype=np.int64), bi[1:]
+            else:
+                iu, ju = np.triu_indices(c, 1)
+                est = np.round((m[iu] == m[ju]).mean(axis=1), 4)
+                ia, ib = bi[iu], bi[ju]
+            keep = est >= threshold
+            if keep.any():
+                ia_all.append(ia[keep])
+                ib_all.append(ib[keep])
+                es_all.append(est[keep])
+        if not ia_all:
+            return pa.Table.from_arrays(
+                [pa.array([], type=pa.int64()), pa.array([], type=pa.int64()),
+                 pa.array([], type=pa.float64())],
+                schema=_EMPTY_PAIRS,
+            )
+        ia = np.concatenate(ia_all)
+        ib = np.concatenate(ib_all)
+        es = np.concatenate(es_all)
+        # within-partition distinct (a pair recurs across this partition's
+        # bands); cross-partition dups fall to _dedup_pairs below
+        o = np.lexsort((ib, ia))
+        ia, ib, es = ia[o], ib[o], es[o]
+        u = np.empty(len(ia), dtype=bool)
+        u[0] = True
+        u[1:] = (ia[1:] != ia[:-1]) | (ib[1:] != ib[:-1])
+        return pa.Table.from_arrays(
+            [pa.array(ia[u]), pa.array(ib[u]), pa.array(es[u])],
+            schema=_EMPTY_PAIRS,
+        )
+
+    survivors = banded.groupby("part").map_groups(
+        part_verify, batch_format="pyarrow"
+    )
+    return _dedup_pairs(survivors, ["id_a", "id_b", "est_jaccard"])
+
+
 def minhash_lsh_pairs(
     ds: "ray.data.Dataset",
     text_col: str = "text",
@@ -357,26 +474,52 @@ def minhash_lsh_pairs(
     rows_per_band: int = 2,
     threshold: float = 0.5,
     max_bucket: int = MINHASH_MAX_BUCKET,
+    verify: str = "auto",
 ) -> "ray.data.Dataset":
     """Candidate near-dup pairs with MinHash-estimated Jaccard >= threshold.
 
     shingle -> minhash (per batch, vectorized) -> materialize compact
     signature rows (object store, not driver) -> banded LSH candidates
-    (_lsh_candidates: band-hash rows only on the shuffle) -> verify by
-    SHUFFLE-JOINING both signatures onto each candidate pair (_attach_sig
-    twice; ~1 KB per pair on the exchange, nothing driver-side) -> estimate
-    = fraction of agreeing permutations.  Returns (id_a, id_b, est_jaccard),
-    id_a < id_b.
+    (_lsh_candidates: band-hash rows only on the shuffle) -> verify, by one
+    of two exchange plans picked from measured candidate density
+    (``verify="auto"``, the ``pagerank_auto``/``auto_join`` precedent):
+
+    * ``attach`` — shuffle-join both signatures onto each candidate pair
+      (_attach_sig twice; ~1 KB per pair on the exchange).  Optimal for
+      sparse corpora (few candidates relative to corpus size).
+    * ``bucket`` — re-shuffle band rows WITH the full signature and verify
+      inside the bucket partition (_bucket_verified_pairs; n x bands x
+      sig_width on the exchange, independent of pair count).  Optimal for
+      dense/template-heavy corpora; crossover at 2 x pairs > n x bands.
+
+    Returns (id_a, id_b, est_jaccard), id_a < id_b — identical rows from
+    either plan.
     """
     a, b = _perm_params(bands * rows_per_band)
     sigs_ds = _minhash_sigs(ds, text_col, id_col, a, b).materialize()
+    if verify == "bucket":
+        return _bucket_verified_pairs(
+            sigs_ds, id_col, bands, rows_per_band, threshold, max_bucket
+        )
     cands = _lsh_candidates(sigs_ds, id_col, bands, rows_per_band, max_bucket)
+    if verify == "auto":
+        cands = cands.materialize()
+        n_pairs = cands.count()
+        n_docs = sigs_ds.count()
+        # exchange-volume crossover: attach ships ~2 x pairs x sig_width,
+        # bucket ships n_docs x bands x sig_width
+        if 2 * n_pairs > n_docs * bands:
+            return _bucket_verified_pairs(
+                sigs_ds, id_col, bands, rows_per_band, threshold, max_bucket
+            )
+    elif verify != "attach":
+        raise ValueError(f"verify must be auto|attach|bucket, got {verify!r}")
     with_a = _attach_sig(cands, sigs_ds, "id_a", ["id_a", "id_b"], "sig_a", id_col)
     with_ab = _attach_sig(
         with_a, sigs_ds, "id_b", ["id_a", "id_b", "sig_a"], "sig_b", id_col
     )
 
-    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+    def verify_pairs(batch: pd.DataFrame) -> pd.DataFrame:
         if len(batch) == 0:
             return pd.DataFrame(
                 {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
@@ -390,7 +533,7 @@ def minhash_lsh_pairs(
         out["est_jaccard"] = est
         return out.loc[est >= threshold].reset_index(drop=True)
 
-    return with_ab.map_batches(verify, batch_format="pandas")
+    return with_ab.map_batches(verify_pairs, batch_format="pandas")
 
 
 def minhash_lsh_pairs_broadcast(
