@@ -443,11 +443,13 @@ def run_opsoak(sizes=(10_000, 50_000)) -> dict:
         pq_, wq = nb_train(ds, classes)
         return nb_classify(ds, classes, pq_, wq)
 
+    # Cheapest-first, spill-heavy last: object-store pressure from a
+    # multi-GB-spill op (minhash shingles, dup-ngram shingles) persists in
+    # the session and inflated later cheap cells 2-26x in a prior run
+    # (pii_scrub read 2.63x vs_linear after minhash; 0.70x standalone).
     ops = {
         "exact_dedup": exact_dedup_stats,
-        "minhash_lsh": minhash_lsh_pairs,
         "line_dedup": line_dedup,
-        "dup_ngram_fraction": dup_ngram_fraction,
         "c4_filter": lambda ds: ds.map_batches(c4_flags_batch, batch_format="pandas"),
         "nb_train_classify": nb_op,
         "pii_scrub": pii_scrub,
@@ -485,6 +487,10 @@ def run_opsoak(sizes=(10_000, 50_000)) -> dict:
             dims=["n_chars", "q"],
             keep_cols=["doc_id"],
         ),
+        # spill-heavy shingle ops LAST so their object-store pressure
+        # cannot inflate the cheap streaming cells above
+        "dup_ngram_fraction": dup_ngram_fraction,
+        "minhash_lsh": minhash_lsh_pairs,
     }
     results: dict = {}
     for n in sizes:
