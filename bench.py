@@ -354,22 +354,31 @@ def run_opsoak(sizes=(10_000, 50_000)) -> dict:
     synthetic crawl corpus — real line structure, template-driven dup
     rates) and report per-op wall time + output rows + the time ratio vs
     the size ratio.  ~Linear ratios are the evidence that no operator
-    hides an O(N^2) stage or a driver collect at 10x input."""
+    hides an O(N^2) stage or a driver collect at 10x input.
+
+    Each operator gets a FRESH Ray session (both its sizes measured
+    inside it): object-store pressure left by a multi-GB-exchange op
+    inflated later same-session cells 2-26x in earlier runs (dup_ngram
+    read 283 s in-session at 500k docs vs 88 s standalone), which reads
+    as fake super-linearity in the ratios."""
     import ray
 
-    ray.init(
-        address="local",
-        num_cpus=NUM_CPUS,
-        include_dashboard=False,
-        ignore_reinit_error=True,
-        logging_level="ERROR",
-    )
     from ray.data import DataContext
 
     from webcrawl_lowres_lang_ray.raylog import install_empty_schema_filter
 
-    install_empty_schema_filter()
-    DataContext.get_current().enable_progress_bars = False
+    def _fresh_session():
+        if ray.is_initialized():
+            ray.shutdown()
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+        install_empty_schema_filter()
+        DataContext.get_current().enable_progress_bars = False
 
     import glob
 
@@ -492,37 +501,41 @@ def run_opsoak(sizes=(10_000, 50_000)) -> dict:
         "dup_ngram_fraction": dup_ngram_fraction,
         "minhash_lsh": minhash_lsh_pairs,
     }
-    results: dict = {}
-    for n in sizes:
-        ds = docs_ds(n)
-        ops["token_budget_select"] = lambda ds, n=n: token_budget_select(
-            ds, budget=20 * n
-        )
-        def best_of_2(fn, arg):
-            """min over two runs — damps VM-weather spikes that would read
-            as fake superlinearity in the ratio."""
-            secs, rows = [], 0
-            for _ in range(2):
-                t0 = time.time()
-                r = fn(arg)
-                rows = r.count() if hasattr(r, "count") and not isinstance(
-                    r, pd.DataFrame
-                ) else len(r)
-                secs.append(time.time() - t0)
-            return round(min(secs), 3), rows
+    def best_of_2(fn, arg):
+        """min over two runs — damps VM-weather spikes that would read
+        as fake superlinearity in the ratio."""
+        secs, rows = [], 0
+        for _ in range(2):
+            t0 = time.time()
+            r = fn(arg)
+            rows = r.count() if hasattr(r, "count") and not isinstance(
+                r, pd.DataFrame
+            ) else len(r)
+            secs.append(time.time() - t0)
+        return round(min(secs), 3), rows
 
-        for name, fn in ops.items():
-            sec, rows = best_of_2(fn, ds)
+    # graph op soaks on an edge list scaled with n (4n edges, n nodes)
+    graph_ops = {
+        "triangle_count": triangle_count,
+        "bfs_distance": lambda e: bfs_distance(
+            e, np.array([0]), col_a="src", col_b="dst"
+        ),
+    }
+    results: dict = {}
+    for name in list(ops) + list(graph_ops):
+        _fresh_session()
+        for n in sizes:
+            if name in graph_ops:
+                arg, fn = edges_ds(n), graph_ops[name]
+            else:
+                arg = docs_ds(n)
+                fn = (
+                    (lambda d, n=n: token_budget_select(d, budget=20 * n))
+                    if name == "token_budget_select"
+                    else ops[name]
+                )
+            sec, rows = best_of_2(fn, arg)
             results.setdefault(name, {})[str(n)] = {"sec": sec, "rows": rows}
-        # graph op soaks on an edge list scaled with n (4n edges, n nodes)
-        eds = edges_ds(n)
-        sec, rows = best_of_2(triangle_count, eds)
-        results.setdefault("triangle_count", {})[str(n)] = {"sec": sec, "rows": rows}
-        sec, rows = best_of_2(
-            lambda e: bfs_distance(e, np.array([0]), col_a="src", col_b="dst"),
-            eds,
-        )
-        results.setdefault("bfs_distance", {})[str(n)] = {"sec": sec, "rows": rows}
     size_ratio = sizes[-1] / sizes[0]
     for name, r in results.items():
         lo, hi = r[str(sizes[0])]["sec"], r[str(sizes[-1])]["sec"]
