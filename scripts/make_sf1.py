@@ -17,11 +17,13 @@ engine rather than to output-volume blowups:
   r >= 1: within-replica edit distances are preserved (both sides of a
   pair get the same suffix) while cross-replica distances are >= 2, so
   lev-1 fuzzy-pair volume scales exactly 10x instead of quadratically.
-- documents.text gets the same per-replica token suffix applied to
-  EVERY whitespace token (whitespace preserved via re.sub on \\S+):
-  within-replica shingle/dup structure is identical to sf0.1 and no
-  shingle matches across replicas, so every dedup family's output
-  scales exactly 10x. n_chars is recomputed from the new text.
+- documents.text gets a per-replica seeded substitution cipher
+  (bijective char map, whitespace fixed): length, token boundaries and
+  the exact substring-equality structure within a replica are preserved
+  bit-for-bit (so every char-gram / shingle / token / dup statistic per
+  replica equals sf0.1's), while no >=16-char window can match across
+  replicas, so every dedup family's output scales exactly 10x and
+  n_chars needs no recompute.
 - embeddings get a per-replica Rademacher sign flip (seeded by r):
   norms and all within-replica cosines are exactly preserved, while
   cross-replica cosines decorrelate, so near-dup pair volume scales
@@ -35,7 +37,6 @@ Default: /root/testdata/sf0.1 -> /tmp/wllr_sf1/sf1, factor 10.
 from __future__ import annotations
 
 import os
-import re
 import shutil
 import sys
 
@@ -80,11 +81,33 @@ SCALE_TABLES = [
     "events", "documents", "embeddings",
 ]
 
-_TOKEN_RE = re.compile(r"\S+")
+# documents.text transform: a per-replica SUBSTITUTION CIPHER, not a salt.
+# QUERYSOAK forensics (r5): suffixing "~rr" onto every token lengthened
+# tokens ~50%, so a 16-char winnow window spanned ~1.6 tokens instead of
+# ~2.3 — on this small-vocab corpus that inflated WITHIN-replica collision
+# volume 48x (r0: 143,722 distinct fps / 912k candidate pairs; salted r5:
+# 12,553 fps / 44.0M pairs), blowing winnow_neardup output up 2,551x.
+# A seeded bijective char map (lowercase perm; uppercase derived from it so
+# case-folding equality is preserved; digits perm; whitespace/punct fixed)
+# preserves length, token boundaries, and the EXACT substring-equality
+# structure within a replica — shingle/token/exact-substring statistics
+# are bit-identical to sf0.1 per replica; winnow's min-hash SELECTION is
+# re-randomized (hash values change) so its per-replica volume matches
+# statistically (measured ±15%) rather than bitwise — while a
+# cross-replica 16-char match needs ~14 independent letter coincidences
+# under two unrelated permutations (~26^-14: never; measured overlap 0).
+_LOWER = "abcdefghijklmnopqrstuvwxyz"
+_DIGIT = "0123456789"
 
 
-def _suffix_tokens(text: str, suf: str) -> str:
-    return _TOKEN_RE.sub(lambda m: m.group(0) + suf, text)
+def _cipher_table(r: int) -> dict[int, int]:
+    rng = np.random.RandomState(2000 + r)
+    low = "".join(rng.permutation(list(_LOWER)))
+    dig = "".join(rng.permutation(list(_DIGIT)))
+    tbl = {ord(a): ord(b) for a, b in zip(_LOWER, low)}
+    tbl.update({ord(a.upper()): ord(b.upper()) for a, b in zip(_LOWER, low)})
+    tbl.update({ord(a): ord(b) for a, b in zip(_DIGIT, dig)})
+    return tbl
 
 
 def replica(tbl: pa.Table, table: str, r: int) -> pa.Table:
@@ -105,10 +128,9 @@ def replica(tbl: pa.Table, table: str, r: int) -> pa.Table:
                 [v + suf for v in col.to_pylist()], type=col.type
             )
         elif table == "documents" and name == "text":
-            texts = [_suffix_tokens(v, suf) for v in col.to_pylist()]
-            cols[name] = pa.array(texts, type=col.type)
-            cols["__n_chars__"] = pa.array(
-                np.array([len(t) for t in texts], dtype=np.int64)
+            tbl_map = _cipher_table(r)
+            cols[name] = pa.array(
+                [v.translate(tbl_map) for v in col.to_pylist()], type=col.type
             )
         elif table == "embeddings" and name == "embedding":
             arrs = np.asarray(col.to_pylist(), dtype=np.float32)
@@ -118,8 +140,6 @@ def replica(tbl: pa.Table, table: str, r: int) -> pa.Table:
             cols[name] = pa.array(flipped.tolist(), type=col.type)
         else:
             cols[name] = col
-    if "__n_chars__" in cols:
-        cols["n_chars"] = cols.pop("__n_chars__")
     return pa.table({n: cols[n] for n in tbl.column_names})
 
 
