@@ -361,6 +361,47 @@ class TestANN:
         assert not (sg - se), "SRP emitted a pair the exact oracle lacks"
         assert len(se & sg) / len(se) >= 0.95
 
+    def test_srp_bucket_verify_plan_matches_attach_plan(self):
+        """srp_neardup_pairs has two verify exchange plans (attach-sig join
+        vs bucket-local chunked matmul, picked by measured bucket density
+        under verify="auto" — the r5 sf1 querysoak found attach's candidate
+        exchange explodes on a cosine continuum); both must emit the
+        identical (id_a, id_b, cos_sim) set on a clustered corpus AND on a
+        continuum where auto picks the bucket plan."""
+        import ray.data
+
+        from webcrawl_lowres_lang_ray.stages.ann import srp_neardup_pairs
+
+        def canon(ds):
+            return (
+                ds.to_pandas()
+                .sort_values(["id_a", "id_b"])
+                .reset_index(drop=True)
+            )
+
+        rng = np.random.RandomState(31)
+        dim = 32
+        centers = rng.normal(size=(8, dim)) * 1.2
+        mat = np.stack([centers[i % 8] + rng.normal(size=dim) for i in range(300)])
+        df = pd.DataFrame({"vec_id": np.arange(300), "embedding": list(mat)})
+        clustered = ray.data.from_pandas(
+            [df.iloc[i : i + 100].reset_index(drop=True) for i in range(0, 300, 100)]
+        )
+        att = canon(srp_neardup_pairs(clustered, dim=dim, threshold=0.5, verify="attach"))
+        buk = canon(srp_neardup_pairs(clustered, dim=dim, threshold=0.5, verify="bucket"))
+        pd.testing.assert_frame_equal(att, buk)
+        assert len(att) > 50
+
+        # continuum: random vectors at a bulk threshold — dense buckets
+        cont_mat = rng.normal(size=(250, dim))
+        cdf = pd.DataFrame({"vec_id": np.arange(250), "embedding": list(cont_mat)})
+        cont = ray.data.from_pandas(cdf)
+        c_att = canon(srp_neardup_pairs(cont, dim=dim, threshold=0.2, verify="attach"))
+        c_buk = canon(srp_neardup_pairs(cont, dim=dim, threshold=0.2, verify="bucket"))
+        pd.testing.assert_frame_equal(c_att, c_buk)
+        c_auto = canon(srp_neardup_pairs(cont, dim=dim, threshold=0.2))
+        pd.testing.assert_frame_equal(c_att, c_auto)
+
     def test_hashing_embed_pipeline_recall(self):
         """Text -> hash-embed -> SRP near-dup end to end: deterministic
         vectors (unit norm, duplicate texts at cosine 1.0) and recall

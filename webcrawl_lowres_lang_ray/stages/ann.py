@@ -184,6 +184,7 @@ def srp_neardup_pairs(
     n_tables: int = 8,
     seed: int = 99,
     round_dp: int = 3,
+    verify: str = "auto",
 ) -> "ray.data.Dataset":
     """Approximate embedding-cosine near-dup pairs via SRP-LSH buckets.
 
@@ -191,12 +192,30 @@ def srp_neardup_pairs(
     signature plus every 1-bit flip (``bits``+1 probe rows) — two vectors
     within Hamming distance 2 in a table then share >= 1 probe bucket, so a
     table catches a pair with prob P(d<=2) and ``n_tables`` tables multiply
-    recall (8x8-bit tables + 1-bit probes ~ 0.96+ at cos 0.35).  Probe rows
-    carry (id, bucket) ONLY; exact cosine runs after shuffle-joining the
-    normalized vectors onto the DEDUPED candidate pairs (same _attach_sig
-    join as MinHash verify — nothing is broadcast or driver-collected).
-    Exact all-pairs (``cosine_neardup_pairs``) is the small-N oracle; recall
-    vs it is pinned in tests.  Returns (id_a, id_b, cos_sim), id_a < id_b.
+    recall (8x8-bit tables + 1-bit probes ~ 0.96+ at cos 0.35).  Exact
+    cosine verification runs by one of two exchange plans picked from
+    measured bucket density (``verify="auto"``, the ``minhash_lsh_pairs``
+    precedent — the r5 sf1 querysoak found the attach plan's candidate
+    exchange explodes on a cosine continuum: 20k vectors x 24 tables
+    produced ~1e9 candidate pair rows and filled the disk):
+
+    * ``attach`` — probe rows carry (id, bucket) only; per-bucket pair ids
+      are deduped then shuffle-joined onto the normalized vectors
+      (_attach_sig twice).  Optimal when buckets prune (TRUE near-dup
+      clusters): exchange ~ 2 x pairs x vec_width.
+    * ``bucket`` — probe rows carry the normalized vector; pairs are
+      generated AND verified inside the bucket partition via a chunked
+      (rows x bucket) matmul, and only threshold survivors ride the final
+      pair-dedup shuffle.  Exchange = n x tables x (bits+1) x vec_width,
+      independent of candidate count — the degenerate-regime plan.
+
+    ``auto`` measures exact bucket counts first (bucket ids live in a
+    bounded key space, <= n_tables x 2^bits values, so the count pass is a
+    tiny partial-value_counts aggregation) and picks by the exchange-volume
+    crossover 2 x candidate_pairs vs n x tables x (bits+1).  Both plans
+    return identical rows.  Exact all-pairs (``cosine_neardup_pairs``) is
+    the small-N oracle; recall vs it is pinned in tests.  Returns
+    (id_a, id_b, cos_sim), id_a < id_b.
     """
     from .dedup import _PAIR_PARTITIONS, _attach_sig, _dedup_pairs
 
@@ -221,33 +240,130 @@ def srp_neardup_pairs(
 
     nprobes = bits + 1
 
-    def probe_stage(batch: pd.DataFrame) -> pd.DataFrame:
-        n = len(batch)
-        if n == 0:
-            return pd.DataFrame(
-                {id_col: pd.Series(dtype="int64"),
-                 "bucket": pd.Series(dtype="int64"),
-                 "part": pd.Series(dtype="int64")}
+    def _probe_stage(with_sig: bool):
+        def probe_stage(batch: pd.DataFrame) -> pd.DataFrame:
+            n = len(batch)
+            if n == 0:
+                cols = {id_col: pd.Series(dtype="int64"),
+                        "bucket": pd.Series(dtype="int64"),
+                        "part": pd.Series(dtype="int64")}
+                if with_sig:
+                    cols["sig"] = pd.Series(dtype=object)
+                return pd.DataFrame(cols)
+            matn = np.frombuffer(b"".join(batch["sig"]), dtype=np.float64).reshape(n, dim)
+            ids = batch[id_col].to_numpy(np.int64)
+            pls = ray.get(planes_ref)
+            out_id, out_bucket = [], []
+            flips = np.concatenate(([0], 1 << np.arange(bits, dtype=np.int64)))
+            for t, pl in enumerate(pls):
+                sig = _signature(matn, pl)
+                probed = sig[:, None] ^ flips[None, :]  # (n, bits+1)
+                out_id.append(np.repeat(ids, nprobes))
+                out_bucket.append((np.int64(t) << np.int64(bits + 1)) | probed.ravel())
+            out = pd.DataFrame(
+                {id_col: np.concatenate(out_id), "bucket": np.concatenate(out_bucket)}
             )
-        matn = np.frombuffer(b"".join(batch["sig"]), dtype=np.float64).reshape(n, dim)
-        ids = batch[id_col].to_numpy(np.int64)
-        pls = ray.get(planes_ref)
-        out_id, out_bucket = [], []
-        flips = np.concatenate(([0], 1 << np.arange(bits, dtype=np.int64)))
-        for t, pl in enumerate(pls):
-            sig = _signature(matn, pl)
-            probed = sig[:, None] ^ flips[None, :]  # (n, bits+1)
-            out_id.append(np.repeat(ids, nprobes))
-            out_bucket.append((np.int64(t) << np.int64(bits + 1)) | probed.ravel())
-        out = pd.DataFrame(
-            {id_col: np.concatenate(out_id), "bucket": np.concatenate(out_bucket)}
-        )
-        out["part"] = (
-            pd.util.hash_array(out["bucket"].to_numpy(np.int64)) % _PAIR_PARTITIONS
-        ).astype(np.int64)
-        return out
+            out["part"] = (
+                pd.util.hash_array(out["bucket"].to_numpy(np.int64)) % _PAIR_PARTITIONS
+            ).astype(np.int64)
+            if with_sig:
+                # same (table-major, id, probe) row order as out_id above
+                out["sig"] = np.tile(
+                    np.repeat(batch["sig"].to_numpy(object), nprobes), n_tables
+                )
+            return out
 
-    probes = vecs_ds.map_batches(probe_stage, batch_format="pandas")
+        return probe_stage
+
+    probes = vecs_ds.map_batches(_probe_stage(False), batch_format="pandas")
+
+    if verify == "auto":
+        # Bucket ids live in a bounded key space (<= n_tables * 2**bits
+        # distinct values), so exact bucket counts are a tiny aggregation:
+        # per-batch value_counts partials summed driver-side — bounded by
+        # #blocks x n_tables x 2**bits rows, never by probe-row count.
+        def bucket_partials(b: pd.DataFrame) -> pd.DataFrame:
+            vc = b["bucket"].value_counts()
+            return pd.DataFrame(
+                {"bucket": vc.index.to_numpy(np.int64),
+                 "n": vc.to_numpy(np.int64)}
+            )
+
+        agg = (
+            probes.map_batches(bucket_partials, batch_format="pandas")
+            .to_pandas()
+            .groupby("bucket")["n"]
+            .sum()
+        )
+        cand_rows = float((agg * (agg - 1) // 2).sum())
+        n_vecs = vecs_ds.count()
+        # exchange-volume crossover (minhash_lsh_pairs precedent): attach
+        # ships ~2 x candidate pair rows x vec_width through _attach_sig;
+        # the bucket plan ships every probe row with its vector once.
+        verify = (
+            "bucket"
+            if 2.0 * cand_rows > float(n_vecs * n_tables * nprobes)
+            else "attach"
+        )
+
+    if verify == "bucket":
+        _empty_pairs = pd.DataFrame(
+            {"id_a": pd.Series(dtype="int64"),
+             "id_b": pd.Series(dtype="int64"),
+             "cos_sim": pd.Series(dtype="float64")}
+        )
+
+        def bucket_verify(g: pd.DataFrame) -> pd.DataFrame:
+            if len(g) < 2:
+                return _empty_pairs.copy()
+            ids_all = g[id_col].to_numpy(np.int64)
+            buck = g["bucket"].to_numpy(np.int64)
+            sig = g["sig"].to_numpy(object)
+            order = np.lexsort((ids_all, buck))
+            ids_all, buck = ids_all[order], buck[order]
+            mat = np.frombuffer(b"".join(sig[order]), dtype=np.float64).reshape(
+                len(ids_all), dim
+            )
+            newrun = np.empty(len(ids_all), dtype=bool)
+            newrun[0] = True
+            newrun[1:] = buck[1:] != buck[:-1]
+            starts = np.nonzero(newrun)[0]
+            ends = np.append(starts[1:], len(ids_all))
+            ia_all, ib_all, cs_all = [], [], []
+            for s, e in zip(starts, ends):
+                c = e - s
+                if c < 2:
+                    continue
+                bi = ids_all[s:e]  # ascending (lexsort minor key), distinct
+                m = mat[s:e]
+                # chunked (rows x bucket) matmul bounds task memory on
+                # degenerate buckets; only threshold survivors materialize
+                for i0 in range(0, c, 2048):
+                    i1 = min(i0 + 2048, c)
+                    sims = m[i0:i1] @ m.T
+                    ii, jj = np.nonzero(sims >= threshold)
+                    keep = (ii + i0) < jj
+                    ii, jj = ii[keep], jj[keep]
+                    if len(ii):
+                        ia_all.append(bi[ii + i0])
+                        ib_all.append(bi[jj])
+                        cs_all.append(sims[ii, jj])
+            if not ia_all:
+                return _empty_pairs.copy()
+            return pd.DataFrame(
+                {"id_a": np.concatenate(ia_all),
+                 "id_b": np.concatenate(ib_all),
+                 "cos_sim": round_half_away(np.concatenate(cs_all), round_dp)}
+            )
+
+        verified = (
+            vecs_ds.map_batches(_probe_stage(True), batch_format="pandas")
+            .groupby("part")
+            .map_groups(bucket_verify, batch_format="pandas")
+        )
+        # cos_sim is a pure function of the pair, so multi-bucket duplicates
+        # are identical rows — exactly _dedup_pairs's contract
+        return _dedup_pairs(verified, ["id_a", "id_b", "cos_sim"])
 
     def part_cands(g: pd.DataFrame) -> pd.DataFrame:
         lo_all, hi_all = [], []
@@ -279,7 +395,7 @@ def srp_neardup_pairs(
         with_a, vecs_ds, "id_b", ["id_a", "id_b", "sig_a"], "sig_b", id_col
     )
 
-    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+    def attach_verify(batch: pd.DataFrame) -> pd.DataFrame:
         if len(batch) == 0:
             return pd.DataFrame(
                 {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
@@ -294,7 +410,7 @@ def srp_neardup_pairs(
         out["cos_sim"] = round_half_away(cos[keep], round_dp)
         return out.reset_index(drop=True)
 
-    return with_ab.map_batches(verify, batch_format="pandas")
+    return with_ab.map_batches(attach_verify, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
