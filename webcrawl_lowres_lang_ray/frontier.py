@@ -641,6 +641,14 @@ def _from_pandas_chunked(df: pd.DataFrame, nchunks: int = 64) -> "ray.data.Datas
 
 _SHUFFLE_PARTS = 64
 
+# fetch/score task granularity: LPT bins per cluster CPU on the driver wave
+# path.  Higher = smaller tasks = shorter wave-barrier drain when per-task
+# cost varies (zipf text lengths, host jitter); lower = less dispatch
+# overhead.  A 2x2 A/B at 16 cpus sf0.1 showed 8 within noise of (slightly
+# behind) 4 — the drain is already bounded by LPT largest-first emission —
+# so 4 stays the default; env-tunable for bigger clusters.
+_LPT_TASKS_PER_CPU = int(os.environ.get("WLLR_LPT_TASKS_PER_CPU", "4"))
+
 
 def _run_wave_streamed(
     out_dir: str,
@@ -898,7 +906,7 @@ def run_crawl(
                     for _, g in to_fetch.groupby("bucket", sort=True)
                 ]
                 cpus = int(ray.cluster_resources().get("CPU", 8))
-                nbins = max(8, min(4 * cpus, len(groups)))
+                nbins = max(8, min(_LPT_TASKS_PER_CPU * cpus, len(groups)))
                 bins: list[list[pd.DataFrame]] = [[] for _ in range(nbins)]
                 sizes = np.zeros(nbins, dtype=np.int64)
                 for g in sorted(groups, key=len, reverse=True):
@@ -909,13 +917,24 @@ def run_crawl(
                 blocks = [
                     pd.concat(bins[i], ignore_index=True) for i in order if bins[i]
                 ]
+                sec["fs_pack"] = round(time.time() - t_sec, 3)
+                t_fs = time.time()
                 ds = ray.data.from_pandas(blocks)
                 kwargs = {}
                 if score_concurrency:
                     kwargs["concurrency"] = score_concurrency
-                cand_df = ds.map_batches(
+                out_ds = ds.map_batches(
                     wave_fn, batch_format="pyarrow", batch_size=None, **kwargs
-                ).to_pandas()
+                )
+                if os.environ.get("WLLR_STREAM_STATS"):  # perf diagnostics only
+                    out_ds = out_ds.materialize()
+                    sec["fs_exec"] = round(time.time() - t_fs, 3)
+                    with open("/tmp/wllr_wave_stats.txt", "a") as fh:
+                        fh.write(f"== wave {wave} exec_window {t_fs:.3f} {time.time():.3f} ==\n" + out_ds.stats() + "\n")
+                t_fs2 = time.time()
+                cand_df = out_ds.to_pandas()
+                sec["fs_pull"] = round(time.time() - t_fs2, 3)
+                sec.setdefault("fs_exec", round(time.time() - t_fs, 3))
             sec["fetch_score"] = round(time.time() - t_sec, 3)
             t_sec = time.time()
 
@@ -971,25 +990,33 @@ def run_crawl(
 
     stats.waves = wave
     # fetch/fail/reject/gate counters from the ledger partitions (single
-    # columnar pass at the end instead of a driver pull of text per wave)
+    # columnar pass at the end instead of a driver pull of text per wave).
+    # Footer reads release the GIL, so a thread pool turns this from a
+    # serial O(partition-files) driver tail (~4.5 s at sf0.1 — a pure
+    # Amdahl term the 16-cpu leg pays in full) into a parallel sweep.
     import glob
+    from concurrent.futures import ThreadPoolExecutor
 
     parts = glob.glob(os.path.join(out_dir, "ledger", "wave=*", "*.parquet"))
     import pyarrow.compute as pc
 
-    for p in parts:
-        t = pq.read_table(
-            p,
-            columns=[
-                "downloaded", "downloaded_failed", "rejected",
-                "skipped_relative", "robots_blocked",
-            ],
-        )
-        stats.fetched += int(pc.sum(t["downloaded"]).as_py() or 0)
-        stats.failed += int(pc.sum(t["downloaded_failed"]).as_py() or 0)
-        stats.rejected += int(pc.sum(t["rejected"]).as_py() or 0)
-        stats.skipped_relative += int(pc.sum(t["skipped_relative"]).as_py() or 0)
-        stats.robots_blocked += int(pc.sum(t["robots_blocked"]).as_py() or 0)
+    _cols = [
+        "downloaded", "downloaded_failed", "rejected",
+        "skipped_relative", "robots_blocked",
+    ]
+
+    def _part_sums(p: str) -> list[int]:
+        t = pq.read_table(p, columns=_cols)
+        return [int(pc.sum(t[c]).as_py() or 0) for c in _cols]
+
+    if parts:
+        with ThreadPoolExecutor(max_workers=min(16, len(parts))) as ex:
+            sums = np.array(list(ex.map(_part_sums, parts)), dtype=np.int64).sum(axis=0)
+        stats.fetched += int(sums[0])
+        stats.failed += int(sums[1])
+        stats.rejected += int(sums[2])
+        stats.skipped_relative += int(sums[3])
+        stats.robots_blocked += int(sums[4])
     stats.elapsed_sec = time.time() - t0
     return stats
 
