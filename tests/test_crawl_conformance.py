@@ -109,6 +109,20 @@ class TestCrawlConformance:
             load_ledger(str(tmp_path / "drv")), load_ledger(str(tmp_path / "ray"))
         )
 
+    def test_model_cache_is_content_keyed(self, tiny_corpus):
+        """warm_workers pre-builds scorer models under its own ray.put; the
+        crawl's own lexicon ObjectRef must hit the same build (cache keys on
+        lexicon CONTENT, not ref identity)."""
+        import ray
+
+        import webcrawl_lowres_lang_ray.frontier as fr
+        from webcrawl_lowres_lang_ray.sources.synth import load_lexicon
+
+        lex = load_lexicon(tiny_corpus)
+        m1 = fr._get_model(ray.put(lex), CFG)
+        m2 = fr._get_model(ray.put(dict(lex)), CFG)  # different ref, same content
+        assert m1 is m2
+
     def test_wave_dispatch_tasks_equals_dataset(self, tiny_corpus, tmp_path, monkeypatch):
         """The raw-task scatter/gather dispatch of the driver-path wave
         (default) and the Dataset from_pandas->map_batches->to_pandas
