@@ -53,13 +53,29 @@ def ledger_dataset(
 
         if ffiles and sum(pq.read_metadata(f).num_rows for f in ffiles):
             want = columns or LEDGER_META_COLS
+            # emit the pending rows in the SAME Arrow schema as the parquet
+            # side of the union — a pandas-flavor branch here makes Ray log
+            # "RefBundle with a different schema" on every union
+            arrow_schema = None
+            if parts:
+                import pyarrow as pa
 
-            def to_ledger_rows(b: pd.DataFrame) -> pd.DataFrame:
+                lsch = pq.read_schema(parts[0])
+                arrow_schema = pa.schema([lsch.field(c) for c in want])
+
+            def to_ledger_rows(b: pd.DataFrame):
                 rows = _norun_ledger_rows(
                     b, -1, np.zeros(len(b), dtype=bool), np.zeros(len(b), dtype=bool)
                 )
                 rows["handled"] = False
-                return rows[want]
+                rows = rows[want]
+                if arrow_schema is None:
+                    return rows
+                import pyarrow as pa
+
+                return pa.Table.from_pandas(
+                    rows, schema=arrow_schema, preserve_index=False
+                )
 
             pend = ray.data.read_parquet(ffiles).map_batches(
                 to_ledger_rows, batch_format="pandas"
