@@ -139,6 +139,40 @@ class TestCrawlConformance:
             load_ledger(str(tmp_path / "dataset")),
         )
 
+    def test_wave_task_survives_worker_crash(self, tiny_corpus, tmp_path, monkeypatch):
+        """Fault tolerance of the raw-task wave dispatch: a worker process
+        dying mid-wave (os._exit, the crash Ray retries — unlike a Python
+        exception) must not change the ledger.  Ledger partition writes are
+        idempotent overwrites, so the retried task simply rewrites its
+        partition — the multi-node story where worker loss is routine."""
+        import ray
+
+        import webcrawl_lowres_lang_ray.frontier as fr
+
+        run_crawl(tiny_corpus, str(tmp_path / "clean"), CFG)
+
+        marker = str(tmp_path / "died_once")
+
+        @ray.remote(max_retries=3)
+        def dying(fn, blk):
+            import os as _os
+
+            if not _os.path.exists(marker):
+                with open(marker, "w"):
+                    pass
+                _os._exit(1)  # hard worker crash mid-task
+            return fn(blk)
+
+        monkeypatch.setattr(fr, "SMALL_WAVE_MAX_ROWS", 0)  # force fan-out
+        monkeypatch.setattr(fr, "_WAVE_DISPATCH", "tasks")
+        monkeypatch.setattr(fr, "_apply_wave_block", dying)
+        run_crawl(tiny_corpus, str(tmp_path / "crashed"), CFG)
+        assert (tmp_path / "died_once").exists(), "crash hook never fired"
+        _assert_ledger_equal(
+            load_ledger(str(tmp_path / "clean")),
+            load_ledger(str(tmp_path / "crashed")),
+        )
+
     def test_streamed_waves_keep_frontier_off_driver(self, tiny_corpus, tmp_path, monkeypatch):
         """With the streamed path forced, the pending frontier must never
         become a driver frame: _read_frontier is never called inside the
