@@ -46,8 +46,9 @@ def main() -> None:
     # bench.py's throughput-phase config (generous politeness + wave cap)
     cfg = CrawlConfig(per_host_per_wave=256, max_waves=8)
     # untimed setup: build the scorer model in every worker (same warmup as
-    # bench.py — steady-state throughput is the metric)
-    frontier.warm_workers(corpus)
+    # bench.py — steady-state throughput is the metric; cfg is part of the
+    # model cache key, so warm with the cfg the crawl will use)
+    frontier.warm_workers(corpus, cfg=cfg)
     t0 = time.time()
     stats = frontier.run_crawl(corpus, out_dir, cfg)
     dt = time.time() - t0

@@ -122,6 +122,11 @@ class TestCrawlConformance:
         m1 = fr._get_model(ray.put(lex), CFG)
         m2 = fr._get_model(ray.put(dict(lex)), CFG)  # different ref, same content
         assert m1 is m2
+        # the scorer's behavior depends on CrawlConfig → config is part of
+        # the key: same lexicon under a different scoring config must NOT
+        # reuse the model
+        m3 = fr._get_model(ray.put(lex), CrawlConfig(lang_supported=False))
+        assert m3 is not m1
 
     def test_wave_dispatch_tasks_equals_dataset(self, tiny_corpus, tmp_path, monkeypatch):
         """The raw-task scatter/gather dispatch of the driver-path wave

@@ -162,25 +162,34 @@ class CrawlStats:
 _MODEL_CACHE: dict[str, LangScoringModel] = {}
 
 
-def _lexicon_fingerprint(lexicon: dict[str, int]) -> str:
-    """Stable content key for the model cache: the same lexicon arriving
-    under two different ObjectRefs (e.g. warm_workers' ray.put vs
-    run_crawl's own) must hit one model build per worker."""
+def _lexicon_fingerprint(lexicon: dict[str, int], cfg: CrawlConfig) -> str:
+    """Stable content key for the model cache: the same (lexicon, config)
+    pair arriving under two different ObjectRefs (e.g. warm_workers'
+    ray.put vs run_crawl's own) must hit one model build per worker.  The
+    scorer's behavior depends on CrawlConfig fields (lang_supported,
+    confidence thresholds, ...), so the config is part of the key — and
+    tokens/counts are delimiter-separated so ("word2", 2) and ("word", 22)
+    cannot collide."""
     import hashlib
 
     h = hashlib.md5()
+    h.update(repr(cfg).encode())  # dataclass repr: all fields, stable order
+    h.update(b"\x00")
     for tok in sorted(lexicon):
         h.update(tok.encode())
+        h.update(b"\x1f")
         h.update(str(lexicon[tok]).encode())
+        h.update(b"\x1e")
     return h.hexdigest()
 
 
 def _get_model(lexicon_ref, cfg: CrawlConfig) -> LangScoringModel:
-    key = lexicon_ref.hex() if hasattr(lexicon_ref, "hex") else str(id(lexicon_ref))
+    rkey = lexicon_ref.hex() if hasattr(lexicon_ref, "hex") else str(id(lexicon_ref))
+    key = (rkey, repr(cfg))
     model = _MODEL_CACHE.get(key)
     if model is None:
         lexicon = ray.get(lexicon_ref)
-        ckey = _lexicon_fingerprint(lexicon)
+        ckey = _lexicon_fingerprint(lexicon, cfg)
         model = _MODEL_CACHE.get(ckey)
         if model is None:
             model = LangScoringModel(lexicon, cfg)
@@ -190,28 +199,46 @@ def _get_model(lexicon_ref, cfg: CrawlConfig) -> LangScoringModel:
 
 
 def warm_workers(corpus_dir: str, cfg: CrawlConfig | None = None,
-                 hold_sec: float = 4.0) -> int:
-    """Build the scorer model in (approximately) every worker process as
-    one-time untimed cluster setup.  N = cluster-CPU tasks are scheduled
-    concurrently and each holds its slot until a shared wall-clock
-    deadline, so each build lands in a distinct worker; the content-keyed
-    model cache then makes the timed crawl's own lexicon ObjectRef a cache
-    hit.  Returns the number of distinct worker pids warmed."""
+                 timeout_sec: float = 30.0) -> int:
+    """Build the scorer model in every worker process as one-time untimed
+    cluster setup.  N = cluster-CPU tasks are scheduled concurrently and
+    each holds its slot until ALL N have built (zero-CPU barrier actor, so
+    slow worker cold-start cannot release early slots for reuse); the
+    content-keyed model cache then makes the timed crawl's own lexicon
+    ObjectRef a cache hit — pass the SAME cfg the crawl will use, since
+    the config is part of the model key.  Returns the number of distinct
+    worker pids warmed."""
     from webcrawl_lowres_lang_ray.sources.synth import load_lexicon
 
     n = int(ray.cluster_resources().get("CPU", 8))
     ref = ray.put(load_lexicon(corpus_dir))
     cfg = cfg or CrawlConfig()
-    deadline = time.time() + hold_sec
+
+    @ray.remote(num_cpus=0)
+    class _Barrier:
+        def __init__(self, n):
+            self.n = n
+            self.c = 0
+
+        def arrive(self):
+            self.c += 1
+
+        def ready(self):
+            return self.c >= self.n
+
+    bar = _Barrier.remote(n)
+    deadline = time.time() + timeout_sec  # safety cap only, not the sync
 
     @ray.remote(num_cpus=1)
-    def _build(ref_wrap, cfg, deadline):
+    def _build(ref_wrap, cfg, bar, deadline):
         _get_model(ref_wrap[0], cfg)
-        while time.time() < deadline:
+        ray.get(bar.arrive.remote())
+        while time.time() < deadline and not ray.get(bar.ready.remote()):
             time.sleep(0.05)
         return os.getpid()
 
-    pids = ray.get([_build.remote([ref], cfg, deadline) for _ in range(n)])
+    pids = ray.get([_build.remote([ref], cfg, bar, deadline) for _ in range(n)])
+    ray.kill(bar)
     return len(set(pids))
 
 
@@ -996,7 +1023,8 @@ def run_crawl(
                     # order so candidate-frame order is identical to the
                     # Dataset path's to_pandas.  The streamed path (pending >
                     # DRIVER_PATH_MAX_ROWS) remains fully Dataset-based.
-                    refs = [_apply_wave_block.remote(wave_fn, b) for b in blocks]
+                    fn_ref = ray.put(wave_fn)  # serialize the closure once per wave
+                    refs = [_apply_wave_block.remote(fn_ref, b) for b in blocks]
                     parts = ray.get(refs)
                     sec["fs_exec"] = round(time.time() - t_fs, 3)
                     t_fs2 = time.time()
