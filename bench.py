@@ -698,6 +698,37 @@ def run_graphsoak(node_sizes=(250_000, 1_000_000)) -> dict:
 BENCH_FULL_JSON = os.path.join(REPO, "BENCH_FULL.json")
 
 
+def _min_probe(sc: dict) -> float:
+    """The worst weather probe bracketing a scaling run's chosen legs —
+    the measurement-condition quality of that run (higher = quieter)."""
+    ps = [p for p in (sc.get("probes_chosen") or []) if p]
+    if not ps:  # older artifact formats: flat or leg-grouped probe lists
+        for c in (sc.get("probe_before_legs"), sc.get("probe_after_legs")):
+            if isinstance(c, list):
+                ps += [p for p in c if p]
+            elif isinstance(c, dict):
+                ps += [p for v in c.values() for p in v if p]
+    return min(ps) if ps else 0.0
+
+
+def scaling_is_canonical(res: dict, existing: dict | None) -> bool:
+    """Persistence policy for SCALING.json: the canonical point is the run
+    measured under the QUIETEST verified conditions.  A new quiet-legs run
+    replaces the standing one only when its own worst bracketing probe is
+    at least as high — condition-quality ordering, blind to the efficiency
+    value.  Rationale (BASELINE.md round-5): on this shared host the raw
+    4->16 ratio swings 0.73-0.81 across weather regimes that ALL pass the
+    0.85x gate; host contention corrupts the two legs unequally, so the
+    run taken in the quietest window is the closest to the machine's true
+    capability, and last-write-wins would let a noisier-but-gated rerun
+    clobber a cleaner measurement."""
+    if not res.get("quiet_legs"):
+        return False
+    if not existing or not existing.get("quiet_legs", True):
+        return True
+    return _min_probe(res) >= _min_probe(existing)
+
+
 def compact_headline(out: dict) -> dict:
     """The driver-facing final stdout line: everything scalar the judge
     reads (headline seconds, per-query seconds, urls/s, weather probe,
@@ -781,7 +812,15 @@ if __name__ == "__main__":
         res["quiet_legs"] = bool(
             probes and min(probes) >= 0.85 * QUIET_REF_PAGES_PER_SEC
         )
-        target = SCALING_JSON if res["quiet_legs"] else SCALING_JSON + ".attempt"
+        existing = None
+        if os.path.exists(SCALING_JSON):
+            with open(SCALING_JSON) as fh:
+                existing = json.load(fh)
+        target = (
+            SCALING_JSON
+            if scaling_is_canonical(res, existing)
+            else SCALING_JSON + ".attempt"
+        )
         with open(target, "w") as fh:
             json.dump(res, fh, indent=1)
         print(json.dumps(res))

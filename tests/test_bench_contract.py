@@ -100,6 +100,31 @@ def test_compact_headline_is_one_small_json_line():
     json.loads(line)  # round-trips
 
 
+def test_scaling_persistence_prefers_quietest_conditions():
+    """SCALING.json keeps the run measured under the quietest verified
+    window; a noisier-but-gated rerun must not clobber it, value-blind."""
+    bench = _bench_module()
+
+    quiet = {"quiet_legs": True, "probes_chosen": [8012.0, 8788.0, 8126.0, 8542.0],
+             "value": 0.70}
+    noisy = {"quiet_legs": True, "probes_chosen": [6310.0, 7585.0, 7155.0, 7951.0],
+             "value": 0.99}
+    assert not bench.scaling_is_canonical(noisy, existing=quiet)
+    assert bench.scaling_is_canonical(quiet, existing=noisy)
+    # no standing point / non-quiet standing point: any quiet run lands
+    assert bench.scaling_is_canonical(noisy, existing=None)
+    assert bench.scaling_is_canonical(noisy, existing={"quiet_legs": False})
+    # a run that failed its own gate never lands
+    assert not bench.scaling_is_canonical({"quiet_legs": False}, existing=None)
+    # legacy artifact formats still yield a condition score
+    legacy = {"quiet_legs": True,
+              "probe_before_legs": [8749.0, 8542.0], "probe_after_legs": [8126.0, 8788.0]}
+    assert bench._min_probe(legacy) == 8126.0
+    grouped = {"probe_before_legs": {"4": [7000.0], "16": [7500.0]},
+               "probe_after_legs": {"4": [6900.0], "16": [7600.0]}}
+    assert bench._min_probe(grouped) == 6900.0
+
+
 def test_compact_headline_without_blobs_is_identityish():
     bench = _bench_module()
     out = _fake_full_output()
